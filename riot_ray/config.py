@@ -1,0 +1,122 @@
+"""Engine configuration.
+
+Mirrors the *semantics* of the reference's option structs
+(``/root/reference/types/engine_init_options.go:22-160``,
+``/root/reference/types/indexer_init_options.go:19-58``) re-expressed for a
+Ray-Data-native batch engine.  Nothing here is a port: the knobs that only
+made sense for goroutine pools (channel buffer sizes, thread counts) are
+replaced by Ray Data stage sizing (num shards, batch size, actor pool
+concurrency).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# Index variants — reference /root/reference/types/indexer_init_options.go:19-32
+DOCIDS_INDEX = 0  # docs only (no scoring payload)
+FREQS_INDEX = 1   # + term frequencies -> BM25 (reference default)
+LOCS_INDEX = 2    # + positions -> BM25 + proximity + snippet locations
+
+INDEX_TYPES = {DOCIDS_INDEX: "docids", FREQS_INDEX: "freqs", LOCS_INDEX: "locs"}
+
+# Tokenizer modes (see riot_ray/tokenize.py):
+#   "simple"  - lowercase + split on non-[a-z0-9]; SQL-oracle-expressible
+#   "code"    - simple + snake/camelCase identifier sub-token expansion (flagship)
+#   "space"   - reference conformance mode: riot Using=4/NotUseGse semantics
+#               incl. the ForSplitData cumulative-prefix quirk
+#               (/root/reference/segment.go:40-77,192-208)
+#   "pretokenized" - tokens column passthrough (/root/reference/segment.go:117-125)
+TOKENIZE_MODES = ("simple", "code", "space", "pretokenized")
+
+
+@dataclass
+class BM25Params:
+    """Reference defaults K1=2.0, B=0.75
+    (/root/reference/types/engine_init_options.go:35-42)."""
+
+    k1: float = 2.0
+    b: float = 0.75
+
+
+@dataclass
+class EngineOpts:
+    # --- data model -------------------------------------------------------
+    content_col: str = "content"
+    # doc_id = "/".join of these columns' values (+ "@commit" handled by caller
+    # via id_sep formatting); if a single column, it is used verbatim.
+    id_cols: tuple = ("repo", "path", "commit")
+    # extra columns copied into the forward table (hydration / custom scoring)
+    meta_cols: tuple = ("lang",)
+    tokens_col: str | None = None    # pretokenized input column
+    labels_col: str | None = None    # labels column: list<string>, tf=0 postings
+    seq_col: str | None = None       # ingest order for keep-last dedup (D4)
+    store_content: bool = True       # forward table keeps raw content (riot ranker does)
+
+    # --- tokenize ---------------------------------------------------------
+    mode: str = "code"
+    index_type: int = FREQS_INDEX
+    stop_tokens: tuple = ()          # /root/reference/stop_tokens.go:31-57
+    lowercase: bool = True
+
+    # --- scoring ----------------------------------------------------------
+    bm25: BM25Params = field(default_factory=BM25Params)
+    # float32 = riot-conformant scoring (/root/reference/core/indexer.go:523-547);
+    # float64 = oracle mode (matches DuckDB SQL arithmetic).
+    score_dtype: str = "float32"
+
+    # --- physical layout (scale knobs) ------------------------------------
+    num_parts: int = 16      # forward-table hash partitions (doc_id -> part)
+    num_shards: int = 8      # query shards = doc-range buckets; the groupby key
+    block_size: int = 4096   # postings per block row (block-max WAND granularity)
+    tokenize_batch_size: int = 1024
+    tokenize_concurrency: int | None = None  # None -> stateless tasks size themselves
+
+    def id_for(self) -> str:
+        return INDEX_TYPES[self.index_type]
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["id_cols"] = list(self.id_cols)
+        d["meta_cols"] = list(self.meta_cols)
+        d["stop_tokens"] = list(self.stop_tokens)
+        return json.dumps(d, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "EngineOpts":
+        return EngineOpts.from_json_dict(json.loads(s))
+
+    @staticmethod
+    def from_json_dict(d: dict) -> "EngineOpts":
+        d = dict(d)
+        d["bm25"] = BM25Params(**d["bm25"])
+        d["id_cols"] = tuple(d["id_cols"])
+        d["meta_cols"] = tuple(d["meta_cols"])
+        d["stop_tokens"] = tuple(d["stop_tokens"])
+        return EngineOpts(**d)
+
+
+# Sentinel "term" carrying docmeta for documents that produce no postings
+# (riot still counts such docs in numDocs/totalTokenLen —
+# /root/reference/core/indexer.go:202-205 increments per doc regardless of
+# keywords).  No tokenizer mode can emit a NUL byte, so it never collides
+# with a real term; the segment builder strips it from posting lists.
+META_TERM = "\x00"
+
+# doc u64 layout: doc = (part << PART_SHIFT) | seq_within_part.
+# 2^40 docs per partition; 2^23 partitions — sized for the 10^12-file target
+# (4096 parts x 2.4e8 docs/part, or 10^6 parts at fewer docs each).
+PART_SHIFT = 40
+
+
+def doc_uid(part: int, seq: int) -> int:
+    return (part << PART_SHIFT) | seq
+
+
+def shard_of_part(part: int, num_parts: int, num_shards: int) -> int:
+    """Contiguous mapping part -> query shard so each shard owns a contiguous
+    doc-u64 range (this is what makes hot-term posting lists split into
+    disjoint, ordered doc ranges across shards — the salting strategy)."""
+    return part * num_shards // num_parts

@@ -1,0 +1,334 @@
+"""SearchEngine facade: global stats + term dictionary + shard fan-out.
+
+Two serving modes over the same ShardData kernels:
+
+* ``LocalSearcher`` — in-process shards (tests, DuckDB-oracle callables).
+* ``ActorSearcher`` — named actor pool (one ``ShardWorker`` actor owning a
+  contiguous slice of shards, SURVEY.md §3.3 rebuild equivalent); the driver
+  tokenizes, ships per-token idf, ``ray.wait``s with the request timeout and
+  merges per-shard top-k heaps.
+
+The driver holds term->df (global BM25 stats = riot NumShards=1 semantics);
+a keyword absent from the global dictionary short-circuits the AND search to
+empty exactly like /root/reference/core/indexer.go:425-430.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .build import load_stats
+from .config import DOCIDS_INDEX, EngineOpts
+from .query import ShardData, bm25_idf, merge_ranked, rank_hits
+from .tokenize import Tokenizer
+from .types import RankOpts, SearchReq, SearchResp
+
+
+def _load_termstats(index_dir: str) -> dict:
+    d = os.path.join(index_dir, "termstats")
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    out: dict[str, int] = {}
+    for f in files:
+        t = pq.read_table(f)
+        out.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    return out
+
+
+def _load_tombstones(index_dir: str) -> np.ndarray:
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d):
+        return np.empty(0, dtype=np.uint64)
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return np.empty(0, dtype=np.uint64)
+    t = pq.read_table(files, columns=["doc"])
+    return np.unique(t["doc"].to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
+class _SearcherBase:
+    def __init__(self, index_dir: str, hydrate: bool = False):
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.opts = EngineOpts.from_json_dict(self.stats["opts"])
+        self.tok = Tokenizer(self.opts)
+        self.termstats = _load_termstats(index_dir)
+        self.hydrate = hydrate
+        self.shard_ids = self._existing_shards()
+        tomb = _load_tombstones(index_dir)
+        self.n_tomb = int(tomb.size)
+        self._tomb = tomb
+
+    def _existing_shards(self):
+        seg = os.path.join(self.index_dir, "segments")
+        ids = []
+        if os.path.isdir(seg):
+            for name in sorted(os.listdir(seg)):
+                if name.startswith("shard="):
+                    ids.append(int(name.split("=")[1]))
+        return ids
+
+    # ---- stats with tombstones applied --------------------------------- #
+    def _global(self):
+        n = self.stats["n_docs"] - getattr(self, "_tomb_ndocs", 0)
+        total = self.stats["total_token_len"] - getattr(self, "_tomb_len", 0.0)
+        return n, total
+
+    def refresh_tombstone_stats(self, n_docs_removed: int, len_removed: float):
+        self._tomb_ndocs = n_docs_removed
+        self._tomb_len = len_removed
+
+    # ---- query assembly -------------------------------------------------#
+    def _prepare(self, req: SearchReq):
+        tokens = self.tok.query_tokens(req.text) + list(req.tokens)
+        rank = req.rank_opts or RankOpts()
+        return tokens, rank
+
+    def search(self, req: SearchReq) -> SearchResp:
+        tokens, rank = self._prepare(req)
+        labels = list(req.labels)
+        logic = req.logic
+        resp = SearchResp(tokens=tuple(tokens))
+
+        if logic is not None and logic.active(len(tokens) + len(labels)):
+            return self._logic_search(req, tokens, labels, rank, resp)
+
+        keywords = tokens + labels
+        if not keywords:
+            return resp
+        n_docs, total_len = self._global()
+        if n_docs <= 0:
+            return resp
+        # global dictionary check: any missing keyword -> empty AND result
+        dfs = []
+        for k in keywords:
+            df = self.termstats.get(k)
+            if not df:
+                return resp
+            dfs.append(df)
+        dtype = np.float32 if self.opts.score_dtype == "float32" else np.float64
+        avgdl = (
+            np.float32(np.float32(total_len) / np.float32(n_docs))
+            if dtype is np.float32
+            else total_len / n_docs
+        )
+        idfs = [float(bm25_idf(n_docs, df, dtype)) for df in dfs[: len(tokens)]]
+
+        keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
+        results = self._dispatch(
+            "search",
+            dict(
+                tokens=tokens,
+                labels=labels,
+                idfs=idfs,
+                avgdl=float(avgdl),
+                allow_ids=req.doc_ids,
+                count_only=req.count_docs_only,
+                dtype_name=self.opts.score_dtype,
+            ),
+            req,
+            rank,
+            keep,
+            orderless=req.orderless,
+        )
+        return self._collect(results, req, rank, resp)
+
+    def _logic_search(self, req, tokens, labels, rank, resp):
+        logic = req.logic
+        keywords = tokens + labels
+        must = list(logic.expr.must) or (keywords if logic.must else [])
+        should = list(logic.expr.should) or (keywords if logic.should else [])
+        not_in = list(logic.expr.not_in) or (keywords if logic.not_in else [])
+        # a must-keyword missing globally empties the result
+        for k in must:
+            if not self.termstats.get(k):
+                return resp
+        # should-keywords missing are dropped; all missing -> empty
+        should_present = [k for k in should if self.termstats.get(k)]
+        if should and not should_present:
+            return resp
+        not_in_present = [k for k in not_in if self.termstats.get(k)]
+        keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
+        results = self._dispatch(
+            "logic_search",
+            dict(
+                must=must,
+                should=should_present,
+                not_in=not_in_present,
+                allow_ids=req.doc_ids,
+                count_only=req.count_docs_only,
+            ),
+            req,
+            rank,
+            keep,
+            orderless=req.orderless,
+        )
+        return self._collect(results, req, rank, resp)
+
+    def _collect(self, results, req, rank, resp):
+        per_shard, num_scored, num_found, timed_out = results
+        resp.timeout = timed_out
+        if req.count_docs_only:
+            resp.num_docs = num_found
+            return resp
+        if req.orderless:
+            # skip ranking entirely (/root/reference/indexer_worker.go:75-113)
+            resp.docs = [h for hits in per_shard for h in hits]
+            resp.num_docs = len(resp.docs)
+            return resp
+        resp.docs = merge_ranked(per_shard, rank)
+        resp.num_docs = num_scored
+        return resp
+
+
+class LocalSearcher(_SearcherBase):
+    """In-process serving — shares every kernel with the actor path."""
+
+    def __init__(self, index_dir: str, hydrate: bool = False):
+        super().__init__(index_dir, hydrate)
+        self.shards = [
+            ShardData(i, index_dir, self.opts, hydrate) for i in self.shard_ids
+        ]
+        for s in self.shards:
+            if self._tomb.size:
+                s.set_tombstones(self._tomb)
+        if self._tomb.size:
+            lens = []
+            for s in self.shards:
+                mask = np.isin(s.dm_doc, self._tomb, assume_unique=True)
+                lens.append(float(s.dm_len[mask].sum()))
+            self.refresh_tombstone_stats(int(self._tomb.size), float(sum(lens)))
+
+    def _dispatch(self, method, kwargs, req, rank, keep, orderless):
+        per_shard, num_scored, num_found = [], 0, 0
+        for s in self.shards:
+            hits, num = getattr(s, method)(**kwargs)
+            num_found += num
+            if req.count_docs_only:
+                continue
+            if orderless:
+                per_shard.append(
+                    [rank_hit_passthrough(h) for h in hits]
+                )
+                continue
+            ranked, n_scored = rank_hits(hits, rank, s, kwargs.get("tokens", []), keep)
+            num_scored += n_scored
+            per_shard.append(ranked)
+        return per_shard, num_scored, num_found, False
+
+
+def rank_hit_passthrough(h: dict):
+    from .types import ScoredHit
+
+    return ScoredHit(
+        doc_id=h["doc_id"],
+        doc=h["doc"],
+        bm25=h["bm25"],
+        token_proximity=h["proximity"],
+        token_snippet_locs=h["snippet"],
+        token_locs=h["token_locs"],
+    )
+
+
+# --------------------------------------------------------------------------- #
+# actor pool
+# --------------------------------------------------------------------------- #
+def _make_shard_worker():
+    import ray
+
+    @ray.remote
+    class ShardWorker:
+        """Owns a contiguous slice of shards; query-path state loaded once
+        in __init__ (actor-pool pattern, SURVEY.md §2.3 T2/T3)."""
+
+        def __init__(self, index_dir, shard_ids, hydrate, tombstones):
+            self.searchers = []
+            stats = load_stats(index_dir)
+            opts = EngineOpts.from_json_dict(stats["opts"])
+            for i in shard_ids:
+                s = ShardData(i, index_dir, opts, hydrate)
+                if tombstones is not None and len(tombstones):
+                    s.set_tombstones(tombstones)
+                self.searchers.append(s)
+
+        def run(self, method, kwargs, rank, keep, count_only, orderless):
+            out_hits, num_scored, num_found = [], 0, 0
+            for s in self.searchers:
+                hits, num = getattr(s, method)(**kwargs)
+                num_found += num
+                if count_only:
+                    continue
+                if orderless:
+                    out_hits.append([rank_hit_passthrough(h) for h in hits])
+                    continue
+                ranked, n_sc = rank_hits(hits, rank, s, kwargs.get("tokens", []), keep)
+                num_scored += n_sc
+                out_hits.append(ranked)
+            return out_hits, num_scored, num_found
+
+        def tombstone_len(self, tombstones):
+            total, count = 0.0, 0
+            for s in self.searchers:
+                mask = np.isin(s.dm_doc, tombstones, assume_unique=True)
+                total += float(s.dm_len[mask].sum())
+                count += int(mask.sum())
+            return total, count
+
+    return ShardWorker
+
+
+class ActorSearcher(_SearcherBase):
+    def __init__(self, index_dir: str, num_actors: int = 4, hydrate: bool = False,
+                 num_cpus_per_actor: float = 1.0):
+        super().__init__(index_dir, hydrate)
+        import ray
+
+        ShardWorker = _make_shard_worker()
+        ids = self.shard_ids
+        num_actors = max(1, min(num_actors, len(ids) or 1))
+        slices = [ids[i::num_actors] for i in range(num_actors)]
+        tomb = self._tomb if self._tomb.size else None
+        self.actors = [
+            ShardWorker.options(num_cpus=num_cpus_per_actor).remote(
+                index_dir, sl, hydrate, tomb
+            )
+            for sl in slices
+            if sl
+        ]
+        if self._tomb.size:
+            parts = ray.get([a.tombstone_len.remote(self._tomb) for a in self.actors])
+            self.refresh_tombstone_stats(
+                int(sum(p[1] for p in parts)), float(sum(p[0] for p in parts))
+            )
+
+    def _dispatch(self, method, kwargs, req, rank, keep, orderless):
+        import ray
+
+        futs = [
+            a.run.remote(method, kwargs, rank, keep, req.count_docs_only, orderless)
+            for a in self.actors
+        ]
+        timed_out = False
+        if req.timeout_ms and req.timeout_ms > 0:
+            ready, not_ready = ray.wait(
+                futs, num_returns=len(futs), timeout=req.timeout_ms / 1000.0
+            )
+            if not_ready:
+                timed_out = True  # partial results + Timeout flag
+            futs = ready
+        results = ray.get(futs)
+        per_shard, num_scored, num_found = [], 0, 0
+        for hits_list, n_sc, n_f in results:
+            per_shard.extend(hits_list)
+            num_scored += n_sc
+            num_found += n_f
+        return per_shard, num_scored, num_found, timed_out
+
+    def shutdown(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

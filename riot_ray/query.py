@@ -1,0 +1,439 @@
+"""Query serving: per-shard kernels + actor-pool engine.
+
+Doc-sharded serving (riot's architecture — /root/reference/engine.go:785-799
+fans every query to all shards, per-shard top-(offset+k), global merge) with
+globally-consistent BM25 statistics (NumShards=1 semantics, SURVEY.md
+§2.9.1): the driver holds the global term->df dictionary and ships per-token
+float32 idf values with each query, so shards never need cross-shard stats.
+
+BM25 replicates /root/reference/core/indexer.go:523-547 operation-for-
+operation in float32 (idf computed via log2 in float64 then cast, exactly
+like Go's ``float32(math.Log2(...))``), accumulated per query token in token
+order — the rank-identity contract.  ``score_dtype="float64"`` switches the
+same kernel to f64 for DuckDB-oracle comparison.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .codecs import decode_varbyte
+from .config import DOCIDS_INDEX, LOCS_INDEX, EngineOpts
+from .types import Logic, RankOpts, ScoredHit, SearchReq, SearchResp, hit_sort_key
+
+
+# --------------------------------------------------------------------------- #
+# BM25 (conformance-exact)
+# --------------------------------------------------------------------------- #
+def bm25_idf(n_docs: int, df: int, dtype=np.float32):
+    # Go: float32(math.Log2(float64(numDocs)/float64(df) + 1))
+    return dtype(np.log2(float(n_docs) / float(df) + 1.0))
+
+
+def bm25_term_scores(idf, freq, d, avgdl, k1, b, dtype=np.float32):
+    """idf * freq * (k1+1) / (freq + k1*(1-b+b*d/avgdl)) with every
+    intermediate rounded at the target dtype, mirroring Go float32 ops
+    left-to-right (/root/reference/core/indexer.go:536-546)."""
+    one = dtype(1.0)
+    k1 = dtype(k1)
+    b = dtype(b)
+    avgdl = dtype(avgdl)
+    idf = dtype(idf)
+    freq = np.asarray(freq).astype(dtype, copy=False)
+    d = np.asarray(d).astype(dtype, copy=False)
+    denom = freq + k1 * (one - b + b * d / avgdl)
+    return idf * freq * (k1 + one) / denom
+
+
+def default_scoring(hit: ScoredHit, fields) -> tuple:
+    """RankByBM25 (/root/reference/types/scoring_criteria.go:27-33)."""
+    return (hit.bm25,)
+
+
+# --------------------------------------------------------------------------- #
+# proximity DP — semantics of computeTokenProximity
+# (/root/reference/core/indexer.go:723-813); new implementation
+# --------------------------------------------------------------------------- #
+def token_proximity(locations, tokens):
+    """Minimize sum(|P_{i+1} - P_i - bytelen(token_i)|) over one position
+    choice per token; two-candidate DP transition.  Returns
+    (min_proximity, chosen position per token)."""
+    k = len(tokens)
+    if k == 0:
+        return -1, ()
+    if k == 1:
+        return 0, (locations[0][0],)
+    cur_locs = locations[0]
+    cur_min = [0] * len(cur_locs)
+    path = [None] * k
+    for i in range(1, k):
+        nxt = locations[i]
+        nxt_min = [-1] * len(nxt)
+        path[i] = [0] * len(nxt)
+        tok_len = len(tokens[i - 1].encode("utf-8"))
+        i_next = 0
+        for i_cur, cur_loc in enumerate(cur_locs):
+            if cur_min[i_cur] == -1:
+                continue
+            while i_next + 1 < len(nxt) and nxt[i_next + 1] < cur_loc:
+                i_next += 1
+            for to in (i_next, i_next + 1):
+                if to >= len(nxt):
+                    continue
+                value = cur_min[i_cur] + abs(nxt[to] - cur_loc - tok_len)
+                if nxt_min[to] == -1 or value < nxt_min[to]:
+                    nxt_min[to] = value
+                    path[i][to] = i_cur
+        cur_locs = nxt
+        cur_min = nxt_min
+    best, cursor = -1, 0
+    for i, v in enumerate(cur_min):
+        if v == -1:
+            continue
+        if best == -1 or v < best:
+            best, cursor = v, i
+    out = [0] * k
+    for i in range(k - 1, -1, -1):
+        if i != k - 1:
+            cursor = path[i + 1][cursor]
+        out[i] = locations[i][cursor]
+    return best, tuple(out)
+
+
+# --------------------------------------------------------------------------- #
+# shard-resident data + lookup kernel
+# --------------------------------------------------------------------------- #
+class ShardData:
+    """One segment shard in memory: term dict + packed block columns +
+    docmeta + forward doc_id strings (and optional hydration columns).
+    Read-only after load — no locks (riot needs RWMutex striping,
+    /root/reference/core/indexer.go:36-52; we don't)."""
+
+    def __init__(self, shard_id: int, index_dir: str, opts: EngineOpts, hydrate=False):
+        self.shard_id = shard_id
+        self.opts = opts
+        sdir = os.path.join(index_dir, "segments", f"shard={shard_id:05d}")
+        blocks = pq.read_table(os.path.join(sdir, "blocks.parquet"))
+        self.with_pos = "pos_i32" in blocks.column_names
+        terms = blocks["term"].to_pylist()
+        self.blk_n = blocks["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.blk_min = blocks["min_doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.blk_max = blocks["max_doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.blk_max_tf = blocks["max_tf"].to_numpy(zero_copy_only=False)
+        self.blk_min_len = blocks["min_len"].to_numpy(zero_copy_only=False)
+        self.docs_vb = blocks["docs_vb"].to_pylist()
+        self.tfs_bin = blocks["tfs_f32"].to_pylist()
+        if self.with_pos:
+            self.pos_cnt_bin = blocks["pos_cnt_i32"].to_pylist()
+            self.pos_bin = blocks["pos_i32"].to_pylist()
+        # blocks are term-sorted: term -> contiguous block range
+        self.term_range: dict[str, tuple] = {}
+        start = 0
+        for i in range(1, len(terms) + 1):
+            if i == len(terms) or terms[i] != terms[start]:
+                self.term_range[terms[start]] = (start, i)
+                start = i
+        dm = pq.read_table(os.path.join(sdir, "docmeta.parquet"))
+        self.dm_doc = dm["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.dm_len = dm["token_len"].to_numpy(zero_copy_only=False)
+        self.fw_doc = self.dm_doc  # forward load replaces with its own order
+        self.fw_doc_id = None
+        self.hydrate_cols: dict = {}
+        self.tombstones = np.empty(0, dtype=np.uint64)  # sorted u64
+        self._cache: dict[str, tuple] = {}
+        self._load_forward(index_dir, opts, hydrate)
+
+    def _load_forward(self, index_dir, opts, hydrate):
+        files = []
+        for f in sorted(glob.glob(os.path.join(index_dir, "forward", "part=*.parquet"))):
+            part = int(re.search(r"part=(\d+)", f).group(1))
+            if part * opts.num_shards // opts.num_parts == self.shard_id:
+                files.append(f)
+        extra = []
+        if hydrate:
+            extra = [c for c in list(opts.meta_cols)] + (
+                [opts.content_col] if opts.store_content else []
+            )
+        if not files:
+            self.fw_doc = np.empty(0, dtype=np.uint64)
+            self.fw_doc_id = np.empty(0, dtype=object)
+            self.hydrate_cols = {c: np.empty(0, dtype=object) for c in extra}
+            return
+        t = pq.read_table(files, columns=["doc", "doc_id"] + extra)
+        doc = t["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(doc)
+        self.fw_doc = doc[order]
+        self.fw_doc_id = np.asarray(t["doc_id"].to_pylist(), dtype=object)[order]
+        self.hydrate_cols = {
+            c: np.asarray(t[c].to_pylist(), dtype=object)[order] for c in extra
+        }
+
+    def set_tombstones(self, docs: np.ndarray):
+        self.tombstones = np.sort(np.asarray(docs, dtype=np.uint64))
+
+    # -- decode ----------------------------------------------------------- #
+    def postings(self, term: str):
+        """(docs u64 asc, tfs f32) for a term, fully decoded (LRU-ish cache)."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        rng = self.term_range.get(term)
+        if rng is None:
+            out = (np.empty(0, np.uint64), np.empty(0, np.float32))
+        else:
+            s, e = rng
+            docs = np.concatenate(
+                [np.cumsum(decode_varbyte(self.docs_vb[i]), dtype=np.uint64) for i in range(s, e)]
+            )
+            tfs = (
+                np.frombuffer(b"".join(self.tfs_bin[s:e]), dtype="<f4")
+                if e > s
+                else np.empty(0, np.float32)
+            )
+            out = (docs, tfs)
+        if len(self._cache) > 4096:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[term] = out
+        return out
+
+    def positions_of(self, term: str, idx: np.ndarray):
+        """Position lists for rows ``idx`` (indices into the term's posting
+        order). Returns list of python lists."""
+        rng = self.term_range.get(term)
+        if rng is None:
+            return [[] for _ in idx]
+        s, e = rng
+        counts = np.frombuffer(b"".join(self.pos_cnt_bin[s:e]), dtype="<i4").astype(np.int64)
+        values = np.frombuffer(b"".join(self.pos_bin[s:e]), dtype="<i4")
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return [values[offs[i]: offs[i + 1]].tolist() for i in idx]
+
+    def doc_lens(self, cand: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(self.dm_doc, cand)
+        return self.dm_len[i]
+
+    def doc_ids_of(self, cand: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(self.fw_doc, cand)
+        return self.fw_doc_id[i]
+
+    def fields_of(self, doc: int) -> dict:
+        if not self.hydrate_cols:
+            return {}
+        i = int(np.searchsorted(self.fw_doc, np.uint64(doc)))
+        return {c: v[i] for c, v in self.hydrate_cols.items()}
+
+    # -- lookup kernels --------------------------------------------------- #
+    def _alive(self, cand: np.ndarray) -> np.ndarray:
+        if self.tombstones.size:
+            dead = np.isin(cand, self.tombstones, assume_unique=True)
+            cand = cand[~dead]
+        return cand
+
+    def and_candidates(self, keywords: list) -> np.ndarray:
+        """Sorted-list AND intersection (semantics of internalLookup,
+        /root/reference/core/indexer.go:417-558), smallest list first."""
+        lists = []
+        for k in keywords:
+            docs, _ = self.postings(k)
+            if docs.size == 0:
+                return np.empty(0, np.uint64)
+            lists.append(docs)
+        lists.sort(key=len)
+        cand = lists[0]
+        for arr in lists[1:]:
+            cand = np.intersect1d(cand, arr, assume_unique=True)
+            if cand.size == 0:
+                return cand
+        return cand
+
+    def search(
+        self,
+        tokens: list,
+        labels: list,
+        idfs: list,
+        avgdl: float,
+        allow_ids,
+        count_only: bool,
+        dtype_name: str = "float32",
+    ):
+        """AND lookup + BM25 (+proximity in locs mode).  Returns
+        (hits: list[dict], num_docs) — hits unranked, driver/actor ranks."""
+        opts = self.opts
+        dtype = np.float32 if dtype_name == "float32" else np.float64
+        keywords = list(tokens) + list(labels)
+        if not keywords:
+            return [], 0
+        cand = self.and_candidates(keywords)
+        cand = self._alive(cand)
+        if allow_ids is not None and cand.size:
+            keep = np.fromiter(
+                (d in allow_ids for d in self.doc_ids_of(cand)), bool, count=cand.size
+            )
+            cand = cand[keep]
+        if cand.size == 0:
+            return [], 0
+        num_docs = int(cand.size)
+        if count_only:
+            return [], num_docs
+
+        n = cand.size
+        bm25 = np.zeros(n, dtype=dtype)
+        token_tfs = []
+        token_pos = []
+        demoted = np.zeros(n, dtype=bool)
+        if opts.index_type != DOCIDS_INDEX:
+            d = self.doc_lens(cand)
+            for t, idf in zip(tokens, idfs):
+                docs, tfs = self.postings(t)
+                rows = np.searchsorted(docs, cand)
+                tf_t = tfs[rows]
+                if opts.index_type == LOCS_INDEX:
+                    plists = self.positions_of(t, rows)
+                    token_pos.append(plists)
+                    freq = np.array([len(p) for p in plists], dtype=np.float32)
+                    demoted |= freq == 0
+                else:
+                    freq = tf_t
+                token_tfs.append(freq)
+            # per-token f32 accumulation in token order (conformance)
+            for idf, freq in zip(idfs, token_tfs):
+                contrib = bm25_term_scores(
+                    idf, freq, d, avgdl, opts.bm25.k1, opts.bm25.b, dtype
+                )
+                # riot skips tf==0 terms (label-injected) — contribution 0
+                contrib = np.where(freq > 0, contrib, dtype(0.0))
+                bm25 = bm25 + contrib
+
+        doc_ids = self.doc_ids_of(cand)
+        hits = []
+        for i in range(n):
+            h = {
+                "doc": int(cand[i]),
+                "doc_id": doc_ids[i],
+                "bm25": float(bm25[i]) if not demoted[i] else 0.0,
+                "proximity": -1,
+                "snippet": (),
+                "token_locs": (),
+            }
+            if opts.index_type == LOCS_INDEX and not demoted[i]:
+                locs = [token_pos[j][i] for j in range(len(tokens))]
+                if tokens:
+                    prox, snippet = token_proximity(locs, list(tokens))
+                    h["proximity"] = prox
+                    h["snippet"] = snippet
+                    h["token_locs"] = tuple(tuple(x) for x in locs)
+            hits.append(h)
+        return hits, num_docs
+
+    def logic_search(self, must, should, not_in, allow_ids, count_only):
+        """LogicLookup semantics (/root/reference/core/indexer.go:560-685):
+        Must: all must-lists contain doc (a must-term missing from the GLOBAL
+        index empties the result — driver enforces); Should: >=1 contains;
+        NotIn: anti; Should-only: union minus NotIn; NotIn-only quirk:
+        returns the concatenation of the NotIn lists themselves."""
+        if must:
+            lists = []
+            for k in must:
+                docs, _ = self.postings(k)
+                lists.append(docs)
+            if any(d.size == 0 for d in lists):
+                return [], 0
+            lists.sort(key=len)
+            cand = lists[0]
+            for arr in lists[1:]:
+                cand = np.intersect1d(cand, arr, assume_unique=True)
+            if should:
+                sh = self._union(should)
+                cand = cand[np.isin(cand, sh, assume_unique=True)]
+            if not_in:
+                ni = self._union(not_in)
+                cand = cand[~np.isin(cand, ni, assume_unique=True)]
+        elif should:
+            cand = self._union(should)
+            if cand.size == 0:
+                return [], 0
+            if not_in:
+                ni = self._union(not_in)
+                cand = cand[~np.isin(cand, ni, assume_unique=True)]
+        elif not_in:
+            # quirk: concatenation (dups preserved) of NotIn lists
+            parts = [self.postings(k)[0] for k in not_in]
+            cand = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        else:
+            return [], 0
+        cand = self._alive(cand)
+        if allow_ids is not None and cand.size:
+            keep = np.fromiter(
+                (d in allow_ids for d in self.doc_ids_of(cand)), bool, count=cand.size
+            )
+            cand = cand[keep]
+        num = int(cand.size)
+        if count_only:
+            return [], num
+        doc_ids = self.doc_ids_of(cand)
+        hits = [
+            {
+                "doc": int(c),
+                "doc_id": doc_ids[i],
+                "bm25": 0.0,
+                "proximity": -1,
+                "snippet": (),
+                "token_locs": (),
+            }
+            for i, c in enumerate(cand)
+        ]
+        return hits, num
+
+    def _union(self, keywords):
+        arrs = [self.postings(k)[0] for k in keywords]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return np.empty(0, np.uint64)
+        return np.unique(np.concatenate(arrs))
+
+
+# --------------------------------------------------------------------------- #
+# ranking (per shard) and merge
+# --------------------------------------------------------------------------- #
+def rank_hits(hits, rank: RankOpts, shard: ShardData | None, tokens, keep: int):
+    """Apply scoring criteria, sort by the documented total order, truncate
+    to ``keep`` (= offset+max per shard — /root/reference/ranker_worker.go:62-66).
+    Returns (list[ScoredHit], num_scored)."""
+    scorer = rank.scoring_criteria or default_scoring
+    out = []
+    for h in hits:
+        sh = ScoredHit(
+            doc_id=h["doc_id"],
+            doc=h["doc"],
+            bm25=h["bm25"],
+            token_proximity=h["proximity"],
+            token_snippet_locs=h["snippet"],
+            token_locs=h["token_locs"],
+        )
+        fields = shard.fields_of(h["doc"]) if shard is not None else None
+        scores = tuple(scorer(sh, fields))
+        if len(scores) == 0:
+            continue  # drop-on-empty (/root/reference/core/ranker.go:132-137)
+        sh.scores = scores
+        out.append(sh)
+    num = len(out)
+    reverse = rank.reverse_order
+    out.sort(key=hit_sort_key(), reverse=reverse)
+    if keep > 0:
+        out = out[:keep]
+    return out, num
+
+
+def merge_ranked(per_shard: list, rank: RankOpts):
+    allhits = [h for hits in per_shard for h in hits]
+    allhits.sort(key=hit_sort_key(), reverse=rank.reverse_order)
+    # global slice — /root/reference/engine.go:527-538
+    start = min(rank.output_offset, len(allhits))
+    end = len(allhits) if rank.max_outputs == 0 else min(start + rank.max_outputs, len(allhits))
+    return allhits[start:end]

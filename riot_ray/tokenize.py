@@ -1,0 +1,298 @@
+"""Tokenizers.
+
+Four modes (EngineOpts.mode):
+
+* ``simple`` — lowercase, split on ``[^a-z0-9]+``, drop empties, stop-filter.
+  Deliberately equal to DuckDB's
+  ``unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))`` so every
+  downstream aggregate is SQL-oracle checkable.
+* ``code`` — identifier-aware mode for source code (flagship): extract
+  ``[A-Za-z0-9_]+`` runs from the *original* text, emit the lowercased whole
+  identifier plus its snake_case / camelCase sub-tokens.  Sub-token expansion
+  is memoized per actor (source vocab repeats heavily).
+* ``space`` — reference conformance mode replicating riot Using=4/NotUseGse:
+  ``strings.Split(ToLower(content), " ")`` then the ForSplitData
+  cumulative-prefix quirk (/root/reference/segment.go:40-77,192-208):
+  positions are a running 1-based token counter, NOT byte offsets, and every
+  prefix-concatenation of the split elements is also emitted as a term.
+* ``pretokenized`` — tokens column passthrough
+  (/root/reference/segment.go:117-125): external tokens REPLACE content
+  tokens of the same text, numTokens counts token ENTRIES (not occurrences,
+  /root/reference/segment.go:123 quirk).
+
+Labels (/root/reference/segment.go:264-279): emitted as tf=0, position-less
+postings only when the term is not already present; they participate in AND
+lookup but contribute 0 to BM25.
+
+The freq-mode simple/code batch path is fully vectorized (pyarrow.compute
+split + numpy unique over packed (doc,term-code) keys); positions (locs
+mode) and the space conformance mode run per-doc Python, used only for
+conformance fixtures and proximity features.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import LOCS_INDEX, EngineOpts
+
+_SIMPLE_RE = re.compile(r"[^a-z0-9]+")
+_IDENT_RE = re.compile(r"[A-Za-z0-9_]+")
+# camelCase boundaries: lower->Upper, acronym->TitleCase, letter<->digit
+_CAMEL_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"
+)
+
+
+def split_identifier(ident: str) -> list[str]:
+    """Expansion list for one identifier in ``code`` mode: lowercased whole
+    identifier first, then distinct lowercased sub-tokens when splitting on
+    '_' and camel boundaries yields more than one part."""
+    whole = ident.lower()
+    out = [whole]
+    parts = []
+    for chunk in ident.split("_"):
+        if chunk:
+            parts.extend(_CAMEL_RE.split(chunk))
+    if len(parts) > 1:
+        for p in parts:
+            lp = p.lower()
+            if lp != whole:
+                out.append(lp)
+    return out
+
+
+class Tokenizer:
+    """Stateful tokenizer: compiled patterns + stop set + expansion cache.
+
+    Used directly (driver/query side) and as the state of the actor-pool
+    tokenize stage (state loaded once per actor — SURVEY.md §2.3 T1).
+    """
+
+    def __init__(self, opts: EngineOpts):
+        self.opts = opts
+        self.stop = frozenset(opts.stop_tokens)
+        self._exp_cache: dict[str, list[str]] = {}
+
+    # ------------------------------------------------------------------ #
+    # query side
+    # ------------------------------------------------------------------ #
+    def query_tokens(self, text: str) -> list[str]:
+        """Tokenize query text with semantics matching the index side.
+
+        space mode replicates /root/reference/engine.go:500-510 exactly:
+        lowercase + split on single space, empties KEPT, no stop filter
+        (an empty or stopped token then misses the index and empties the
+        AND result — riot behaves the same way)."""
+        if text == "":
+            return []
+        mode = self.opts.mode
+        if mode == "space":
+            return text.lower().split(" ")
+        if mode == "simple":
+            return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in self.stop]
+        if mode == "code":
+            out = []
+            for ident in _IDENT_RE.findall(text):
+                for t in self._expand(ident):
+                    if t not in self.stop:
+                        out.append(t)
+            return out
+        # pretokenized: query text splits like simple
+        return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in self.stop]
+
+    def _expand(self, ident: str) -> list[str]:
+        e = self._exp_cache.get(ident)
+        if e is None:
+            e = split_identifier(ident)
+            if len(self._exp_cache) < 2_000_000:
+                self._exp_cache[ident] = e
+        return e
+
+    # ------------------------------------------------------------------ #
+    # index side, per-doc (conformance / locs paths)
+    # ------------------------------------------------------------------ #
+    def doc_tokens_map(self, content: str, ext_tokens=None, labels=None):
+        """One document -> (tokens_map {term: [positions]}, num_tokens).
+
+        Mirrors makeTokensMap behaviour (/root/reference/segment.go:210-246)
+        for the supported modes."""
+        mode = self.opts.mode
+        tokens_map: dict[str, list[int]] = {}
+        num_tokens = 0
+
+        if mode == "space":
+            if content:
+                tokens_map, num_tokens = self._for_split_data(content.lower().split(" "))
+        elif mode in ("simple", "code"):
+            if content:
+                tokens_map, num_tokens = self._regex_tokens(content)
+        # pretokenized: content ignored unless mode says otherwise
+
+        if ext_tokens is not None:
+            # replacement, not append: /root/reference/segment.go:117-121
+            for t in ext_tokens:
+                text = t["text"]
+                if text not in self.stop:
+                    tokens_map[text] = list(t.get("locations") or [])
+            # numTokens counts entries: /root/reference/segment.go:123
+            num_tokens += len(ext_tokens)
+
+        if labels:
+            # /root/reference/segment.go:264-279: only when absent
+            for label in labels:
+                if label not in self.stop and label not in tokens_map:
+                    tokens_map[label] = None  # tf=0, no positions
+        return tokens_map, num_tokens
+
+    def _for_split_data(self, elems: list[str]):
+        """riot ForSplitData quirk (/root/reference/segment.go:40-77):
+        emits each non-empty element AND the cumulative concatenation of all
+        elements so far; positions are the running (1-based) emission counter;
+        stop filter applies to each emission independently."""
+        tokens_map: dict[str, list[int]] = {}
+        num = 0
+        prefix = ""
+        for el in elems:
+            if el == "":
+                continue
+            if el not in self.stop:
+                num += 1
+                tokens_map.setdefault(el, []).append(num)
+            prefix += el
+            if prefix not in self.stop:
+                num += 1
+                tokens_map.setdefault(prefix, []).append(num)
+        return tokens_map, num
+
+    def _regex_tokens(self, content: str):
+        """simple/code per-doc path with byte positions (locs mode)."""
+        tokens_map: dict[str, list[int]] = {}
+        num = 0
+        if self.opts.mode == "simple":
+            lowered = content.lower()
+            # finditer over the complement pattern: scan tokens directly
+            for m in re.finditer(r"[a-z0-9]+", lowered):
+                t = m.group()
+                if t in self.stop:
+                    continue
+                num += 1
+                tokens_map.setdefault(t, []).append(m.start())
+        else:  # code
+            for m in _IDENT_RE.finditer(content):
+                for t in self._expand(m.group()):
+                    if t in self.stop:
+                        continue
+                    num += 1
+                    tokens_map.setdefault(t, []).append(m.start())
+        return tokens_map, num
+
+    # ------------------------------------------------------------------ #
+    # index side, vectorized batch (freq mode hot path)
+    # ------------------------------------------------------------------ #
+    def batch_term_counts(self, contents: pa.Array):
+        """Vectorized (doc_idx, term, tf) + token_len for a batch of contents.
+
+        Returns (parent_idx:int64[], terms:pa.StringArray, tf:int64[],
+        token_len:int64[ndocs]).  No Python loop over rows; the only Python
+        loop in code mode is over *unique* identifiers (memoized)."""
+        n_docs = len(contents)
+        if self.opts.mode == "code":
+            flat, parents = self._flatten(contents, r"[^A-Za-z0-9_]+", lower=False)
+            flat, parents = self._expand_flat(flat, parents)
+        else:  # simple
+            flat, parents = self._flatten(contents, r"[^a-z0-9]+", lower=True)
+
+        if self.stop:
+            keep = np.invert(
+                pc.is_in(flat, value_set=pa.array(sorted(self.stop))).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            flat = flat.filter(pa.array(keep))
+            parents = parents[keep]
+
+        token_len = np.bincount(parents, minlength=n_docs).astype(np.int64)
+
+        # (doc, term-code) -> counts via one sort-based unique
+        dict_arr = pc.dictionary_encode(flat)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        vocab = dict_arr.dictionary
+        keys = (parents.astype(np.uint64) << np.uint64(32)) | codes
+        uniq, counts = np.unique(keys, return_counts=True)
+        out_parent = (uniq >> np.uint64(32)).astype(np.int64)
+        out_code = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        out_terms = vocab.take(pa.array(out_code))
+        return out_parent, out_terms, counts.astype(np.int64), token_len
+
+    def _flatten(self, contents: pa.Array, split_pattern: str, lower: bool):
+        arr = contents
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if lower:
+            arr = pc.utf8_lower(arr)
+        lists = pc.split_pattern_regex(arr, split_pattern)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # nulls in content -> no tokens
+        keep = np.asarray(keep, dtype=bool)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        return flat, parents
+
+    def _expand_flat(self, flat: pa.Array, parents: np.ndarray):
+        """code mode: replace each identifier occurrence with its expansion
+        (whole + sub-tokens), vectorized over unique identifiers."""
+        dict_arr = pc.dictionary_encode(flat)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = dict_arr.dictionary.to_pylist()
+        exp_terms: list[str] = []
+        exp_len = np.empty(len(uniques), dtype=np.int64)
+        exp_start = np.empty(len(uniques), dtype=np.int64)
+        for i, u in enumerate(uniques):
+            e = self._expand(u)
+            exp_start[i] = len(exp_terms)
+            exp_len[i] = len(e)
+            exp_terms.extend(e)
+        lens = exp_len[codes]
+        total = int(lens.sum())
+        out_parents = np.repeat(parents, lens)
+        starts = np.repeat(exp_start[codes], lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        idx = starts + within
+        exp_arr = pa.array(exp_terms, type=pa.string())
+        out_flat = exp_arr.take(pa.array(idx))
+        return out_flat, out_parents
+
+
+def tokens_map_to_rows(tokens_map: dict, with_positions: bool):
+    """Materialize one doc's tokens_map into parallel lists
+    (terms, tfs, positions) — tf = len(positions), labels tf=0
+    (/root/reference/segment.go:281-297)."""
+    terms, tfs, poss = [], [], []
+    for term, locs in tokens_map.items():
+        terms.append(term)
+        if locs is None:
+            tfs.append(0.0)
+            poss.append([])
+        else:
+            tfs.append(float(len(locs)))
+            poss.append(list(locs) if with_positions else [])
+    return terms, tfs, poss
+
+
+def needs_positions(opts: EngineOpts) -> bool:
+    return opts.index_type == LOCS_INDEX

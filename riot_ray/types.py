@@ -1,0 +1,113 @@
+"""Public request/response types.
+
+Semantics mirror /root/reference/types/search_request.go:19-99 and
+search_response.go:23-161 (struct shapes only — the implementation is new).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+
+@dataclass
+class Expr:
+    """Per-clause keyword arrays (/root/reference/types/search_request.go:86-99)."""
+
+    must: tuple = ()
+    should: tuple = ()
+    not_in: tuple = ()
+
+
+@dataclass
+class Logic:
+    """AND/OR/NOT flags over SearchReq.tokens, or explicit Expr clauses
+    (/root/reference/types/search_request.go:72-99)."""
+
+    must: bool = False
+    should: bool = False
+    not_in: bool = False
+    expr: Expr = field(default_factory=Expr)
+
+    def active(self, n_keywords: int) -> bool:
+        # /root/reference/core/indexer.go:386-411: flag-logic requires keywords;
+        # expr-logic requires a must/should clause (NotIn len>=0 is always true).
+        if (self.must or self.should or self.not_in) and n_keywords > 0:
+            return True
+        return bool(self.expr.must or self.expr.should)
+
+
+@dataclass
+class RankOpts:
+    """/root/reference/types/search_request.go:57-69."""
+
+    scoring_criteria: Callable[["ScoredHit", Any], Sequence[float]] | None = None
+    reverse_order: bool = False
+    output_offset: int = 0
+    max_outputs: int = 0  # 0 = unlimited
+
+
+@dataclass
+class SearchReq:
+    """/root/reference/types/search_request.go:19-54."""
+
+    text: str = ""
+    tokens: tuple = ()          # appended after tokenized text
+    labels: tuple = ()          # AND-participating, tf=0 terms
+    doc_ids: frozenset | None = None  # allowlist of doc_id strings
+    logic: Logic | None = None
+    rank_opts: RankOpts | None = None
+    timeout_ms: int = 0
+    count_docs_only: bool = False
+    orderless: bool = False
+
+
+@dataclass
+class ScoredHit:
+    """Union of riot's IndexedDoc + ScoredID
+    (/root/reference/types/index.go:47-67, search_response.go:121-137)."""
+
+    doc_id: str
+    doc: int = 0                      # internal u64
+    scores: tuple = ()
+    bm25: float = 0.0
+    token_proximity: int = -1
+    token_snippet_locs: tuple = ()
+    token_locs: tuple = ()            # tuple of tuples, per query token
+    fields: dict | None = None        # hydrated meta columns (SearchDoc variant)
+    content: str | None = None
+
+
+@dataclass
+class SearchResp:
+    """/root/reference/types/search_response.go:23-60."""
+
+    tokens: tuple = ()
+    docs: list = field(default_factory=list)   # list[ScoredHit]
+    num_docs: int = 0
+    timeout: bool = False
+
+
+def _cmp_hits(a: ScoredHit, b: ScoredHit) -> int:
+    """Deterministic total order replacing riot's unstable sort.Sort
+    (/root/reference/engine.go:658, core/ranker.go:163-168): descending
+    lexicographic over the score vector; when one vector is a prefix of the
+    other, the LONGER vector ranks higher (search_response.go:97-108); then
+    doc_id ascending as OUR documented tiebreak (SURVEY.md §2.9.2)."""
+    n = min(len(a.scores), len(b.scores))
+    for i in range(n):
+        if a.scores[i] > b.scores[i]:
+            return -1
+        if a.scores[i] < b.scores[i]:
+            return 1
+    if len(a.scores) != len(b.scores):
+        return -1 if len(a.scores) > len(b.scores) else 1
+    if a.doc_id != b.doc_id:
+        return -1 if a.doc_id < b.doc_id else 1
+    return 0
+
+
+def hit_sort_key():
+    import functools
+
+    return functools.cmp_to_key(_cmp_hits)

@@ -1,0 +1,130 @@
+"""Updates: tombstone remove, compaction, incremental add (D4/D5).
+
+Contract: after remove+compact or add_docs, search results (doc_id sets and
+BM25 scores under global stats) must equal a fresh build over the equivalent
+final corpus — the batch analog of riot's docsState remove/re-add machine
+(/root/reference/core/indexer.go:135-366)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from riot_ray.build import IndexWriter, load_stats
+from riot_ray.config import EngineOpts
+from riot_ray.corpus import make_corpus
+from riot_ray.engine import LocalSearcher
+from riot_ray.types import SearchReq
+from riot_ray.updates import add_docs, compact, load_tombstones, remove_docs
+
+
+def _build(tmp, name, table, **opts_kw):
+    src = os.path.join(tmp, f"{name}.parquet")
+    pq.write_table(table, src)
+    opts = EngineOpts(mode="code", num_parts=4, num_shards=2, block_size=64, **opts_kw)
+    idx = os.path.join(tmp, f"{name}_index")
+    IndexWriter(idx, opts).build(src)
+    return idx
+
+
+def _results(index_dir, text="parse batch"):
+    s = LocalSearcher(index_dir)
+    resp = s.search(SearchReq(text=text))
+    return [(h.doc_id, round(h.bm25, 4)) for h in resp.docs]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(120, seed=7)
+
+
+def test_remove_then_search_matches_fresh_build(ray_session, tmp_path, corpus):
+    full = _build(str(tmp_path), "full", corpus)
+    s = LocalSearcher(full)
+    resp = s.search(SearchReq(text="parse"))
+    assert resp.docs, "need hits to remove"
+    victims = [h.doc_id for h in resp.docs[:3]]
+
+    out = remove_docs(full, victims)
+    assert out["n_removed"] == 3
+    assert load_tombstones(full).size == 3
+
+    # fresh build over corpus minus victims
+    s2 = LocalSearcher(full)
+    got = s2.search(SearchReq(text="parse"))
+    assert not set(victims) & {h.doc_id for h in got.docs}
+
+    keep_rows = [
+        i
+        for i in range(corpus.num_rows)
+        if f"{corpus['repo'][i].as_py()}/{corpus['path'][i].as_py()}@{corpus['commit'][i].as_py()}"
+        not in set(victims)
+    ]
+    fresh = _build(str(tmp_path), "fresh", corpus.take(keep_rows))
+    # before compaction: same doc sets; df is stale (tombstoned docs still
+    # count toward df, Lucene-style) so scores may differ slightly
+    fresh_s = LocalSearcher(fresh)
+    assert {h.doc_id for h in got.docs} == {
+        h.doc_id for h in fresh_s.search(SearchReq(text="parse")).docs
+    }
+    # global stats adjusted for tombstones
+    n, total = s2._global()
+    assert n == load_stats(fresh)["n_docs"]
+    assert abs(total - load_stats(fresh)["total_token_len"]) < 1e-3
+    # after compaction: exact score equality with the fresh build
+    compact(full)
+    assert _got_equal(LocalSearcher(full), fresh, "parse")
+
+
+def _got_equal(searcher, fresh_dir, text):
+    fresh = LocalSearcher(fresh_dir)
+    a = [(h.doc_id, round(h.bm25, 4)) for h in searcher.search(SearchReq(text=text)).docs]
+    b = [(h.doc_id, round(h.bm25, 4)) for h in fresh.search(SearchReq(text=text)).docs]
+    return a == b
+
+
+def test_compact_clears_tombstones_preserves_results(ray_session, tmp_path, corpus):
+    idx = _build(str(tmp_path), "c", corpus)
+    s = LocalSearcher(idx)
+    victims = [h.doc_id for h in s.search(SearchReq(text="batch")).docs[:2]]
+    remove_docs(idx, victims)
+    before_ids = [d for d, _ in _results(idx, "batch")]
+    st = compact(idx)
+    assert st["n_removed"] == 2 and st["shards_rebuilt"] >= 1
+    assert load_tombstones(idx).size == 0
+    # same matching docs; scores shift because compaction refreshes df
+    # (tombstoned docs count toward df until compaction, Lucene-style)
+    assert {d for d, _ in _results(idx, "batch")} == set(before_ids)
+    # stats refreshed: n_docs shrank physically
+    assert load_stats(idx)["n_docs"] == corpus.num_rows - 2
+
+
+def test_add_docs_new_and_replace(ray_session, tmp_path):
+    full = make_corpus(120, seed=3)
+    base = full.slice(0, 80)  # pre-mutation originals
+    extra = full  # rows 0-79 identical to base, 80-119 new
+    # mutate rows 10..19 content -> replacement case
+    texts = extra["content"].to_pylist()
+    for i in range(10, 20):
+        texts[i] = texts[i] + "\nzebra_token quokka"
+    extra = extra.set_column(
+        extra.column_names.index("content"), "content", pa.array(texts, pa.string())
+    )
+
+    idx = _build(str(tmp_path), "base", base)
+    delta = extra.slice(10, 110)  # replacements (10..19) + unchanged (20..79) + new
+    out = add_docs(idx, __table_to_ds(delta))
+    assert out["n_added"] == 110
+
+    fresh = _build(str(tmp_path), "freshadd", extra)
+    s = LocalSearcher(idx)
+    for q in ("parse batch", "zebra_token", "quokka", "merge"):
+        assert _got_equal(s, fresh, q), q
+    assert load_stats(idx)["n_docs"] == 120
+
+
+def __table_to_ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)

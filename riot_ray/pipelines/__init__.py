@@ -1,0 +1,33 @@
+"""Training-data pipeline extensions beyond riot's own operator set:
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+similarity search (brute-force + LSH), text analysis (lang-id, quality,
+token stats, winnowing fingerprints), and multimodal binary-column stages.
+"""
+
+from .analysis import fingerprint, lang_id, quality_score, token_stats
+from .dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .multimodal import decode_media, make_fake_media, resize_media
+from .simsearch import knn_brute, knn_lsh
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "knn_brute",
+    "knn_lsh",
+    "decode_media",
+    "resize_media",
+    "make_fake_media",
+]

@@ -1,0 +1,269 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All operators are ``map_batches`` transforms over zero-copy Arrow batches —
+no shuffle, no driver-side loops; they stream at any scale.  The simple
+token model (lowercase, split on non-[a-z0-9]) is deliberately identical to
+DuckDB's ``regexp_split_to_array(lower(x),'[^a-z0-9]+')`` so token/quality
+outputs are SQL-oracle-checkable (same contract as riot_ray.tokenize
+"simple" mode).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Small built-in stopword lists double as language markers for the n-gram /
+# marker-word language heuristic.  Public knowledge (common function words).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+           "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "den", "mit", "von", "auf", "im", "des"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est", "dans", "pour",
+           "que", "des", "du", "au", "avec", "sur"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "en", "que",
+           "de", "por", "con", "para", "del"),
+}
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _flatten_tokens(texts: pa.Array):
+    """(flat tokens, parent row indices) — vectorized, empties dropped."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(texts), _TOKEN_SPLIT)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool)
+    return flat.filter(pa.array(keep)), parents[keep]
+
+
+# --------------------------------------------------------------------------- #
+# token counting
+# --------------------------------------------------------------------------- #
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc token counts: whitespace tokens, word tokens (the SQL-checkable
+    model), and a BPE-ish subword estimate (word-piece runs + punctuation),
+    all via vectorized regex counting."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_ws = pc.count_substring_regex(texts, r"\S+")
+    n_words = pc.count_substring_regex(pc.utf8_lower(texts), "[a-z0-9]+")
+    # BPE-ish: alnum runs of <=4 chars count 1, longer runs ~ceil(len/4),
+    # plus punctuation marks — a cheap, deterministic subword estimate
+    n_pieces = pc.count_substring_regex(texts, r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]")
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column("n_tokens_ws", n_ws.cast(pa.int64()))
+    out = out.append_column("n_tokens", n_words.cast(pa.int64()))
+    out = out.append_column("n_tokens_bpe", n_pieces.cast(pa.int64()))
+    return out
+
+
+def token_stats(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: token_stats_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# quality scoring
+# --------------------------------------------------------------------------- #
+def quality_batch(batch: pa.Table, text_col: str = "text", lang: str = "en") -> pa.Table:
+    """Length / punctuation / stopword-ratio heuristics (the standard
+    C4/Gopher-style cheap filters).  All ratios rounded to 6dp for oracle
+    comparison."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    n_chars = pc.utf8_length(texts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_alnum = pc.count_substring_regex(texts, "[a-zA-Z0-9]").to_numpy(zero_copy_only=False)
+    n_punct = pc.count_substring_regex(texts, r"[^\w\s]").to_numpy(zero_copy_only=False)
+
+    flat, parents = _flatten_tokens(texts)
+    n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    stop = pa.array(sorted(STOPWORDS[lang]))
+    is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parents[is_stop], minlength=n_rows).astype(np.int64)
+    tok_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_tok_chars = np.bincount(parents, weights=tok_chars, minlength=n_rows)
+
+    safe_tok = np.maximum(n_tok, 1)
+    safe_chars = np.maximum(n_chars, 1)
+    stop_ratio = np.round(n_stop / safe_tok, 6)
+    punct_ratio = np.round(n_punct / safe_chars, 6)
+    alnum_ratio = np.round(n_alnum / safe_chars, 6)
+    mean_word_len = np.round(sum_tok_chars / safe_tok, 6)
+    # composite in [0,1]: reward stopword presence + sane word length,
+    # penalize punctuation soup and tiny docs
+    score = (
+        0.4 * np.clip(stop_ratio / 0.4, 0, 1)
+        + 0.3 * np.clip(1.0 - np.abs(mean_word_len - 4.5) / 4.5, 0, 1)
+        + 0.2 * (1.0 - np.clip(punct_ratio / 0.2, 0, 1))
+        + 0.1 * np.clip(n_tok / 50.0, 0, 1)
+    )
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    for name, arr, typ in (
+        ("n_chars_q", n_chars, pa.int64()),
+        ("n_tokens", n_tok, pa.int64()),
+        ("stop_ratio", stop_ratio, pa.float64()),
+        ("punct_ratio", punct_ratio, pa.float64()),
+        ("alnum_ratio", alnum_ratio, pa.float64()),
+        ("mean_word_len", mean_word_len, pa.float64()),
+        ("quality", np.round(score, 6), pa.float64()),
+    ):
+        out = out.append_column(name, pa.array(arr, typ))
+    return out
+
+
+def quality_score(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: quality_batch(b, text_col), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# language identification (marker-word heuristic)
+# --------------------------------------------------------------------------- #
+class LangId:
+    """Callable-class stage (actor pool): marker tables built once per actor.
+
+    Scores each language by the fraction of tokens hitting its marker set;
+    ties broken by language code order.  A real model would slot in behind
+    the same __call__ signature."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.value_sets = {
+            lang: pa.array(sorted(words)) for lang, words in STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        flat, parents = _flatten_tokens(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        )
+        n_rows = batch.num_rows
+        langs = sorted(self.value_sets)
+        scores = np.zeros((len(langs), n_rows), dtype=np.float64)
+        n_tok = np.maximum(np.bincount(parents, minlength=n_rows), 1)
+        for i, lang in enumerate(langs):
+            hit = pc.is_in(flat, value_set=self.value_sets[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[i] = np.bincount(parents[hit], minlength=n_rows) / n_tok
+        best = np.argmax(scores, axis=0)  # first max wins -> code-order ties
+        conf = scores[best, np.arange(n_rows)]
+        pred = np.asarray(langs, dtype=object)[best]
+        pred = np.where(conf > 0.0, pred, "und")
+        out = batch
+        out = out.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+        out = out.append_column("lang_conf", pa.array(np.round(conf, 6), pa.float64()))
+        return out
+
+
+def lang_id(ds, text_col: str = "text", concurrency: int | None = None):
+    kwargs: dict = {"batch_format": "pyarrow"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(LangId(text_col), **kwargs)
+
+
+# --------------------------------------------------------------------------- #
+# document fingerprinting (rolling hash / winnowing)
+# --------------------------------------------------------------------------- #
+def _token_hashes(flat: pa.Array) -> np.ndarray:
+    """u64 hash per token — hashes computed once per UNIQUE token (blake2b,
+    stable across runs/processes), then gathered."""
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    table = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "little")
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return table[codes]
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 8
+) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-token rolling
+    hashes, then the min hash of every `window` consecutive k-grams; emits
+    the per-doc fingerprint SET (sorted list<uint64>) + a whole-doc digest.
+    Vectorized: one sliding-window min over the entire batch with doc-
+    boundary masking, no per-doc Python loop."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents = _flatten_tokens(texts)
+    h = _token_hashes(flat)
+    n_rows = batch.num_rows
+
+    # k-gram rolling hash over the flat token-hash stream
+    n = len(h)
+    if n >= k:
+        kg = np.zeros(n - k + 1, dtype=np.uint64)
+        for i in range(k):  # k is tiny (5): k vectorized adds
+            kg = (kg * np.uint64(1099511628211)) ^ h[i : n - k + 1 + i]
+        kg_parent = parents[: n - k + 1]
+        valid = parents[k - 1 :] == kg_parent  # k-gram fully inside one doc
+    else:
+        kg = np.empty(0, np.uint64)
+        kg_parent = np.empty(0, np.int64)
+        valid = np.empty(0, bool)
+
+    kg, kg_parent = kg[valid], kg_parent[valid]
+    fps: list[list[int]] = [[] for _ in range(n_rows)]
+    if kg.size:
+        m = len(kg)
+        w = min(window, m)
+        # sliding-window minimum via stride tricks; mask windows crossing docs
+        if m >= w:
+            win = np.lib.stride_tricks.sliding_window_view(kg, w)
+            wmin = win.min(axis=1)
+            same_doc = kg_parent[w - 1 :] == kg_parent[: m - w + 1]
+            sel_parent = kg_parent[: m - w + 1][same_doc]
+            sel_min = wmin[same_doc]
+            # short docs (fewer than w k-grams) fall back to their global min
+            has_win = np.zeros(n_rows, dtype=bool)
+            has_win[sel_parent] = True
+            order = np.lexsort((sel_min, sel_parent))
+            sp, sm = sel_parent[order], sel_min[order]
+            newdoc = np.r_[True, sp[1:] != sp[:-1]]
+            dedup_mask = np.r_[True, (sp[1:] != sp[:-1]) | (sm[1:] != sm[:-1])]
+            for p, v in zip(sp[dedup_mask], sm[dedup_mask]):
+                fps[p].append(int(v))
+            # fallback mins for docs with k-grams but no full window
+            for p in np.unique(kg_parent):
+                if not has_win[p]:
+                    fps[p].append(int(kg[kg_parent == p].min()))
+    digest = [
+        hashlib.blake2b(
+            (texts[i].as_py() or "").encode("utf-8"), digest_size=16
+        ).hexdigest()
+        for i in range(n_rows)
+    ]
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column("fingerprints", pa.array(fps, pa.list_(pa.uint64())))
+    out = out.append_column("n_fingerprints", pa.array([len(f) for f in fps], pa.int64()))
+    out = out.append_column("digest", pa.array(digest, pa.string()))
+    return out
+
+
+def fingerprint(ds, text_col: str = "text", k: int = 5, window: int = 8):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col, k, window), batch_format="pyarrow"
+    )

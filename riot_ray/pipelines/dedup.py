@@ -1,0 +1,447 @@
+"""Deduplication operators for training-data pipelines.
+
+Five family members, each expressed Ray-Data-first:
+
+* exact        — hash-partition on a content digest, keep min-id per group
+                 (one groupby shuffle; the digest is computed in a
+                 map_batches so only (digest, id) moves through the shuffle)
+* ngram-jaccard— exact word-n-gram Jaccard pairs via the inverted
+                 shingle->doc index: explode shingles, groupby(shingle) to
+                 emit co-occurring pairs, count pair intersections, verify
+                 |A∩B| / (|A|+|B|-|A∩B|) >= tau.  SQL-oracle-checkable.
+* minhash-LSH  — shingle minhash signatures (vectorized affine permutations)
+                 banded into buckets; candidate pairs from bucket groupby,
+                 verified by exact jaccard of signatures.  Approximate, so
+                 no SQL oracle — tests pin recall vs the exact operator.
+* simhash      — 64-bit tf-weighted simhash; Hamming-<=d pairs found by the
+                 4x16-bit block trick (a pair within distance 3 must agree
+                 on >=1 of 4 blocks -> groupby each block).
+* embedding    — cosine near-dup pairs over list<float> embeddings:
+                 normalized matrix broadcast via ray.put, per-batch matmul.
+
+All pair outputs use (id_a < id_b) canonical order.  Hot-key safety: shingle
+groups are capped (a shingle shared by >max_group docs is dropped from
+candidate generation — standard LSH practice; a shingle that common carries
+no signal) so no group is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analysis import _flatten_tokens, _token_hashes
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# --------------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------------- #
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Survivor ids after exact-content dedup: min(id) per content digest.
+    Returns a Dataset with columns (id_col, n_copies)."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        d = [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+        return pa.table({id_col: batch[id_col], "digest": pa.array(d, pa.string())})
+
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+    )
+    return agg.select_columns([id_col, "n_copies"])
+
+
+# --------------------------------------------------------------------------- #
+# shingles
+# --------------------------------------------------------------------------- #
+def shingle_batch(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
+    """Distinct word-n-gram shingle hashes per doc: (id, shingle:u64)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents = _flatten_tokens(texts)
+    h = _token_hashes(flat)
+    tot = len(h)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if tot >= n:
+        kg = np.zeros(tot - n + 1, dtype=np.uint64)
+        for i in range(n):
+            kg = (kg * np.uint64(1099511628211)) ^ h[i : tot - n + 1 + i]
+        kp = parents[: tot - n + 1]
+        valid = parents[n - 1 :] == kp
+        kg, kp = kg[valid], kp[valid]
+        # distinct (doc, shingle)
+        order = np.lexsort((kg, kp))
+        kg, kp = kg[order], kp[order]
+        keep = np.r_[True, (kp[1:] != kp[:-1]) | (kg[1:] != kg[:-1])]
+        kg, kp = kg[keep], kp[keep]
+    else:
+        kg = np.empty(0, np.uint64)
+        kp = np.empty(0, np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[kp], pa.int64()),
+            "shingle": pa.array(kg, pa.uint64()),
+        }
+    )
+
+
+class _PairEmit:
+    """groupby(shingle) -> co-occurring doc pairs (a<b). Groups larger than
+    max_group are dropped (ubiquitous shingle = no signal, avoids O(g^2))."""
+
+    def __init__(self, id_col: str, max_group: int):
+        self.id_col = id_col
+        self.max_group = max_group
+        self.__name__ = "PairEmit"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = np.unique(group[self.id_col].to_numpy(zero_copy_only=False))
+        g = len(ids)
+        if g < 2 or g > self.max_group:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(g, k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
+        )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_group: int = 512,
+):
+    """Exact n-gram Jaccard duplicate pairs: columns
+    (id_a, id_b, jaccard) with jaccard rounded to 6dp, id_a < id_b."""
+    import ray
+    from ray.data.aggregate import Count
+
+    shingles = ds.map_batches(
+        lambda b: shingle_batch(b, text_col, id_col, n), batch_format="pyarrow"
+    ).materialize()  # reused twice (sizes + pairs): materialize once
+
+    sizes = shingles.groupby(id_col).aggregate(Count(alias_name="n_shingles"))
+    size_tbl = sizes.to_pandas()
+    size_map = dict(zip(size_tbl[id_col], size_tbl["n_shingles"]))
+    size_ref = ray.put(size_map)
+
+    inter = (
+        shingles.groupby("shingle")
+        .map_groups(_PairEmit(id_col, max_group), batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        sm = ray.get(size_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.fromiter((sm[x] for x in a), np.float64, count=len(a))
+        nb = np.fromiter((sm[x] for x in b), np.float64, count=len(b))
+        j = np.round(it / (na + nb - it), 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# minhash + LSH
+# --------------------------------------------------------------------------- #
+def _perm_params(num_perm: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """Per-doc minhash signature (num_perm x u64->u32) — permutation params
+    built once per actor; the per-batch work is one (shingles x perms)
+    broadcast min-reduce via np.minimum.reduceat."""
+
+    def __init__(self, text_col: str, id_col: str, n: int, num_perm: int, seed: int):
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = shingle_batch(batch, self.text_col, self.id_col, self.n)
+        ids_all = batch[self.id_col].to_numpy(zero_copy_only=False)
+        kp = sh[self.id_col].to_numpy(zero_copy_only=False)
+        kg = sh["shingle"].to_numpy(zero_copy_only=False)
+        # group boundaries (kp sorted by construction)
+        starts = np.r_[0, 1 + np.flatnonzero(kp[1:] != kp[:-1])] if len(kp) else np.empty(0, np.int64)
+        sigs = np.full((len(ids_all), self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        if len(kp):
+            # (n_shingles, num_perm) affine hash mod 2^61-1 — size batches so
+            # n_shingles * num_perm * 8B fits the worker heap
+            hv = (kg[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            mins = np.minimum.reduceat(hv, starts, axis=0)
+            present_ids = kp[starts.astype(np.int64)]
+            id_to_row = {v: i for i, v in enumerate(ids_all)}
+            rows = np.fromiter((id_to_row[v] for v in present_ids), np.int64, count=len(present_ids))
+            sigs[rows] = mins
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_all, pa.int64()),
+                "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_group: int = 512,
+    concurrency: int | None = None,
+):
+    """Near-dup pairs via MinHash+LSH: (id_a, id_b, est_jaccard).  Candidate
+    generation = band-bucket groupby; verification = signature agreement
+    fraction (unbiased jaccard estimator) >= threshold."""
+    import ray
+    from ray.data.aggregate import Count
+
+    rows_per_band = num_perm // bands
+    kwargs: dict = {"batch_format": "pyarrow"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    sigs = ds.map_batches(
+        MinHashStage(text_col, id_col, n, num_perm, seed), **kwargs
+    ).materialize()
+
+    def band_keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+        outs_id, outs_key = [], []
+        for bi in range(bands):
+            chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            # stable 64-bit digest of the band content + band index
+            key = np.zeros(len(ids), np.uint64)
+            for c in range(rows_per_band):
+                key = (key * np.uint64(1099511628211)) ^ chunk[:, c]
+            key = (key << np.uint64(6)) | np.uint64(bi)
+            outs_id.append(ids)
+            outs_key.append(key)
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(outs_id), pa.int64()),
+                "bucket": pa.array(np.concatenate(outs_key), pa.uint64()),
+            }
+        )
+
+    class BandPairs(_PairEmit):
+        def __init__(self):
+            super().__init__("id_a", max_group)
+            self.__name__ = "BandPairs"
+
+    cands = (
+        sigs.map_batches(band_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(BandPairs(), batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+    )
+
+    sig_tbl = sigs.to_pandas()
+    sig_map = {i: np.asarray(s, dtype=np.uint64) for i, s in zip(sig_tbl[id_col], sig_tbl["sig"])}
+    sig_ref = ray.put(sig_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sig_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "est_jaccard": pa.array([], pa.float64())})
+        sa = np.stack([sm[x] for x in a])
+        sb = np.stack([sm[x] for x in b])
+        est = np.round((sa == sb).mean(axis=1), 6)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# simhash
+# --------------------------------------------------------------------------- #
+def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """64-bit tf-weighted simhash per doc, fully vectorized via bincount
+    over (doc, bit) keys."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents = _flatten_tokens(texts)
+    h = _token_hashes(flat)
+    n_rows = batch.num_rows
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sims = np.zeros(n_rows, dtype=np.uint64)
+    if len(h):
+        # accumulate +1/-1 per bit: counts of set bits per (doc, bit)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ones = np.zeros((n_rows, 64), np.int64)
+        np.add.at(ones, parents, bits.astype(np.int64))
+        total = np.bincount(parents, minlength=n_rows)[:, None]
+        simbits = (ones * 2 > total).astype(np.uint64)
+        sims = (simbits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return pa.table(
+        {id_col: pa.array(ids, pa.int64()), "simhash": pa.array(sims, pa.uint64())}
+    )
+
+
+def simhash_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_group: int = 4096,
+):
+    """Pairs within Hamming distance <= max_hamming of their 64-bit simhash.
+    Blocking: split 64 bits into (max_hamming+1) blocks — a qualifying pair
+    must agree exactly on >=1 block (pigeonhole), so candidates come from
+    (block_id, block_value) groupbys; verified by popcount."""
+    import ray
+    from ray.data.aggregate import Count
+
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+
+    sims = ds.map_batches(
+        lambda b: simhash_batch(b, text_col, id_col), batch_format="pyarrow"
+    ).materialize()
+
+    def block_keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_i, out_k = [], []
+        for bi in range(n_blocks):
+            lo = bi * width
+            hi = 64 if bi == n_blocks - 1 else lo + width
+            mask = (np.uint64((1 << (hi - lo)) - 1)) << np.uint64(lo)
+            val = (s & mask) >> np.uint64(lo)
+            out_i.append(ids)
+            out_k.append((val << np.uint64(3)) | np.uint64(bi))
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_i), pa.int64()),
+                "bucket": pa.array(np.concatenate(out_k), pa.uint64()),
+            }
+        )
+
+    cands = (
+        sims.map_batches(block_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_PairEmit("id_a", max_group), batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_blocks"))
+    )
+
+    sim_tbl = sims.to_pandas()
+    sim_map = dict(zip(sim_tbl[id_col], sim_tbl["simhash"]))
+    sim_ref = ray.put(sim_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sim_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
+        sa = np.fromiter((sm[x] for x in a), np.uint64, count=len(a))
+        sb = np.fromiter((sm[x] for x in b), np.uint64, count=len(b))
+        x = sa ^ sb
+        ham = np.zeros(len(x), np.int64)
+        for i in range(64):
+            ham += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# embedding cosine near-dup
+# --------------------------------------------------------------------------- #
+def embedding_dup_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+):
+    """Cosine-similarity >= threshold pairs (id_a < id_b, cos rounded 6dp).
+
+    Scale path: the normalized matrix is broadcast once via ray.put and each
+    batch does one matmul against it (works to ~1M x few-hundred dims; past
+    that, swap the broadcast for the LSH-bucketed variant in simsearch.py —
+    same pair-verify tail)."""
+    import ray
+
+    mat_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = mat_tbl[id_col].to_numpy()
+    M = np.stack(mat_tbl[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Mn = M / norms
+    ref = ray.put((ids_all, Mn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        g_ids, g_mat = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        V = np.stack(
+            batch[vec_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (V / n) @ g_mat.T
+        ri, ci = np.nonzero(sims >= threshold)
+        a, b = ids[ri], g_ids[ci]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(np.round(sims[ri, ci][keep], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``knn_brute`` — exact cosine top-k: the (small) query matrix is broadcast
+  once via ``ray.put``; every batch computes one matmul and emits its local
+  top-k per query; the driver merges the tiny per-batch partials.  This is
+  the baseline/oracle path (DuckDB ``list_cosine_similarity`` checks it).
+* ``knn_lsh`` — the scale path: random-hyperplane LSH signs bucket both the
+  corpus and the queries; only buckets a query probes (its own + multiprobe
+  single-bit flips) are scanned.  Approximate — tests pin recall vs brute.
+
+Both return (query_id, vec_id, cosine, rank) with rank 1..k per query,
+cosine rounded to 6dp, ties broken by vec_id ascending (deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def _topk_table(qids, vids, sims, k):
+    """Global top-k per query from candidate triples; deterministic
+    (-cos, vec_id) order."""
+    out_q, out_v, out_s, out_r = [], [], [], []
+    order = np.lexsort((vids, -sims, qids))
+    qs, vs, ss = qids[order], vids[order], sims[order]
+    # rank within query
+    newq = np.r_[True, qs[1:] != qs[:-1]]
+    idx_in_q = np.arange(len(qs)) - np.maximum.accumulate(np.where(newq, np.arange(len(qs)), 0))
+    keep = idx_in_q < k
+    return pa.table(
+        {
+            "query_id": pa.array(qs[keep], pa.int64()),
+            "vec_id": pa.array(vs[keep], pa.int64()),
+            "cosine": pa.array(np.round(ss[keep], 6), pa.float64()),
+            "rank": pa.array((idx_in_q[keep] + 1).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def knn_brute(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k.  ``queries``: (nq, dim) float array (broadcast —
+    ray.put once, NOT re-shipped per batch)."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((qids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        g_qids, g_Q = ray.get(qref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        sims = g_Q @ V.T  # (nq, batch)
+        kk = min(k, sims.shape[1])
+        # per-query local top-k (argpartition then exact sort happens at merge)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rq = np.repeat(g_qids, kk)
+        rv = ids[part.ravel()]
+        rs = np.take_along_axis(sims, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rq, pa.int64()),
+                "vec_id": pa.array(rv, pa.int64()),
+                "cosine_raw": pa.array(rs, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables(_ray.get(partials))
+    return _topk_table(
+        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
+        k,
+    )
+
+
+class _LshIndexStage:
+    """Hyperplane-sign bucketing — planes generated once per actor from the
+    seed, identical on index and query side."""
+
+    def __init__(self, n_planes: int, dim: int, seed: int):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.n_planes = n_planes
+
+    def key_of(self, V: np.ndarray) -> np.ndarray:
+        signs = (V @ self.planes) >= 0
+        return (signs.astype(np.uint64) << np.arange(self.n_planes, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+
+
+def knn_lsh(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: int = 1,
+    seed: int = 42,
+):
+    """Approximate top-k: ``n_tables`` independent hyperplane tables; a
+    corpus row is scanned for a query if, in ANY table, its bucket equals
+    the query's bucket or is within ``multiprobe`` bit flips of it
+    (classic multi-table multiprobe LSH).  Same output schema as knn_brute;
+    recall < 1 by design — tests pin it against the brute operator."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    dim = Q.shape[1]
+    stages = [_LshIndexStage(n_planes, dim, seed + t) for t in range(n_tables)]
+    qkeys = np.stack([st.key_of(Q) for st in stages])  # (T, nq)
+    qref = ray.put((qids, Q, qkeys))
+
+    def local(batch: pa.Table) -> pa.Table:
+        g_qids, g_Q, g_qkeys = ray.get(qref)
+        sts = [_LshIndexStage(n_planes, dim, seed + t) for t in range(n_tables)]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        keys = np.stack([st.key_of(V) for st in sts])  # (T, batch)
+        # candidate mask per (query, row): any table bucket within <=multiprobe flips
+        nq = len(g_qids)
+        cand_mask = np.zeros((nq, len(ids)), dtype=bool)
+        flips = [np.uint64(0)]
+        if multiprobe >= 1:
+            flips += [np.uint64(1 << b) for b in range(n_planes)]
+        for t in range(n_tables):
+            for f in flips:
+                cand_mask |= g_qkeys[t][:, None] == (keys[t][None, :] ^ f)
+        if not cand_mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cosine_raw": pa.array([], pa.float64())}
+            )
+        sims = g_Q @ V.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(g_qids):
+            cand = np.flatnonzero(cand_mask[qi])
+            if cand.size == 0:
+                continue
+            s = sims[qi, cand]
+            kk = min(k, cand.size)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_v.append(ids[cand[part]])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cosine_raw": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_raw": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()
+    tbl = pa.concat_tables(ray.get(partials))
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
+        )
+    return _topk_table(
+        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
+        k,
+    )

@@ -1,44 +1,534 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship code-mode index build + BM25 search on
+sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md
+§2 plus the training-data pipeline extensions; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible one (same column names —
+the driver hash-compares values).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Engine note: queries run in "simple" tokenizer mode (lowercase, split on
+non-[a-z0-9]) which is definitionally equal to DuckDB's
+``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` — so tf/df/top-k/BM25
+are exact SQL-checkable.  BM25 uses riot's formula and defaults
+(k1=2.0, b=0.75, idf=log2(N/df+1) — /root/reference/core/indexer.go:523-547)
+in float64, emitted as FLOOR(score*1000+0.5) milli-scores so the value hash
+is integer-stable (riot's own tests pin int(score*1000) the same way,
+/root/reference/engine_test.go:52-58).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
 
+# ---- BM25 fixture query (terms exist at every sf) ------------------------- #
+QUERY_TERMS = ("spark", "data", "table")
+SHOULD_TERMS = ("spark", "window")
+NOT_IN_TERMS = ("slow",)
+K = 10
+
+_CACHE_ROOT = "/tmp/riot_ray_entry"
+
+
+def _opts(score_dtype="float64", index_type=None, mode="simple"):
+    from riot_ray.config import FREQS_INDEX, EngineOpts
+
+    return EngineOpts(
+        mode=mode,
+        index_type=FREQS_INDEX if index_type is None else index_type,
+        id_cols=("doc_id",),
+        content_col="text",
+        meta_cols=("lang", "source"),
+        score_dtype=score_dtype,
+        num_parts=8,
+        num_shards=4,
+    )
+
+
+def _index_for(sf_dir: str, variant: str = "freq") -> str:
+    """Build (or resume) the index for this sf_dir; cached under /tmp.
+    IndexWriter.build() skips shards whose manifest fingerprint matches, so
+    repeated calls are cheap."""
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import LOCS_INDEX
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    opts = _opts() if variant == "freq" else _opts(index_type=LOCS_INDEX)
+    key = hashlib.sha256(f"{src}|{variant}|{opts.to_json()}".encode()).hexdigest()[:16]
+    index_dir = os.path.join(_CACHE_ROOT, f"{os.path.basename(os.path.normpath(sf_dir))}-{variant}-{key}")
+    marker = os.path.join(index_dir, "stats.json")
+    w = IndexWriter(index_dir, opts)
+    if not os.path.exists(marker):
+        w.build(src, source_desc=src)
+    return index_dir
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pa.compute.less(t["vec_id"], 5))
+    idx = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[idx]
+    qids = t["vec_id"].to_numpy(zero_copy_only=False)[idx]
+    return Q, qids
+
+
+# --------------------------------------------------------------------------- #
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: code-mode inverted-index build over sf0.001 documents +
+    actor-pool-kernel BM25 search, returned as a DataFrame."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    idx = _index_for("/root/testdata/sf0.001")
+    s = LocalSearcher(idx)
+    resp = s.search(SearchReq(text=" ".join(QUERY_TERMS), rank_opts=RankOpts(max_outputs=K)))
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(resp.docs) + 1, dtype=np.int64),
+            "doc_id": [int(h.doc_id) for h in resp.docs],
+            "bm25": [h.bm25 for h in resp.docs],
+        }
+    )
+
+
+# --------------------------------------------------------------------------- #
+# queries
+# --------------------------------------------------------------------------- #
+def _q_tf_postings(sf_dir: str):
+    from riot_ray.export import postings_dataset
+
+    ds = postings_dataset(_index_for(sf_dir))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": b["term"],
+                "doc_id": pa.compute.cast(b["doc_id"], pa.int64()),
+                "tf": b["tf"],
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def _q_df_terms(sf_dir: str):
+    from riot_ray.export import termstats_dataset
+
+    return termstats_dataset(_index_for(sf_dir))
+
+
+def _q_top_terms(sf_dir: str):
+    from riot_ray.export import termstats_dataset
+
+    t = termstats_dataset(_index_for(sf_dir)).to_pandas()
+    t = t.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return t.reset_index(drop=True)
+
+
+def _q_doc_token_len(sf_dir: str):
+    from riot_ray.export import docmeta_dataset
+
+    ds = docmeta_dataset(_index_for(sf_dir))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(b["doc_id"], pa.int64()),
+                "token_len": b["token_len"],
+            }
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def _q_corpus_stats(sf_dir: str):
+    from riot_ray.build import load_stats
+
+    st = load_stats(_index_for(sf_dir))
+    from riot_ray.pipelines.analysis import round6
+
+    n = int(st["n_docs"])
+    tot = int(st["total_token_len"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([tot], pa.int64()),
+            "avgdl": pa.array([float(round6(tot / n))], pa.float64()),
+        }
+    )
+
+
+def _search(sf_dir: str, **kw):
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    return s, SearchReq(**kw), RankOpts
+
+
+def _q_bm25_topk(sf_dir: str):
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    resp = s.search(
+        SearchReq(text=" ".join(QUERY_TERMS), rank_opts=RankOpts(max_outputs=K))
+    )
+    ids = np.array([int(h.doc_id) for h in resp.docs], dtype=np.int64)
+    milli = np.floor(np.array([h.bm25 for h in resp.docs]) * 1000.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "score_milli": pa.array(milli, pa.int64())}
+    )
+
+
+def _q_count_and(sf_dir: str):
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    resp = s.search(SearchReq(text=" ".join(QUERY_TERMS), count_docs_only=True))
+    return pa.table({"n_docs": pa.array([resp.num_docs], pa.int64())})
+
+
+def _q_logic_should_notin(sf_dir: str):
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import Expr, Logic, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    resp = s.search(
+        SearchReq(logic=Logic(expr=Expr(should=SHOULD_TERMS, not_in=NOT_IN_TERMS)))
+    )
+    ids = sorted(int(h.doc_id) for h in resp.docs)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def _q_token_stats(sf_dir: str):
+    from riot_ray.pipelines import token_stats
+
+    ds = token_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens", "n_tokens_bpe"])
+
+
+def _q_quality(sf_dir: str):
+    from riot_ray.pipelines import quality_score
+
+    ds = quality_score(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "stop_ratio", "punct_ratio", "alnum_ratio", "mean_word_len"]
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from riot_ray.pipelines import exact_dedup
+
+    return exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_dedup_ngram(sf_dir: str):
+    from riot_ray.pipelines import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.2)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from riot_ray.pipelines import embedding_dup_pairs
+
+    ds = embedding_dup_pairs(_emb(sf_dir), threshold=0.4)
+    return ds.select_columns(["id_a", "id_b"])  # ids only: float-hash-safe
+
+
+def _q_knn(sf_dir: str):
+    from riot_ray.pipelines import knn_brute
+
+    Q, qids = _query_vectors(sf_dir)
+    t = knn_brute(_emb(sf_dir), Q, qids, k=K)
+    return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from riot_ray.pipelines import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.2)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from riot_ray.pipelines import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=6)
+
+
+def _q_lang_id(sf_dir: str):
+    from riot_ray.pipelines import lang_id
+
+    ds = lang_id(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprints(sf_dir: str):
+    from riot_ray.pipelines import fingerprint
+
+    ds = fingerprint(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_fingerprints", "digest"])
+
+
+def _q_knn_lsh(sf_dir: str):
+    from riot_ray.pipelines import knn_lsh
+
+    Q, qids = _query_vectors(sf_dir)
+    t = knn_lsh(_emb(sf_dir), Q, qids, k=K)
+    return t.select(["query_id", "vec_id", "rank"])
+
+
+def _q_search_proximity(sf_dir: str):
+    """LocsIndex search: proximity + snippet locations (non-SQL)."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir, variant="locs"))
+    resp = s.search(
+        SearchReq(text=" ".join(QUERY_TERMS), rank_opts=RankOpts(max_outputs=K))
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h.doc_id) for h in resp.docs], pa.int64()),
+            "proximity": pa.array([h.token_proximity for h in resp.docs], pa.int64()),
+            "n_snippet_locs": pa.array(
+                [len(h.token_snippet_locs) for h in resp.docs], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_multimodal(sf_dir: str):
+    from riot_ray.pipelines import decode_media, make_fake_media
+    import ray.data as rd
+
+    ds = rd.from_arrow(make_fake_media(128, seed=42))
+    out = decode_media(ds, concurrency=2)
+    return out.select_columns(["media_id", "mime", "width", "height", "n_frames", "payload_digest"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # core inverted-index engine (SURVEY.md §2: S1-S3, M1-M12, A1-A4, J1-J3, O1-O3)
+        "tf_postings": _q_tf_postings,
+        "df_terms": _q_df_terms,
+        "top_terms": _q_top_terms,
+        "doc_token_len": _q_doc_token_len,
+        "corpus_stats": _q_corpus_stats,
+        "bm25_topk": _q_bm25_topk,
+        "count_and": _q_count_and,
+        "logic_should_notin": _q_logic_should_notin,
+        "search_proximity": _q_search_proximity,
+        # training-data extensions
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "knn_cosine_topk": _q_knn,
+        "knn_lsh_topk": _q_knn_lsh,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "multimodal_decode": _q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------- #
+# oracle SQL (DuckDB; views pre-registered by the driver)
+# --------------------------------------------------------------------------- #
+_TOKS = """
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+  FROM documents)
+"""
+
+_TERMS_IN = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from riot_ray.pipelines.analysis import STOPWORDS
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    should_in = ", ".join(f"'{t}'" for t in SHOULD_TERMS)
+    notin_in = ", ".join(f"'{t}'" for t in NOT_IN_TERMS)
+    return {
+        "tf_postings": f"""
+            WITH {_TOKS}
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+            """,
+        "df_terms": f"""
+            WITH {_TOKS}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY term
+            """,
+        "top_terms": f"""
+            WITH {_TOKS}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY term
+            ORDER BY df DESC, term
+            LIMIT 20
+            """,
+        "doc_token_len": f"""
+            WITH {_TOKS}
+            SELECT doc_id, len(t)::BIGINT AS token_len FROM toks
+            """,
+        "corpus_stats": f"""
+            WITH {_TOKS}
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len(t))::BIGINT AS total_tokens,
+                   ROUND(sum(len(t)) / count(*)::DOUBLE, 6) AS avgdl
+            FROM toks
+            """,
+        "bm25_topk": f"""
+            WITH {_TOKS},
+            lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            n AS (SELECT count(*)::DOUBLE AS nd, sum(dl)::DOUBLE AS tot FROM lens),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN ({_TERMS_IN})
+              GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            cand AS (
+              SELECT doc_id FROM tf GROUP BY doc_id
+              HAVING count(DISTINCT term) = {len(QUERY_TERMS)}),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM(log2(n.nd / df.df + 1)
+                         * tf.tf * (2.0 + 1.0)
+                         / (tf.tf + 2.0 * (1 - 0.75 + 0.75 * lens.dl / (n.tot / n.nd)))
+                        ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN lens ON lens.doc_id = tf.doc_id
+              CROSS JOIN n
+              WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+              GROUP BY tf.doc_id)
+            SELECT doc_id, CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS score_milli
+            FROM sc
+            ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+            LIMIT {K}
+            """,
+        "count_and": f"""
+            WITH {_TOKS},
+            tf AS (
+              SELECT doc_id, term
+              FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN ({_TERMS_IN}))
+            SELECT count(*)::BIGINT AS n_docs FROM (
+              SELECT doc_id FROM tf GROUP BY doc_id
+              HAVING count(DISTINCT term) = {len(QUERY_TERMS)})
+            """,
+        "logic_should_notin": f"""
+            WITH {_TOKS},
+            terms AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+            SELECT DISTINCT doc_id FROM terms WHERE term IN ({should_in})
+            EXCEPT
+            SELECT DISTINCT doc_id FROM terms WHERE term IN ({notin_in})
+            """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]{1,4}|[^\\sA-Za-z0-9]'))::BIGINT AS n_tokens_bpe
+            FROM documents
+            """,
+        "quality": f"""
+            WITH {_TOKS},
+            stats AS (
+              SELECT d.doc_id,
+                     len(t) AS n_tok,
+                     length(d.text) AS n_chars,
+                     len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
+                     len(regexp_extract_all(d.text, '[a-zA-Z0-9]')) AS n_alnum,
+                     len(list_filter(t, x -> x IN ({stop_in}))) AS n_stop,
+                     list_sum(list_transform(t, x -> length(x))) AS tok_chars
+              FROM documents d JOIN toks USING (doc_id))
+            SELECT doc_id,
+                   n_tok::BIGINT AS n_tokens,
+                   ROUND(n_stop / GREATEST(n_tok, 1)::DOUBLE, 6) AS stop_ratio,
+                   ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                   ROUND(n_alnum / GREATEST(n_chars, 1)::DOUBLE, 6) AS alnum_ratio,
+                   ROUND(COALESCE(tok_chars, 0) / GREATEST(n_tok, 1)::DOUBLE, 6) AS mean_word_len
+            FROM stats
+            """,
+        "dedup_exact": """
+            SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY text
+            """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g
+              FROM toks,
+                   UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]) AS u(g)
+              WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.2
+            """,
+        "dedup_embedding": """
+            SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            """,
+        "knn_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id
+            FROM q, embeddings
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) <= {K}
+            """,
+        # dedup_minhash / dedup_simhash / knn_lsh_topk / lang_id /
+        # fingerprints / search_proximity / multimodal_decode are
+        # approximate or non-SQL-expressible -> rows-only check by design.
+    }

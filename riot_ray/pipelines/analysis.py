@@ -32,6 +32,13 @@ STOPWORDS = {
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def round6(x):
+    """Half-away-from-zero 6dp rounding (matches DuckDB ROUND(x, 6); numpy's
+    np.round is half-to-even and diverges on exact ties like 0.8203125)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _flatten_tokens(texts: pa.Array):
     """(flat tokens, parent row indices) — vectorized, empties dropped."""
     if isinstance(texts, pa.ChunkedArray):
@@ -98,10 +105,10 @@ def quality_batch(batch: pa.Table, text_col: str = "text", lang: str = "en") -> 
 
     safe_tok = np.maximum(n_tok, 1)
     safe_chars = np.maximum(n_chars, 1)
-    stop_ratio = np.round(n_stop / safe_tok, 6)
-    punct_ratio = np.round(n_punct / safe_chars, 6)
-    alnum_ratio = np.round(n_alnum / safe_chars, 6)
-    mean_word_len = np.round(sum_tok_chars / safe_tok, 6)
+    stop_ratio = round6(n_stop / safe_tok)
+    punct_ratio = round6(n_punct / safe_chars)
+    alnum_ratio = round6(n_alnum / safe_chars)
+    mean_word_len = round6(sum_tok_chars / safe_tok)
     # composite in [0,1]: reward stopword presence + sane word length,
     # penalize punctuation soup and tiny docs
     score = (
@@ -118,7 +125,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text", lang: str = "en") -> 
         ("punct_ratio", punct_ratio, pa.float64()),
         ("alnum_ratio", alnum_ratio, pa.float64()),
         ("mean_word_len", mean_word_len, pa.float64()),
-        ("quality", np.round(score, 6), pa.float64()),
+        ("quality", round6(score), pa.float64()),
     ):
         out = out.append_column(name, pa.array(arr, typ))
     return out
@@ -164,7 +171,7 @@ class LangId:
         pred = np.where(conf > 0.0, pred, "und")
         out = batch
         out = out.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
-        out = out.append_column("lang_conf", pa.array(np.round(conf, 6), pa.float64()))
+        out = out.append_column("lang_conf", pa.array(round6(conf), pa.float64()))
         return out
 
 

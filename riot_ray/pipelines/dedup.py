@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .analysis import _flatten_tokens, _token_hashes
+from .analysis import _flatten_tokens, _token_hashes, round6
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -153,7 +153,7 @@ def ngram_jaccard_pairs(
         it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = np.fromiter((sm[x] for x in a), np.float64, count=len(a))
         nb = np.fromiter((sm[x] for x in b), np.float64, count=len(b))
-        j = np.round(it / (na + nb - it), 6)
+        j = round6(it / (na + nb - it))
         keep = j >= threshold
         return pa.table(
             {
@@ -282,7 +282,7 @@ def minhash_lsh_pairs(
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "est_jaccard": pa.array([], pa.float64())})
         sa = np.stack([sm[x] for x in a])
         sb = np.stack([sm[x] for x in b])
-        est = np.round((sa == sb).mean(axis=1), 6)
+        est = round6((sa == sb).mean(axis=1))
         keep = est >= threshold
         return pa.table(
             {
@@ -440,7 +440,7 @@ def embedding_dup_pairs(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
                 "id_b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(np.round(sims[ri, ci][keep], 6), pa.float64()),
+                "cosine": pa.array(round6(sims[ri, ci][keep]), pa.float64()),
             }
         )
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .analysis import round6
+
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -38,7 +40,7 @@ def _topk_table(qids, vids, sims, k):
         {
             "query_id": pa.array(qs[keep], pa.int64()),
             "vec_id": pa.array(vs[keep], pa.int64()),
-            "cosine": pa.array(np.round(ss[keep], 6), pa.float64()),
+            "cosine": pa.array(round6(ss[keep]), pa.float64()),
             "rank": pa.array((idx_in_q[keep] + 1).astype(np.int64), pa.int64()),
         }
     )

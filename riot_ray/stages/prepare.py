@@ -73,7 +73,13 @@ def make_prepare_fn(opts: EngineOpts):
     def prepare(batch: pa.Table) -> pa.Table:
         batch = batch.select([c for c in keep if c in batch.column_names])
         doc_id = derive_doc_id(batch, opts)
-        batch = batch.append_column("doc_id", doc_id)
+        if "doc_id" in batch.column_names:
+            # single id col literally named doc_id: replace, don't duplicate
+            batch = batch.set_column(
+                batch.column_names.index("doc_id"), "doc_id", doc_id
+            )
+        else:
+            batch = batch.append_column("doc_id", doc_id)
         batch = batch.append_column("content_sha256", _sha256_col(batch[opts.content_col]))
         batch = batch.append_column("part", pa.array(_crc_part(doc_id, opts.num_parts)))
         return batch

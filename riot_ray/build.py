@@ -62,32 +62,23 @@ class IndexWriter:
         opts = self.opts
         os.makedirs(self.index_dir, exist_ok=True)
 
-        ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)
+        ds = source if isinstance(source, rd.Dataset) else self._read_source(source)
         desc = source_desc or (source if isinstance(source, str) else "dataset")
         fp = _fingerprint(opts, desc)
 
-        # ---- doc pass: dedup + id assign + forward table -----------------
+        # ---- ONE fused pipeline: the doc-pass groupby output feeds the
+        # tokenize stage directly (AssignIds writes forward/part=K.parquet as
+        # a side effect and returns the assigned rows) — a single streaming
+        # DAG with two shuffles (part, shard) and one barrier at the end.
         prepared = ds.map_batches(make_prepare_fn(opts), batch_format="pyarrow")
-        fwd_manifest = (
-            prepared.groupby("part")
-            .map_groups(
-                AssignIds(opts, self.forward_dir), batch_format="pyarrow"
-            )
-            .to_pandas()
+        assigned = prepared.groupby("part").map_groups(
+            AssignIds(opts, self.forward_dir, return_rows=True),
+            batch_format="pyarrow",
         )
-        n_docs_forward = int(fwd_manifest["n_docs"].sum())
-
-        # ---- postings + segments ----------------------------------------
-        fwd_cols = ["doc", opts.content_col]
-        if opts.tokens_col:
-            fwd_cols.append(opts.tokens_col)
-        if opts.labels_col:
-            fwd_cols.append(opts.labels_col)
-        fwd = rd.read_parquet(self._forward_files(), columns=fwd_cols)
         tok_kwargs: dict = {"batch_format": "pyarrow", "batch_size": opts.tokenize_batch_size}
         if opts.tokenize_concurrency:
             tok_kwargs["concurrency"] = opts.tokenize_concurrency
-        postings = fwd.map_batches(TokenizeStage(opts), **tok_kwargs)
+        postings = assigned.map_batches(TokenizeStage(opts), **tok_kwargs)
         seg_manifest = (
             postings.groupby("shard")
             .map_groups(
@@ -95,25 +86,10 @@ class IndexWriter:
             )
             .to_pandas()
         )
+        n_docs_forward = self._forward_doc_count()
 
         # ---- global term stats (df) -------------------------------------
-        from ray.data.aggregate import Sum
-
-        terms_files = sorted(
-            glob.glob(os.path.join(self.segments_dir, "shard=*", "terms.parquet"))
-        )
-        df_ds = rd.read_parquet(terms_files).groupby("term").aggregate(
-            Sum("df_local", alias_name="df")
-        )
-        tmp_ts = self.termstats_dir + ".tmp"
-        import shutil
-
-        if os.path.exists(tmp_ts):
-            shutil.rmtree(tmp_ts)
-        df_ds.write_parquet(tmp_ts)
-        if os.path.exists(self.termstats_dir):
-            shutil.rmtree(self.termstats_dir)
-        os.replace(tmp_ts, self.termstats_dir)
+        self._build_termstats()
 
         # ---- global stats ------------------------------------------------
         stats = {
@@ -135,8 +111,77 @@ class IndexWriter:
             json.dump(stats, f, indent=1)
         return stats
 
+    def _read_source(self, source):
+        """Read with ~one block per cluster CPU (floored by
+        target_max_block_size for large inputs).  Ray's default splits small
+        files into hundreds of tiny blocks; the sort-shuffle then pays
+        O(maps x reduces) object overhead — matching blocks to CPUs cut a
+        150k-doc build from 18.7s to 7.0s at 16 CPUs."""
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        files = [source] if isinstance(source, str) else list(source)
+        try:
+            est_bytes = 3 * sum(
+                os.path.getsize(f) for f in files if os.path.isfile(f)
+            )
+        except OSError:
+            est_bytes = 0
+        ctx = rd.DataContext.get_current()
+        floor_blocks = est_bytes // max(ctx.target_max_block_size or (128 << 20), 1)
+        nblocks = int(max(cpus, floor_blocks, 1))
+        return rd.read_parquet(source, override_num_blocks=nblocks)
+
     def _forward_files(self):
         return sorted(glob.glob(os.path.join(self.forward_dir, "part=*.parquet")))
+
+    def _forward_doc_count(self) -> int:
+        total = 0
+        for man in sorted(
+            glob.glob(os.path.join(self.forward_dir, "part=*.manifest.json"))
+        ):
+            with open(man) as f:
+                total += json.load(f)["n_docs"]
+        return total
+
+    # per-shard terms.parquet are already term-aggregated; the global df is a
+    # small second-level reduce.  Below ~5M rows a driver-side pyarrow groupby
+    # beats a distributed shuffle by seconds of fixed cost; above it we fall
+    # back to the Ray groupby (the true multi-node path).
+    DRIVER_DF_ROWS = 5_000_000
+
+    def _build_termstats(self):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        terms_files = sorted(
+            glob.glob(os.path.join(self.segments_dir, "shard=*", "terms.parquet"))
+        )
+        total_rows = sum(pq.read_metadata(f).num_rows for f in terms_files)
+        tmp_ts = self.termstats_dir + ".tmp"
+        if os.path.exists(tmp_ts):
+            shutil.rmtree(tmp_ts)
+        if total_rows <= self.DRIVER_DF_ROWS:
+            t = pa.concat_tables(pq.read_table(f) for f in terms_files)
+            agg = t.group_by("term").aggregate([("df_local", "sum")])
+            agg = agg.rename_columns(["term", "df"])
+            os.makedirs(tmp_ts, exist_ok=True)
+            pq.write_table(agg, os.path.join(tmp_ts, "df.parquet"))
+        else:
+            from ray.data.aggregate import Sum
+
+            df_ds = rd.read_parquet(terms_files).groupby("term").aggregate(
+                Sum("df_local", alias_name="df")
+            )
+            df_ds.write_parquet(tmp_ts)
+        if os.path.exists(self.termstats_dir):
+            shutil.rmtree(self.termstats_dir)
+        os.replace(tmp_ts, self.termstats_dir)
 
 
 def load_stats(index_dir: str) -> dict:

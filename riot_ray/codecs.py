@@ -19,7 +19,7 @@ def encode_varbyte(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
+    nbytes = np.searchsorted(_THRESHOLDS, v, side="right") + 1
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes

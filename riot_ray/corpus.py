@@ -96,6 +96,53 @@ def make_corpus(n_docs: int, seed: int = 42) -> pa.Table:
     )
 
 
+def make_corpus_fast(n_docs: int, seed: int = 42, mean_tokens: int = 210) -> pa.Table:
+    """Vectorized corpus generator for benchmark-scale tables (600k+ docs in
+    seconds): one Zipf draw for all tokens, Arrow dictionary gather, and
+    ``pc.binary_join_element_wise`` via list joins — no per-doc Python.
+    Vocabulary = 200 base words + 200 snake_case compounds so code-mode
+    identifier splitting still has real work to do."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    base = vocabulary()
+    compounds = [f"{base[i % 200]}_{base[(i * 7 + 3) % 200]}" for i in range(200)]
+    vocab = pa.array(base + compounds, pa.string())
+    probs = _zipf_probs(len(vocab))
+    n_tokens = rng.integers(mean_tokens // 2, mean_tokens * 3 // 2, size=n_docs)
+    total = int(n_tokens.sum())
+    codes = rng.choice(len(vocab), size=total, p=probs).astype(np.int32)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tokens, out=offsets[1:])
+    flat = vocab.take(pa.array(codes))
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+    contents = pc.binary_join(lists, " ")
+
+    idx = np.arange(n_docs)
+    repos = pa.array([f"org{i % 7}/repo{i % 23}" for i in range(161)], pa.string()).take(
+        pa.array(idx % 161)
+    )
+    lang_arr = pa.array(LANGS, pa.string()).take(pa.array(idx % len(LANGS)))
+    paths = pc.binary_join_element_wise(
+        pa.array(np.char.add("src/f", idx.astype("U10")), pa.string()),
+        lang_arr,
+        ".",
+    )
+    commits = pa.array(
+        [hashlib.sha1(f"c{i % 9973}".encode()).hexdigest() for i in range(9973)],
+        pa.string(),
+    ).take(pa.array(idx % 9973))
+    return pa.table(
+        {
+            "repo": repos,
+            "path": paths,
+            "commit": commits,
+            "lang": lang_arr,
+            "content": contents,
+        }
+    )
+
+
 def write_corpus(path: str, n_docs: int, seed: int = 42) -> str:
     import os
 

@@ -209,9 +209,7 @@ class LocalSearcher(_SearcherBase):
             if req.count_docs_only:
                 continue
             if orderless:
-                per_shard.append(
-                    [rank_hit_passthrough(h) for h in hits]
-                )
+                per_shard.append(rank_hit_passthrough(hits))
                 continue
             ranked, n_scored = rank_hits(hits, rank, s, kwargs.get("tokens", []), keep)
             num_scored += n_scored
@@ -219,17 +217,10 @@ class LocalSearcher(_SearcherBase):
         return per_shard, num_scored, num_found, False
 
 
-def rank_hit_passthrough(h: dict):
-    from .types import ScoredHit
-
-    return ScoredHit(
-        doc_id=h["doc_id"],
-        doc=h["doc"],
-        bm25=h["bm25"],
-        token_proximity=h["proximity"],
-        token_snippet_locs=h["snippet"],
-        token_locs=h["token_locs"],
-    )
+def rank_hit_passthrough(hits):
+    """Orderless mode: materialize every hit unranked
+    (/root/reference/indexer_worker.go:75-113)."""
+    return [hits.hit_at(i) for i in range(len(hits))]
 
 
 # --------------------------------------------------------------------------- #
@@ -261,7 +252,7 @@ def _make_shard_worker():
                 if count_only:
                     continue
                 if orderless:
-                    out_hits.append([rank_hit_passthrough(h) for h in hits])
+                    out_hits.append(rank_hit_passthrough(hits))
                     continue
                 ranked, n_sc = rank_hits(hits, rank, s, kwargs.get("tokens", []), keep)
                 num_scored += n_sc

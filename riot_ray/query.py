@@ -106,6 +106,41 @@ def token_proximity(locations, tokens):
 
 
 # --------------------------------------------------------------------------- #
+# hit block: column-oriented candidate set (replaces per-hit dicts so the
+# default-scoring rank path is one vectorized argsort, not 2N allocations)
+# --------------------------------------------------------------------------- #
+class HitBlock:
+    __slots__ = ("doc", "doc_id", "bm25", "proximity", "snippet", "token_locs")
+
+    def __init__(self, doc, doc_id, bm25, proximity=None, snippet=None, token_locs=None):
+        self.doc = doc              # u64[n]
+        self.doc_id = doc_id        # object[n]
+        self.bm25 = bm25            # f64[n]
+        self.proximity = proximity  # i64[n] | None (locs mode)
+        self.snippet = snippet      # list[tuple] | None
+        self.token_locs = token_locs
+
+    def __len__(self):
+        return len(self.doc)
+
+    @staticmethod
+    def empty():
+        return HitBlock(
+            np.empty(0, np.uint64), np.empty(0, object), np.empty(0, np.float64)
+        )
+
+    def hit_at(self, i: int) -> ScoredHit:
+        return ScoredHit(
+            doc_id=self.doc_id[i],
+            doc=int(self.doc[i]),
+            bm25=float(self.bm25[i]),
+            token_proximity=int(self.proximity[i]) if self.proximity is not None else -1,
+            token_snippet_locs=self.snippet[i] if self.snippet is not None else (),
+            token_locs=self.token_locs[i] if self.token_locs is not None else (),
+        )
+
+
+# --------------------------------------------------------------------------- #
 # shard-resident data + lookup kernel
 # --------------------------------------------------------------------------- #
 class ShardData:
@@ -268,7 +303,7 @@ class ShardData:
         dtype = np.float32 if dtype_name == "float32" else np.float64
         keywords = list(tokens) + list(labels)
         if not keywords:
-            return [], 0
+            return HitBlock.empty(), 0
         cand = self.and_candidates(keywords)
         cand = self._alive(cand)
         if allow_ids is not None and cand.size:
@@ -277,10 +312,10 @@ class ShardData:
             )
             cand = cand[keep]
         if cand.size == 0:
-            return [], 0
+            return HitBlock.empty(), 0
         num_docs = int(cand.size)
         if count_only:
-            return [], num_docs
+            return HitBlock.empty(), num_docs
 
         n = cand.size
         bm25 = np.zeros(n, dtype=dtype)
@@ -311,25 +346,24 @@ class ShardData:
                 bm25 = bm25 + contrib
 
         doc_ids = self.doc_ids_of(cand)
-        hits = []
-        for i in range(n):
-            h = {
-                "doc": int(cand[i]),
-                "doc_id": doc_ids[i],
-                "bm25": float(bm25[i]) if not demoted[i] else 0.0,
-                "proximity": -1,
-                "snippet": (),
-                "token_locs": (),
-            }
-            if opts.index_type == LOCS_INDEX and not demoted[i]:
-                locs = [token_pos[j][i] for j in range(len(tokens))]
-                if tokens:
-                    prox, snippet = token_proximity(locs, list(tokens))
-                    h["proximity"] = prox
-                    h["snippet"] = snippet
-                    h["token_locs"] = tuple(tuple(x) for x in locs)
-            hits.append(h)
-        return hits, num_docs
+        bm25 = np.where(demoted, 0.0, bm25)
+        prox = None
+        snippet = None
+        tlocs = None
+        if opts.index_type == LOCS_INDEX:
+            prox = np.full(n, -1, dtype=np.int64)
+            snippet = [()] * n
+            tlocs = [()] * n
+            if tokens:
+                for i in range(n):
+                    if demoted[i]:
+                        continue
+                    locs = [token_pos[j][i] for j in range(len(tokens))]
+                    p, sn = token_proximity(locs, list(tokens))
+                    prox[i] = p
+                    snippet[i] = sn
+                    tlocs[i] = tuple(tuple(x) for x in locs)
+        return HitBlock(cand, doc_ids, np.asarray(bm25, np.float64), prox, snippet, tlocs), num_docs
 
     def logic_search(self, must, should, not_in, allow_ids, count_only):
         """LogicLookup semantics (/root/reference/core/indexer.go:560-685):
@@ -343,7 +377,7 @@ class ShardData:
                 docs, _ = self.postings(k)
                 lists.append(docs)
             if any(d.size == 0 for d in lists):
-                return [], 0
+                return HitBlock.empty(), 0
             lists.sort(key=len)
             cand = lists[0]
             for arr in lists[1:]:
@@ -357,7 +391,7 @@ class ShardData:
         elif should:
             cand = self._union(should)
             if cand.size == 0:
-                return [], 0
+                return HitBlock.empty(), 0
             if not_in:
                 ni = self._union(not_in)
                 cand = cand[~np.isin(cand, ni, assume_unique=True)]
@@ -366,7 +400,7 @@ class ShardData:
             parts = [self.postings(k)[0] for k in not_in]
             cand = np.concatenate(parts) if parts else np.empty(0, np.uint64)
         else:
-            return [], 0
+            return HitBlock.empty(), 0
         cand = self._alive(cand)
         if allow_ids is not None and cand.size:
             keep = np.fromiter(
@@ -375,20 +409,9 @@ class ShardData:
             cand = cand[keep]
         num = int(cand.size)
         if count_only:
-            return [], num
+            return HitBlock.empty(), num
         doc_ids = self.doc_ids_of(cand)
-        hits = [
-            {
-                "doc": int(c),
-                "doc_id": doc_ids[i],
-                "bm25": 0.0,
-                "proximity": -1,
-                "snippet": (),
-                "token_locs": (),
-            }
-            for i, c in enumerate(cand)
-        ]
-        return hits, num
+        return HitBlock(cand, doc_ids, np.zeros(len(cand), np.float64)), num
 
     def _union(self, keywords):
         arrs = [self.postings(k)[0] for k in keywords]
@@ -401,30 +424,41 @@ class ShardData:
 # --------------------------------------------------------------------------- #
 # ranking (per shard) and merge
 # --------------------------------------------------------------------------- #
-def rank_hits(hits, rank: RankOpts, shard: ShardData | None, tokens, keep: int):
+def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, tokens, keep: int):
     """Apply scoring criteria, sort by the documented total order, truncate
     to ``keep`` (= offset+max per shard — /root/reference/ranker_worker.go:62-66).
     Returns (list[ScoredHit], num_scored)."""
-    scorer = rank.scoring_criteria or default_scoring
+    n = len(hits)
+    if n == 0:
+        return [], 0
+    scorer = rank.scoring_criteria
+    if scorer is None and not rank.reverse_order:
+        # vectorized default path: order by (bm25 desc, doc_id asc), then
+        # materialize ScoredHit only for the kept top slice
+        order = np.argsort(hits.doc_id, kind="stable")
+        order = order[np.argsort(-hits.bm25[order], kind="stable")]
+        if keep > 0:
+            order = order[:keep]
+        out = []
+        for i in order:
+            sh = hits.hit_at(int(i))
+            sh.scores = (sh.bm25,)
+            out.append(sh)
+        return out, n
+    # custom criteria / reverse order: per-hit path (drop-on-empty honored,
+    # /root/reference/core/ranker.go:132-137)
+    scorer = scorer or default_scoring
     out = []
-    for h in hits:
-        sh = ScoredHit(
-            doc_id=h["doc_id"],
-            doc=h["doc"],
-            bm25=h["bm25"],
-            token_proximity=h["proximity"],
-            token_snippet_locs=h["snippet"],
-            token_locs=h["token_locs"],
-        )
-        fields = shard.fields_of(h["doc"]) if shard is not None else None
+    for i in range(n):
+        sh = hits.hit_at(i)
+        fields = shard.fields_of(int(hits.doc[i])) if shard is not None else None
         scores = tuple(scorer(sh, fields))
         if len(scores) == 0:
-            continue  # drop-on-empty (/root/reference/core/ranker.go:132-137)
+            continue
         sh.scores = scores
         out.append(sh)
     num = len(out)
-    reverse = rank.reverse_order
-    out.sort(key=hit_sort_key(), reverse=reverse)
+    out.sort(key=hit_sort_key(), reverse=rank.reverse_order)
     if keep > 0:
         out = out[:keep]
     return out, num

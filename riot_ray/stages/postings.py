@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import META_TERM, PART_SHIFT, EngineOpts
 from ..tokenize import Tokenizer, needs_positions, tokens_map_to_rows
@@ -46,42 +47,95 @@ class TokenizeStage:
 
     # -- hot path ---------------------------------------------------------
     def _vectorized(self, batch: pa.Table) -> pa.Table:
-        contents = batch[self.opts.content_col]
+        """Packed combiner output: ONE row per (shard, term) carrying the
+        batch's postings as list columns, plus one META_TERM row per shard
+        carrying (doc, token_len) docmeta pairs.  This shrinks the shuffle
+        from a row per (term, doc) to a row per distinct term per batch —
+        the pre-aggregation that makes the groupby("shard") exchange cheap
+        (SURVEY.md §4 hot-key guidance).  Schema:
+
+            shard:int32, term:string,
+            docs:large_list<uint64>, tfs:large_list<float32>
+        """
+        opts = self.opts
+        contents = batch[opts.content_col]
         if isinstance(contents, pa.ChunkedArray):
             contents = contents.combine_chunks()
         doc = batch["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
         parent, terms, tf, token_len = self.tok.batch_term_counts(contents)
-        # batch_term_counts returns (doc,term) pairs sorted by (parent, code)
-        is_head = np.zeros(len(parent), dtype=np.uint8)
-        if len(parent):
-            is_head[np.r_[True, parent[1:] != parent[:-1]]] = 1
-        # docs that produced no postings still need a docmeta (META_TERM) row
-        seen = np.zeros(len(doc), dtype=bool)
-        seen[parent] = True
-        empty_idx = np.flatnonzero(~seen)
-        term_arr = terms
-        out_doc = doc[parent]
-        out_tf = tf.astype(np.float32)
-        out_len = token_len[parent].astype(np.float32)
-        if len(empty_idx):
-            term_arr = pa.concat_arrays(
-                [term_arr.combine_chunks() if isinstance(term_arr, pa.ChunkedArray) else term_arr,
-                 pa.array([META_TERM] * len(empty_idx), pa.string())]
-            )
-            out_doc = np.r_[out_doc, doc[empty_idx]]
-            out_tf = np.r_[out_tf, np.zeros(len(empty_idx), np.float32)]
-            out_len = np.r_[out_len, token_len[empty_idx].astype(np.float32)]
-            is_head = np.r_[is_head, np.ones(len(empty_idx), np.uint8)]
-        out = pa.table(
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+
+        part_of_doc = (doc >> np.uint64(PART_SHIFT)).astype(np.int64)
+        shard_of_doc = (part_of_doc * opts.num_shards // opts.num_parts).astype(np.int64)
+
+        denc = pc.dictionary_encode(terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary
+        p_doc = doc[parent]
+        p_tf = tf.astype(np.float32)
+        p_shard = shard_of_doc[parent]
+
+        # sort postings by (shard, term-code): contiguous runs per output row
+        order = np.lexsort((codes, p_shard))
+        s_shard, s_code = p_shard[order], codes[order]
+        s_doc, s_tf = p_doc[order], p_tf[order]
+        n = len(order)
+        if n:
+            newrun = np.r_[True, (s_shard[1:] != s_shard[:-1]) | (s_code[1:] != s_code[:-1])]
+            starts = np.flatnonzero(newrun)
+            ends = np.r_[starts[1:], n]
+        else:
+            starts = np.empty(0, np.int64)
+            ends = np.empty(0, np.int64)
+
+        out_shard = s_shard[starts]
+        out_term = vocab.take(pa.array(s_code[starts]))
+        offsets = np.r_[0, ends].astype(np.int64)
+        docs_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(s_doc, pa.uint64())
+        )
+        tfs_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(s_tf, pa.float32())
+        )
+
+        # docmeta rows: one META_TERM row per shard with (doc, token_len)
+        dorder = np.argsort(shard_of_doc, kind="stable")
+        d_shard = shard_of_doc[dorder]
+        d_doc = doc[dorder]
+        d_len = token_len[dorder].astype(np.float32)
+        if len(d_shard):
+            dnew = np.r_[True, d_shard[1:] != d_shard[:-1]]
+            dstarts = np.flatnonzero(dnew)
+            dends = np.r_[dstarts[1:], len(d_shard)]
+        else:
+            dstarts = np.empty(0, np.int64)
+            dends = np.empty(0, np.int64)
+        doffsets = np.r_[0, dends].astype(np.int64)
+        meta_docs = pa.LargeListArray.from_arrays(
+            pa.array(doffsets, pa.int64()), pa.array(d_doc, pa.uint64())
+        )
+        meta_tfs = pa.LargeListArray.from_arrays(
+            pa.array(doffsets, pa.int64()), pa.array(d_len, pa.float32())
+        )
+
+        shard_col = np.r_[out_shard, d_shard[dstarts]].astype(np.int32)
+        term_col = pa.concat_arrays(
+            [out_term.combine_chunks() if isinstance(out_term, pa.ChunkedArray) else out_term,
+             pa.array([META_TERM] * len(dstarts), pa.string())]
+        )
+        docs_all = pa.concat_arrays([docs_col, meta_docs])
+        tfs_all = pa.concat_arrays([tfs_col, meta_tfs])
+        return pa.table(
             {
-                "term": term_arr,
-                "doc": pa.array(out_doc, pa.uint64()),
-                "tf": pa.array(out_tf, pa.float32()),
-                "token_len": pa.array(out_len, pa.float32()),
-                "is_head": pa.array(is_head, pa.uint8()),
+                "shard": pa.array(shard_col, pa.int32()),
+                "term": term_col,
+                "docs": docs_all,
+                "tfs": tfs_all,
             }
         )
-        return self._with_shard(out)
 
     # -- conformance path -------------------------------------------------
     def _perdoc(self, batch: pa.Table) -> pa.Table:

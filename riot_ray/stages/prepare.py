@@ -71,6 +71,9 @@ def make_prepare_fn(opts: EngineOpts):
     )]
 
     def prepare(batch: pa.Table) -> pa.Table:
+        # drop file-level schema metadata (e.g. pandas dict): it defeats Ray
+        # Data's schema-dedup hashing and slows every downstream shuffle
+        batch = batch.replace_schema_metadata(None)
         batch = batch.select([c for c in keep if c in batch.column_names])
         doc_id = derive_doc_id(batch, opts)
         if "doc_id" in batch.column_names:
@@ -89,11 +92,15 @@ def make_prepare_fn(opts: EngineOpts):
 
 class AssignIds:
     """Per-part group fn: sort by (doc_id, seq), keep-last, assign dense u64,
-    write the forward-table part atomically, return a manifest row."""
+    write the forward-table part atomically.  Returns either a manifest row
+    (return_rows=False) or the assigned (doc, content...) rows so the
+    tokenize stage can consume the groupby output directly — one fused
+    pipeline, no barrier + forward re-read between doc pass and tokenize."""
 
-    def __init__(self, opts: EngineOpts, forward_dir: str):
+    def __init__(self, opts: EngineOpts, forward_dir: str, return_rows: bool = False):
         self.opts = opts
         self.forward_dir = forward_dir
+        self.return_rows = return_rows
         self.__name__ = "AssignIds"
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -116,6 +123,13 @@ class AssignIds:
         doc = (np.uint64(part) << np.uint64(PART_SHIFT)) | np.arange(n, dtype=np.uint64)
         group = group.append_column("doc", pa.array(doc, type=pa.uint64()))
         group = group.drop_columns(["part"])
+        ret = None
+        if self.return_rows:
+            cols = ["doc", opts.content_col]
+            for c in (opts.tokens_col, opts.labels_col):
+                if c and c in group.column_names:
+                    cols.append(c)
+            ret = group.select([c for c in cols if c in group.column_names])
         if not opts.store_content and opts.content_col in group.column_names:
             group = group.drop_columns([opts.content_col])
 
@@ -133,6 +147,8 @@ class AssignIds:
         }
         with open(os.path.join(self.forward_dir, f"part={part:05d}.manifest.json"), "w") as f:
             json.dump(manifest, f)
+        if ret is not None:
+            return ret
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),

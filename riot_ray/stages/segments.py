@@ -77,28 +77,62 @@ class BuildShard:
                 m["skipped"] = True
                 return self._manifest_row(m)
 
+        packed = "docs" in group.column_names
         with_pos = "positions" in group.column_names
 
-        doc = group["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float32)
-        tlen = group["token_len"].to_numpy(zero_copy_only=False).astype(np.float32)
-        head = group["is_head"].to_numpy(zero_copy_only=False).astype(bool)
+        if packed:
+            # packed combiner format (one row per (shard, term) per batch):
+            # explode list columns back to flat postings + docmeta
+            term_col = group["term"]
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            docs_col = group["docs"]
+            if isinstance(docs_col, pa.ChunkedArray):
+                docs_col = docs_col.combine_chunks()
+            tfs_col = group["tfs"]
+            if isinstance(tfs_col, pa.ChunkedArray):
+                tfs_col = tfs_col.combine_chunks()
+            import pyarrow.compute as pc
 
-        # docmeta from head rows (exactly one per doc — set by tokenize),
-        # BEFORE stripping META_TERM docmeta-only rows
-        hdoc = doc[head]
-        hlen = tlen[head]
-        horder = np.argsort(hdoc)
-        docmeta = pa.table(
-            {
-                "doc": pa.array(hdoc[horder], pa.uint64()),
-                "token_len": pa.array(hlen[horder], pa.float32()),
-            }
-        )
+            row_parent = pc.list_parent_indices(docs_col).to_numpy(zero_copy_only=False)
+            doc = np.asarray(pc.list_flatten(docs_col).to_numpy(zero_copy_only=False), dtype=np.uint64)
+            tf = np.asarray(pc.list_flatten(tfs_col).to_numpy(zero_copy_only=False), dtype=np.float32)
+            is_meta_row = pc.equal(term_col, META_TERM).to_numpy(zero_copy_only=False)
+            meta_mask = np.asarray(is_meta_row, dtype=bool)[row_parent]
+            # docmeta: dedup on doc (a doc appears in exactly one batch)
+            hdoc, hlen = doc[meta_mask], tf[meta_mask]
+            horder = np.argsort(hdoc)
+            docmeta = pa.table(
+                {
+                    "doc": pa.array(hdoc[horder], pa.uint64()),
+                    "token_len": pa.array(hlen[horder], pa.float32()),
+                }
+            )
+            doc, tf = doc[~meta_mask], tf[~meta_mask]
+            term_col = term_col.take(pa.array(row_parent[~meta_mask]))
+            # per-posting doc length for block min_len: docmeta lookup
+            tlen = hlen[horder][np.searchsorted(hdoc[horder], doc)]
+        else:
+            doc = np.asarray(group["doc"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            tf = np.asarray(group["tf"].to_numpy(zero_copy_only=False), dtype=np.float32)
+            tlen = np.asarray(group["token_len"].to_numpy(zero_copy_only=False), dtype=np.float32)
+            head = group["is_head"].to_numpy(zero_copy_only=False).astype(bool)
 
-        term_col = group["term"]
-        if isinstance(term_col, pa.ChunkedArray):
-            term_col = term_col.combine_chunks()
+            # docmeta from head rows (exactly one per doc — set by tokenize),
+            # BEFORE stripping META_TERM docmeta-only rows
+            hdoc = doc[head]
+            hlen = tlen[head]
+            horder = np.argsort(hdoc)
+            docmeta = pa.table(
+                {
+                    "doc": pa.array(hdoc[horder], pa.uint64()),
+                    "token_len": pa.array(hlen[horder], pa.float32()),
+                }
+            )
+
+            term_col = group["term"]
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
         denc = term_col.dictionary_encode()
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = denc.dictionary

@@ -367,23 +367,7 @@ class _MergePart:
 
 def _refresh_stats(index_dir: str, w: IndexWriter, opts: EngineOpts, old_stats: dict, fp: str):
     """Recompute global df table + corpus stats from current shard files."""
-    from ray.data.aggregate import Sum
-
-    terms_files = sorted(
-        glob.glob(os.path.join(w.segments_dir, "shard=*", "terms.parquet"))
-    )
-    df_ds = rd.read_parquet(terms_files).groupby("term").aggregate(
-        Sum("df_local", alias_name="df")
-    )
-    import shutil
-
-    tmp_ts = w.termstats_dir + ".tmp"
-    if os.path.exists(tmp_ts):
-        shutil.rmtree(tmp_ts)
-    df_ds.write_parquet(tmp_ts)
-    if os.path.exists(w.termstats_dir):
-        shutil.rmtree(w.termstats_dir)
-    os.replace(tmp_ts, w.termstats_dir)
+    w._build_termstats()
 
     n_docs, total_len, n_postings = 0, 0.0, 0
     for man in sorted(glob.glob(os.path.join(w.segments_dir, "shard=*", "manifest.json"))):

@@ -52,6 +52,7 @@ class EngineOpts:
     meta_cols: tuple = ("lang",)
     tokens_col: str | None = None    # pretokenized input column
     labels_col: str | None = None    # labels column: list<string>, tf=0 postings
+    token_len_col: str | None = None  # explicit DocIndex.TokenLen override
     seq_col: str | None = None       # ingest order for keep-last dedup (D4)
     store_content: bool = True       # forward table keeps raw content (riot ranker does)
 

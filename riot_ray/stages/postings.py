@@ -144,13 +144,20 @@ class TokenizeStage:
         docs = batch["doc"].to_numpy(zero_copy_only=False)
         ext_tokens = batch[opts.tokens_col].to_pylist() if opts.tokens_col and opts.tokens_col in batch.column_names else [None] * batch.num_rows
         labels = batch[opts.labels_col].to_pylist() if opts.labels_col and opts.labels_col in batch.column_names else [None] * batch.num_rows
+        tl_over = (
+            batch[opts.token_len_col].to_pylist()
+            if opts.token_len_col and opts.token_len_col in batch.column_names
+            else [None] * batch.num_rows
+        )
 
         o_term, o_doc, o_tf, o_len, o_head, o_pos = [], [], [], [], [], []
         for i in range(batch.num_rows):
-            tmap, num_tokens = self.tok.doc_tokens_map(
+            tmap, num_tokens, freq_ov = self.tok.doc_tokens_map(
                 contents[i] or "", ext_tokens[i], labels[i]
             )
-            terms, tfs, poss = tokens_map_to_rows(tmap, self.with_pos)
+            if tl_over[i] is not None:
+                num_tokens = tl_over[i]  # explicit DocIndex.TokenLen
+            terms, tfs, poss = tokens_map_to_rows(tmap, self.with_pos, freq_ov)
             if not terms:
                 terms, tfs, poss = [META_TERM], [0.0], [[]]
             for j, t in enumerate(terms):

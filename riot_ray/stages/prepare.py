@@ -66,6 +66,7 @@ def make_prepare_fn(opts: EngineOpts):
         + list(opts.meta_cols)
         + ([opts.content_col] if opts.store_content or True else [])
         + ([opts.tokens_col] if opts.tokens_col else [])
+        + ([opts.token_len_col] if opts.token_len_col else [])
         + ([opts.labels_col] if opts.labels_col else [])
         + ([opts.seq_col] if opts.seq_col else [])
     )]
@@ -126,7 +127,7 @@ class AssignIds:
         ret = None
         if self.return_rows:
             cols = ["doc", opts.content_col]
-            for c in (opts.tokens_col, opts.labels_col):
+            for c in (opts.tokens_col, opts.labels_col, opts.token_len_col):
                 if c and c in group.column_names:
                     cols.append(c)
             ret = group.select([c for c in cols if c in group.column_names])

@@ -117,13 +117,18 @@ class Tokenizer:
     # index side, per-doc (conformance / locs paths)
     # ------------------------------------------------------------------ #
     def doc_tokens_map(self, content: str, ext_tokens=None, labels=None):
-        """One document -> (tokens_map {term: [positions]}, num_tokens).
+        """One document -> (tokens_map {term: [positions]}, num_tokens,
+        freq_override {term: tf}).
 
         Mirrors makeTokensMap behaviour (/root/reference/segment.go:210-246)
-        for the supported modes."""
+        for the supported modes.  ``freq_override`` carries explicit
+        KeywordIndex.Frequency values from pretokenized input (riot's
+        FrequenciesIndex reads the Frequency field, not len(locations) —
+        /root/reference/core/indexer.go:222-231)."""
         mode = self.opts.mode
         tokens_map: dict[str, list[int]] = {}
         num_tokens = 0
+        freq_override: dict[str, float] = {}
 
         if mode == "space":
             if content:
@@ -139,6 +144,8 @@ class Tokenizer:
                 text = t["text"]
                 if text not in self.stop:
                     tokens_map[text] = list(t.get("locations") or [])
+                    if t.get("frequency") is not None:
+                        freq_override[text] = float(t["frequency"])
             # numTokens counts entries: /root/reference/segment.go:123
             num_tokens += len(ext_tokens)
 
@@ -147,7 +154,7 @@ class Tokenizer:
             for label in labels:
                 if label not in self.stop and label not in tokens_map:
                     tokens_map[label] = None  # tf=0, no positions
-        return tokens_map, num_tokens
+        return tokens_map, num_tokens, freq_override
 
     def _for_split_data(self, elems: list[str]):
         """riot ForSplitData quirk (/root/reference/segment.go:40-77):
@@ -278,9 +285,10 @@ class Tokenizer:
         return out_flat, out_parents
 
 
-def tokens_map_to_rows(tokens_map: dict, with_positions: bool):
+def tokens_map_to_rows(tokens_map: dict, with_positions: bool, freq_override=None):
     """Materialize one doc's tokens_map into parallel lists
-    (terms, tfs, positions) — tf = len(positions), labels tf=0
+    (terms, tfs, positions) — tf = len(positions) unless an explicit
+    Frequency was provided, labels tf=0
     (/root/reference/segment.go:281-297)."""
     terms, tfs, poss = [], [], []
     for term, locs in tokens_map.items():
@@ -289,7 +297,10 @@ def tokens_map_to_rows(tokens_map: dict, with_positions: bool):
             tfs.append(0.0)
             poss.append([])
         else:
-            tfs.append(float(len(locs)))
+            if freq_override and term in freq_override:
+                tfs.append(freq_override[term])
+            else:
+                tfs.append(float(len(locs)))
             poss.append(list(locs) if with_positions else [])
     return terms, tfs, poss
 

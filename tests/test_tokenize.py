@@ -15,7 +15,7 @@ def tok(mode="simple", stop=(), **kw):
 # ---------------------------------------------------------------------------
 def test_for_split_data_hand_computed():
     t = tok("space")
-    m, num = t.doc_tokens_map("a b c")
+    m, num, _ = t.doc_tokens_map("a b c")
     # emissions in order: a(1) a(2:prefix) b(3) ab(4) c(5) abc(6)
     assert num == 6
     assert m == {"a": [1, 2], "b": [3], "ab": [4], "c": [5], "abc": [6]}
@@ -24,14 +24,14 @@ def test_for_split_data_hand_computed():
 def test_for_split_data_stop_filter():
     # stop applies to each emission independently
     t = tok("space", stop=("b", "ab"))
-    m, num = t.doc_tokens_map("a b c")
+    m, num, _ = t.doc_tokens_map("a b c")
     assert num == 4
     assert m == {"a": [1, 2], "c": [3], "abc": [4]}
 
 
 def test_space_empty_elements_skipped():
     t = tok("space")
-    m, num = t.doc_tokens_map("a  b")  # double space -> empty element
+    m, num, _ = t.doc_tokens_map("a  b")  # double space -> empty element
     assert m["a"] == [1, 2]
     assert m["b"] == [3]
     assert m["ab"] == [4]
@@ -39,7 +39,7 @@ def test_space_empty_elements_skipped():
 
 def test_space_lowercases():
     t = tok("space")
-    m, _ = t.doc_tokens_map("Google Is")
+    m, _, _ = t.doc_tokens_map("Google Is")
     assert "google" in m and "is" in m and "googleis" in m
 
 
@@ -54,7 +54,7 @@ def test_space_query_tokens_keep_empties():
 # ---------------------------------------------------------------------------
 def test_simple_tokens_and_positions():
     t = tok("simple")
-    m, num = t.doc_tokens_map("Foo bar, foo!")
+    m, num, _ = t.doc_tokens_map("Foo bar, foo!")
     assert m == {"foo": [0, 9], "bar": [4]}
     assert num == 3
 
@@ -72,7 +72,7 @@ def test_simple_batch_matches_perdoc():
     for p, term, f in zip(parent, terms.to_pylist(), tf):
         got.setdefault(int(p), {})[term] = int(f)
     for i, d in enumerate(docs):
-        m, num = t.doc_tokens_map(d)
+        m, num, _ = t.doc_tokens_map(d)
         expect = {k: len(v) for k, v in m.items()}
         assert got.get(i, {}) == expect, f"doc {i}"
         assert int(tlen[i]) == num
@@ -98,7 +98,7 @@ def test_code_mode_batch_matches_perdoc():
     for p, term, f in zip(parent, terms.to_pylist(), tf):
         got.setdefault(int(p), {})[term] = int(f)
     for i, d in enumerate(docs):
-        m, num = t.doc_tokens_map(d)
+        m, num, _ = t.doc_tokens_map(d)
         expect = {k: len(v) for k, v in m.items()}
         assert got.get(i, {}) == expect, f"doc {i}"
         assert int(tlen[i]) == num
@@ -117,13 +117,13 @@ def test_code_query_matches_index_side():
 def test_pretokenized_replaces_and_counts_entries():
     t = tok("pretokenized")
     ext = [{"text": "tok1", "locations": [0, 5]}, {"text": "tok2", "locations": [3]}]
-    m, num = t.doc_tokens_map("ignored content", ext_tokens=ext)
+    m, num, _ = t.doc_tokens_map("ignored content", ext_tokens=ext)
     assert m == {"tok1": [0, 5], "tok2": [3]}
     assert num == 2  # entry count, not occurrences (/root/reference/segment.go:123)
 
 
 def test_labels_tf_zero_only_when_absent():
     t = tok("simple")
-    m, _ = t.doc_tokens_map("foo bar", labels=["baz", "foo"])
+    m, _, _ = t.doc_tokens_map("foo bar", labels=["baz", "foo"])
     assert m["baz"] is None      # label -> tf=0 marker
     assert m["foo"] == [0]       # existing content term untouched

@@ -117,6 +117,35 @@ class _SearcherBase:
         idfs = [float(bm25_idf(n_docs, df, dtype)) for df in dfs[: len(tokens)]]
 
         keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
+        from .config import FREQS_INDEX
+
+        use_wand = (
+            req.approx_count
+            and keep > 0
+            and not labels
+            and req.doc_ids is None
+            and not req.count_docs_only
+            and not req.orderless
+            and rank.scoring_criteria is None
+            and not rank.reverse_order
+            and self.opts.index_type == FREQS_INDEX
+        )
+        if use_wand:
+            results = self._dispatch(
+                "search_wand",
+                dict(
+                    tokens=tokens,
+                    idfs=idfs,
+                    avgdl=float(avgdl),
+                    k=keep,
+                    dtype_name=self.opts.score_dtype,
+                ),
+                req,
+                rank,
+                keep,
+                orderless=False,
+            )
+            return self._collect(results, req, rank, resp)
         results = self._dispatch(
             "search",
             dict(

@@ -420,6 +420,119 @@ class ShardData:
             return np.empty(0, np.uint64)
         return np.unique(np.concatenate(arrs))
 
+    # -- block-max WAND (north star: pruned AND + top-k) ------------------ #
+    def block_postings(self, term: str, blk: int):
+        """Decode ONE block of a term's posting list."""
+        docs = np.cumsum(decode_varbyte(self.docs_vb[blk]), dtype=np.uint64)
+        tfs = np.frombuffer(self.tfs_bin[blk], dtype="<f4")
+        return docs, tfs
+
+    def block_upper_bounds(self, term: str, idf: float, avgdl: float, dtype=np.float32):
+        """Per-block score upper bound for one term: tf=max_tf, d=min_len
+        maximize idf*tf*(k1+1)/(tf+k1*(1-b+b*d/avgdl))."""
+        rng = self.term_range.get(term)
+        if rng is None:
+            return None
+        s, e = rng
+        ub = bm25_term_scores(
+            idf,
+            self.blk_max_tf[s:e],
+            self.blk_min_len[s:e],
+            avgdl,
+            self.opts.bm25.k1,
+            self.opts.bm25.b,
+            dtype,
+        )
+        return s, e, np.asarray(ub, dtype=np.float64)
+
+    def search_wand(self, tokens, idfs, avgdl, k, dtype_name="float32"):
+        """Exact top-k for an AND query with block-max pruning: iterate the
+        rarest term's blocks in doc order; a block is decoded and scored
+        only if (its own upper bound + the other terms' max upper bound over
+        the overlapping doc range) can beat the current k-th score.  Returns
+        (hits: HitBlock of <=k docs, n_scored).  Skipped blocks mean the
+        total match count is NOT computed — callers use approx counts."""
+        dtype = np.float32 if dtype_name == "float32" else np.float64
+        infos = []
+        for t, idf in zip(tokens, idfs):
+            bi = self.block_upper_bounds(t, idf, avgdl, dtype)
+            if bi is None:
+                return HitBlock.empty(), 0
+            infos.append((t, idf, *bi))
+        # rarest term drives iteration; ``infos`` stays in TOKEN order so the
+        # final score accumulates per query token in token order (the f32
+        # conformance contract, SURVEY.md §7.5)
+        lead_i = min(range(len(infos)), key=lambda i: infos[i][3] - infos[i][2])
+        lead_t, lead_idf, ls, le, lead_ub = infos[lead_i]
+        others = [x for i, x in enumerate(infos) if i != lead_i]
+
+        import heapq
+
+        heap: list = []  # min-heap of (score, -doc) keeping k best
+        n_scored = 0
+        d = None
+        for bi in range(ls, le):
+            lo, hi = self.blk_min[bi], self.blk_max[bi]
+            ub = lead_ub[bi - ls]
+            ok = True
+            for (_t, _idf, s, e, oub) in others:
+                # overlapping blocks of the other term for [lo, hi]
+                a = np.searchsorted(self.blk_max[s:e], lo) + s
+                b = np.searchsorted(self.blk_min[s:e], hi, side="right") + s
+                if a >= b:
+                    ok = False  # no overlap: AND impossible in this range
+                    break
+                ub += float(np.max(oub[a - s : b - s]))
+            if not ok:
+                continue
+            if len(heap) >= k and ub <= heap[0][0]:
+                continue  # block-max prune
+            docs, tfs = self.block_postings(lead_t, bi)
+            cand = docs
+            cand_tf = {lead_t: tfs}
+            for (t, _idf, s, e, _oub) in others:
+                odocs, otfs = self.postings(t)
+                rows = np.searchsorted(odocs, cand)
+                rows = np.minimum(rows, len(odocs) - 1)
+                hit = odocs[rows] == cand
+                cand = cand[hit]
+                for key in cand_tf:
+                    cand_tf[key] = cand_tf[key][hit]
+                cand_tf[t] = otfs[rows][hit]
+                if cand.size == 0:
+                    break
+            if cand.size == 0:
+                continue
+            if self.tombstones.size:
+                alive = ~np.isin(cand, self.tombstones, assume_unique=True)
+                cand = cand[alive]
+                for key in cand_tf:
+                    cand_tf[key] = cand_tf[key][alive]
+            if cand.size == 0:
+                continue
+            dl = self.doc_lens(cand)
+            score = np.zeros(len(cand), dtype=dtype)
+            for (t, idf, *_rest) in infos:
+                tf_t = cand_tf[t]
+                contrib = bm25_term_scores(
+                    idf, tf_t, dl, avgdl, self.opts.bm25.k1, self.opts.bm25.b, dtype
+                )
+                score = score + np.where(tf_t > 0, contrib, dtype(0.0))
+            n_scored += int(cand.size)
+            for c, sc in zip(cand, score):
+                item = (float(sc), -int(c))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        if not heap:
+            return HitBlock.empty(), 0
+        heap.sort(reverse=True)  # score desc, doc asc
+        docs_out = np.array([-h[1] for h in heap], dtype=np.uint64)
+        scores_out = np.array([h[0] for h in heap], dtype=np.float64)
+        ids_out = self.doc_ids_of(docs_out)
+        return HitBlock(docs_out, ids_out, scores_out), n_scored
+
 
 # --------------------------------------------------------------------------- #
 # ranking (per shard) and merge

@@ -60,6 +60,10 @@ class SearchReq:
     timeout_ms: int = 0
     count_docs_only: bool = False
     orderless: bool = False
+    # opt-in block-max WAND fast path: identical top-k, but num_docs becomes
+    # the number of docs actually scored (pruned blocks are never counted).
+    # riot has no analog — its Lookup always scores every hit.
+    approx_count: bool = False
 
 
 @dataclass

@@ -1,0 +1,67 @@
+"""Checkpoint/resume: per-partition lineage (north rule).
+
+A re-run with the same fingerprint skips completed shards; destroying one
+shard (simulated mid-build crash) rebuilds ONLY that shard and reproduces
+byte-identical query results.
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from riot_ray.build import IndexWriter
+from riot_ray.config import EngineOpts
+from riot_ray.corpus import write_corpus
+from riot_ray.engine import LocalSearcher
+from riot_ray.types import RankOpts, SearchReq
+
+
+def _results(index_dir):
+    s = LocalSearcher(index_dir)
+    out = []
+    for text in ("parse batch", "merge", "def import"):
+        resp = s.search(SearchReq(text=text, rank_opts=RankOpts(max_outputs=10)))
+        out.append([(h.doc_id, round(h.bm25, 6)) for h in resp.docs])
+    return out
+
+
+def test_resume_skips_completed_and_rebuilds_lost(ray_session, tmp_path):
+    src = write_corpus(str(tmp_path / "src" / "c.parquet"), 200, seed=9)
+    opts = EngineOpts(mode="code", num_parts=8, num_shards=4, block_size=64)
+    w = IndexWriter(str(tmp_path / "idx"), opts)
+
+    s1 = w.build(src)
+    assert s1["shards_skipped"] == 0
+    baseline = _results(w.index_dir)
+    blocks_before = {
+        i: pq.read_table(os.path.join(w.segments_dir, f"shard={i:05d}", "blocks.parquet"))
+        for i in range(4)
+    }
+
+    # full re-run: everything skipped
+    s2 = w.build(src)
+    assert s2["shards_skipped"] == 4
+    assert s2["n_docs"] == s1["n_docs"]
+
+    # crash simulation: lose one shard, re-run -> only that shard rebuilds
+    shutil.rmtree(os.path.join(w.segments_dir, "shard=00002"))
+    s3 = w.build(src)
+    assert s3["shards_skipped"] == 3
+    assert s3["n_docs"] == s1["n_docs"]
+    assert _results(w.index_dir) == baseline
+    for i in range(4):
+        after = pq.read_table(
+            os.path.join(w.segments_dir, f"shard={i:05d}", "blocks.parquet")
+        )
+        assert after.equals(blocks_before[i]), f"shard {i} changed"
+
+
+def test_changed_input_invalidates(ray_session, tmp_path):
+    src1 = write_corpus(str(tmp_path / "a" / "c.parquet"), 100, seed=1)
+    src2 = write_corpus(str(tmp_path / "b" / "c.parquet"), 100, seed=2)
+    opts = EngineOpts(mode="code", num_parts=4, num_shards=2)
+    w = IndexWriter(str(tmp_path / "idx"), opts)
+    w.build(src1)
+    s = w.build(src2)  # different source path -> different fingerprint
+    assert s["shards_skipped"] == 0

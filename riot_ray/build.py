@@ -40,9 +40,14 @@ def _fingerprint(opts: EngineOpts, source: str) -> str:
 
 
 class IndexWriter:
-    def __init__(self, index_dir: str, opts: EngineOpts | None = None):
+    def __init__(self, index_dir: str, opts: EngineOpts | None = None,
+                 tokenizer_factory=None):
+        """``tokenizer_factory``: custom analyzer injection (X3, riot's
+        WithGse) — picklable factory(opts) -> Tokenizer-like; hand the SAME
+        factory to the searcher."""
         self.index_dir = index_dir
         self.opts = opts or EngineOpts()
+        self.tokenizer_factory = tokenizer_factory
 
     @property
     def forward_dir(self):
@@ -78,7 +83,9 @@ class IndexWriter:
         tok_kwargs: dict = {"batch_format": "pyarrow", "batch_size": opts.tokenize_batch_size}
         if opts.tokenize_concurrency:
             tok_kwargs["concurrency"] = opts.tokenize_concurrency
-        postings = assigned.map_batches(TokenizeStage(opts), **tok_kwargs)
+        postings = assigned.map_batches(
+            TokenizeStage(opts, self.tokenizer_factory), **tok_kwargs
+        )
         seg_manifest = (
             postings.groupby("shard")
             .map_groups(
@@ -103,6 +110,7 @@ class IndexWriter:
             "num_shards": opts.num_shards,
             "num_parts": opts.num_parts,
             "fingerprint": fp,
+            "custom_tokenizer": self.tokenizer_factory is not None,
             "build_wall_s": round(time.time() - t0, 3),
             "opts": json.loads(opts.to_json()),
             "generations": [0],

@@ -49,11 +49,17 @@ def _load_tombstones(index_dir: str) -> np.ndarray:
 
 
 class _SearcherBase:
-    def __init__(self, index_dir: str, hydrate: bool = False):
+    def __init__(self, index_dir: str, hydrate: bool = False, tokenizer_factory=None):
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.opts = EngineOpts.from_json_dict(self.stats["opts"])
-        self.tok = Tokenizer(self.opts)
+        if self.stats.get("custom_tokenizer") and tokenizer_factory is None:
+            raise ValueError(
+                "index was built with a custom tokenizer_factory; pass the "
+                "same factory to the searcher (query tokens must be "
+                "byte-identical to the index side)"
+            )
+        self.tok = (tokenizer_factory or Tokenizer)(self.opts)
         self.termstats = _load_termstats(index_dir)
         self.hydrate = hydrate
         self.shard_ids = self._existing_shards()
@@ -215,8 +221,8 @@ class _SearcherBase:
 class LocalSearcher(_SearcherBase):
     """In-process serving — shares every kernel with the actor path."""
 
-    def __init__(self, index_dir: str, hydrate: bool = False):
-        super().__init__(index_dir, hydrate)
+    def __init__(self, index_dir: str, hydrate: bool = False, tokenizer_factory=None):
+        super().__init__(index_dir, hydrate, tokenizer_factory)
         self.shards = [
             ShardData(i, index_dir, self.opts, hydrate) for i in self.shard_ids
         ]
@@ -250,6 +256,109 @@ def rank_hit_passthrough(hits):
     """Orderless mode: materialize every hit unranked
     (/root/reference/indexer_worker.go:75-113)."""
     return [hits.hit_at(i) for i in range(len(hits))]
+
+
+# --------------------------------------------------------------------------- #
+# forward-table dump helpers — S5 (/root/reference/riot.go:120-180)
+# --------------------------------------------------------------------------- #
+def _forward_dataset(index_dir: str, columns=None):
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(index_dir, "forward", "part=*.parquet")))
+    return rd.read_parquet(files, columns=columns)
+
+
+def all_doc_ids(index_dir: str):
+    """GetDBAllIds analog: Dataset of (doc_id) over the forward table."""
+    return _forward_dataset(index_dir, columns=["doc_id"])
+
+
+def all_docs(index_dir: str):
+    """GetDBAllDocs analog: the full forward table as a Dataset."""
+    return _forward_dataset(index_dir)
+
+
+def has_doc(index_dir: str, doc_id: str) -> bool:
+    """HasDocDB analog (driver-side point lookup: crc-routed part file)."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .build import load_stats
+
+    stats = load_stats(index_dir)
+    opts = EngineOpts.from_json_dict(stats["opts"])
+    part = zlib.crc32(doc_id.encode()) % opts.num_parts
+    f = os.path.join(index_dir, "forward", f"part={part:05d}.parquet")
+    if not os.path.exists(f):
+        return False
+    t = pq.read_table(f, columns=["doc_id"])
+    return bool(pc.any(pc.equal(t["doc_id"], doc_id)).as_py())
+
+
+# --------------------------------------------------------------------------- #
+# batch query API: Dataset of queries -> Dataset of ranked results
+# --------------------------------------------------------------------------- #
+class _BatchQueryStage:
+    """Actor-pool stage: one LocalSearcher per actor (index loaded once in
+    __init__ — T2/T3), each batch of query rows searched in-process."""
+
+    def __init__(self, index_dir: str, max_outputs: int, hydrate: bool):
+        self.searcher = LocalSearcher(index_dir, hydrate=hydrate)
+        self.max_outputs = max_outputs
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_q, out_rank, out_doc, out_score = [], [], [], []
+        for qid, text in zip(qids, texts):
+            resp = self.searcher.search(
+                SearchReq(text=text or "", rank_opts=RankOpts(max_outputs=self.max_outputs))
+            )
+            for r, h in enumerate(resp.docs, 1):
+                out_q.append(qid)
+                out_rank.append(r)
+                out_doc.append(h.doc_id)
+                out_score.append(h.bm25)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.string()),
+                "bm25": pa.array(out_score, pa.float64()),
+            }
+        )
+
+
+def search_dataset(
+    index_dir: str,
+    queries_ds,
+    max_outputs: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    hydrate: bool = False,
+):
+    """Batch search: a Dataset with (query_id:int64, text:string) ->
+    Dataset of (query_id, rank, doc_id, bm25).  Each actor holds the full
+    index read-only; queries stream through the pool — the batch analog of
+    riot's query fan-out, inverted (queries move, index stays)."""
+    return queries_ds.map_batches(
+        _BatchQueryStage,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "max_outputs": max_outputs,
+            "hydrate": hydrate,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -301,8 +410,8 @@ def _make_shard_worker():
 
 class ActorSearcher(_SearcherBase):
     def __init__(self, index_dir: str, num_actors: int = 4, hydrate: bool = False,
-                 num_cpus_per_actor: float = 1.0):
-        super().__init__(index_dir, hydrate)
+                 num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
+        super().__init__(index_dir, hydrate, tokenizer_factory)
         import ray
 
         ShardWorker = _make_shard_worker()

@@ -553,9 +553,14 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, tokens, k
         if keep > 0:
             order = order[:keep]
         out = []
+        hydrate = shard is not None and shard.hydrate_cols
         for i in order:
             sh = hits.hit_at(int(i))
             sh.scores = (sh.bm25,)
+            if hydrate:
+                # SearchDoc hydration (/root/reference/core/ranker.go:179-219)
+                sh.fields = shard.fields_of(int(hits.doc[int(i)]))
+                sh.content = sh.fields.pop(shard.opts.content_col, None)
             out.append(sh)
         return out, n
     # custom criteria / reverse order: per-hit path (drop-on-empty honored,
@@ -569,6 +574,9 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, tokens, k
         if len(scores) == 0:
             continue
         sh.scores = scores
+        if fields:
+            sh.fields = dict(fields)
+            sh.content = sh.fields.pop(shard.opts.content_col, None)
         out.append(sh)
     num = len(out)
     out.sort(key=hit_sort_key(), reverse=rank.reverse_order)

@@ -26,12 +26,19 @@ from ..tokenize import Tokenizer, needs_positions, tokens_map_to_rows
 
 class TokenizeStage:
     """Callable-class stage for ``map_batches`` — actor pool when the
-    tokenizer holds real state (code-mode expansion cache, stop set)."""
+    tokenizer holds real state (code-mode expansion cache, stop set).
 
-    def __init__(self, opts: EngineOpts):
+    ``tokenizer_factory`` injects a custom analyzer (X3 — riot's WithGse,
+    /root/reference/engine.go:250-259): any picklable ``factory(opts) ->
+    Tokenizer-like`` with the same ``doc_tokens_map``/``batch_term_counts``
+    /``query_tokens`` surface.  The same factory must be handed to the
+    searcher so the query side tokenizes byte-identically."""
+
+    def __init__(self, opts: EngineOpts, tokenizer_factory=None):
         self.opts = opts
-        self.tok = Tokenizer(opts)
+        self.tok = (tokenizer_factory or Tokenizer)(opts)
         self.with_pos = needs_positions(opts)
+        self.custom = tokenizer_factory is not None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         opts = self.opts
@@ -40,6 +47,7 @@ class TokenizeStage:
             and not self.with_pos
             and opts.tokens_col is None
             and opts.labels_col is None
+            and hasattr(self.tok, "batch_term_counts")
         )
         if vector_ok:
             return self._vectorized(batch)

@@ -111,7 +111,7 @@ def remove_docs(index_dir: str, doc_ids: list[str]) -> dict:
     return {"n_removed": int(docs.size)}
 
 
-def compact(index_dir: str) -> dict:
+def compact(index_dir: str, tokenizer_factory=None) -> dict:
     """Apply tombstones physically: rewrite only the forward parts and
     segment shards containing dead docs, then refresh termstats + stats.
     Cheap analog of riot's removeCache sweep (core/indexer.go:258-366) —
@@ -162,7 +162,9 @@ def compact(index_dir: str) -> dict:
     files = sorted(x for fs in shard_files.values() for x in fs)
     if files:
         fwd = rd.read_parquet(files, columns=fwd_cols)
-        postings = fwd.map_batches(TokenizeStage(opts), batch_format="pyarrow")
+        postings = fwd.map_batches(
+            TokenizeStage(opts, tokenizer_factory), batch_format="pyarrow"
+        )
         seg = (
             postings.groupby("shard")
             .map_groups(BuildShard(opts, w.segments_dir, fp), batch_format="pyarrow")
@@ -193,7 +195,7 @@ def compact(index_dir: str) -> dict:
     }
 
 
-def add_docs(index_dir: str, source) -> dict:
+def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
     """Incremental indexing (riot addCache analog).  ``source`` is a parquet
     path or Dataset with the original input schema.  New/updated docs are
     hash-routed to their part; each touched part is rewritten (keep-last on
@@ -272,7 +274,9 @@ def add_docs(index_dir: str, source) -> dict:
         fwd_cols.append(opts.labels_col)
     fp = f"add-{uuid.uuid4().hex[:12]}"
     fwd = rd.read_parquet(files, columns=fwd_cols)
-    postings = fwd.map_batches(TokenizeStage(opts), batch_format="pyarrow")
+    postings = fwd.map_batches(
+        TokenizeStage(opts, tokenizer_factory), batch_format="pyarrow"
+    )
     postings.groupby("shard").map_groups(
         BuildShard(opts, w.segments_dir, fp), batch_format="pyarrow"
     ).to_pandas()

@@ -1,0 +1,128 @@
+"""API surface: batch-query Dataset, dump helpers (S5), delimited-text
+source (S6), custom tokenizer injection (X3)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from riot_ray.engine import (
+    LocalSearcher,
+    all_doc_ids,
+    all_docs,
+    has_doc,
+    search_dataset,
+)
+from riot_ray.types import RankOpts, SearchReq
+
+
+def test_dump_helpers(corpus_index):
+    idx = corpus_index["index_dir"]
+    n = corpus_index["stats"]["n_docs"]
+    assert all_doc_ids(idx).count() == n
+    full = all_docs(idx)
+    assert full.count() == n
+    assert {"doc_id", "doc", "content_sha256"} <= set(full.schema().names)
+    some_id = all_doc_ids(idx).take(1)[0]["doc_id"]
+    assert has_doc(idx, some_id)
+    assert not has_doc(idx, "no/such@doc")
+
+
+def test_search_dataset_matches_single(corpus_index, ray_session):
+    import ray.data as rd
+
+    idx = corpus_index["index_dir"]
+    texts = ["parse batch", "merge", "def import", "zzz_nothing"]
+    qds = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = search_dataset(idx, qds, max_outputs=5, concurrency=2).to_pandas()
+    s = LocalSearcher(idx)
+    for qid, text in enumerate(texts):
+        resp = s.search(SearchReq(text=text, rank_opts=RankOpts(max_outputs=5)))
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["doc_id"]) == [h.doc_id for h in resp.docs], text
+        if len(sub):
+            assert max(sub["rank"]) <= 5
+
+
+def test_delimited_text_source(ray_session, tmp_path):
+    from riot_ray.sources import read_delimited_text
+
+    lines = [
+        "1||||alice||||hello world of search",
+        "2||||bob||||another line of text",
+        "bad-line-without-fields",
+        "3||||carol||||the third document",
+    ]
+    p = tmp_path / "docs.txt"
+    p.write_text("\n".join(lines))
+    ds = read_delimited_text(
+        str(p), field_names=["doc_id", None, "content"], sep="||||"
+    )
+    t = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(t.columns) == ["doc_id", "content"]
+    assert list(t["doc_id"]) == ["1", "2", "3"]
+    assert t["content"][0] == "hello world of search"
+
+
+def test_custom_tokenizer_injection(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.tokenize import Tokenizer
+
+    class BigramTokenizer(Tokenizer):
+        """Custom analyzer: word bigrams instead of unigrams."""
+
+        def query_tokens(self, text):
+            words = text.lower().split()
+            return [f"{a}_{b}" for a, b in zip(words, words[1:])]
+
+        def doc_tokens_map(self, content, ext_tokens=None, labels=None):
+            words = (content or "").lower().split()
+            tmap = {}
+            for i, (a, b) in enumerate(zip(words, words[1:])):
+                tmap.setdefault(f"{a}_{b}", []).append(i)
+            return tmap, max(len(words) - 1, 0), {}
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(["1", "2"]),
+            "content": pa.array(["red fox jumps", "red dog sleeps"]),
+        }
+    )
+    src = os.path.join(str(tmp_path), "d.parquet")
+    pq.write_table(table, src)
+    # mode must be non-vectorizable so the custom doc_tokens_map is used
+    opts = EngineOpts(
+        mode="space", id_cols=("doc_id",), content_col="content", meta_cols=(),
+        num_parts=2, num_shards=2,
+    )
+    idx = os.path.join(str(tmp_path), "idx")
+    IndexWriter(idx, opts, tokenizer_factory=BigramTokenizer).build(src)
+
+    # loading without the factory must fail loudly
+    with pytest.raises(ValueError, match="custom tokenizer"):
+        LocalSearcher(idx)
+
+    s = LocalSearcher(idx, tokenizer_factory=BigramTokenizer)
+    resp = s.search(SearchReq(text="red fox"))
+    assert [h.doc_id for h in resp.docs] == ["1"]
+    resp = s.search(SearchReq(text="red dog"))
+    assert [h.doc_id for h in resp.docs] == ["2"]
+
+
+def test_hydration_fields_and_content(corpus_index):
+    s = LocalSearcher(corpus_index["index_dir"], hydrate=True)
+    resp = s.search(SearchReq(text="parse", rank_opts=RankOpts(max_outputs=3)))
+    assert resp.docs
+    for h in resp.docs:
+        assert h.fields is not None and "lang" in h.fields
+        assert isinstance(h.content, str) and len(h.content) > 0

@@ -123,6 +123,22 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     q["search_p99"] = round(float(lat[int(0.99 * len(lat))]), 5)
     q["search_qps"] = round(n_q / total, 1)
 
+    # replicated serving (index fits in RAM): batch QPS, 1 RPC per replica
+    from riot_ray.engine import ReplicatedSearcher
+
+    rs = ReplicatedSearcher(index_dir, replicas=min(8, num_cpus))
+    reqs = [
+        SearchReq(text=f"{terms[i % 10]} {terms[(i + 3) % 10]}",
+                  rank_opts=RankOpts(max_outputs=10))
+        for i in range(2000)
+    ]
+    rs.search_many(reqs[:64])  # warmup
+    t0 = time.time()
+    rs.search_many(reqs)
+    rep_total = time.time() - t0
+    rs.shutdown()
+    q["replicated_qps"] = round(len(reqs) / rep_total, 1)
+
     # 3) pipeline extensions over the same tables
     docs = rd.read_parquet(src)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")

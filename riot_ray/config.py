@@ -90,6 +90,25 @@ class EngineOpts:
         return EngineOpts.from_json_dict(json.loads(s))
 
     @staticmethod
+    def from_toml(path: str) -> "EngineOpts":
+        """TOML config source (riot's ``New("*.toml")`` —
+        /root/reference/riot.go:32-50; no hot-reload).  Top-level keys or an
+        ``[engine]`` table map 1:1 onto EngineOpts fields; ``[bm25]``
+        carries k1/b."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
+        d = dict(data.get("engine", {}))
+        d.update({k: v for k, v in data.items() if not isinstance(v, dict)})
+        if "bm25" in data:
+            d["bm25"] = BM25Params(**data["bm25"])
+        for k in ("id_cols", "meta_cols", "stop_tokens"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return EngineOpts(**d)
+
+    @staticmethod
     def from_json_dict(d: dict) -> "EngineOpts":
         d = dict(d)
         d["bm25"] = BM25Params(**d["bm25"])

@@ -300,6 +300,85 @@ def has_doc(index_dir: str, doc_id: str) -> bool:
 
 
 # --------------------------------------------------------------------------- #
+# replicated serving: N actors each owning the FULL index, round-robin
+# routing — one RPC per query (vs ActorSearcher's per-shard fan-out).
+# The right mode when the index fits one node's RAM and QPS matters; the
+# sharded fan-out is the right mode when it doesn't (100TB-scale).
+# Mirrors riot's multi-replica deployments (/root/reference/docs/en/
+# distributed_indexing_and_search.md).
+# --------------------------------------------------------------------------- #
+def _make_replica():
+    import ray
+
+    @ray.remote
+    class Replica:
+        def __init__(self, index_dir, hydrate, tokenizer_factory):
+            self.searcher = LocalSearcher(index_dir, hydrate, tokenizer_factory)
+
+        def search(self, req):
+            return self.searcher.search(req)
+
+        def search_many(self, reqs):
+            return [self.searcher.search(r) for r in reqs]
+
+    return Replica
+
+
+class ReplicatedSearcher:
+    def __init__(self, index_dir: str, replicas: int = 2, hydrate: bool = False,
+                 num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
+        Replica = _make_replica()
+        self.actors = [
+            Replica.options(num_cpus=num_cpus_per_actor).remote(
+                index_dir, hydrate, tokenizer_factory
+            )
+            for _ in range(max(1, replicas))
+        ]
+        self._rr = 0
+
+    def _next(self):
+        a = self.actors[self._rr % len(self.actors)]
+        self._rr += 1
+        return a
+
+    def search(self, req: SearchReq) -> SearchResp:
+        import ray
+
+        return ray.get(self._next().search.remote(req))
+
+    def search_async(self, req: SearchReq):
+        """Returns an ObjectRef — callers pipeline many queries in flight."""
+        return self._next().search.remote(req)
+
+    def search_many(self, reqs: list) -> list:
+        """Round-robin a batch across replicas, one RPC per replica."""
+        import ray
+
+        n = len(self.actors)
+        buckets = [reqs[i::n] for i in range(n)]
+        futs = [
+            a.search_many.remote(b) for a, b in zip(self.actors, buckets) if b
+        ]
+        parts = ray.get(futs)
+        out = [None] * len(reqs)
+        fi = 0
+        for i, b in enumerate(buckets):
+            if not b:
+                continue
+            for j, r in enumerate(parts[fi]):
+                out[i + j * n] = r
+            fi += 1
+        return out
+
+    def shutdown(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+# --------------------------------------------------------------------------- #
 # batch query API: Dataset of queries -> Dataset of ranked results
 # --------------------------------------------------------------------------- #
 class _BatchQueryStage:

@@ -126,3 +126,45 @@ def test_hydration_fields_and_content(corpus_index):
     for h in resp.docs:
         assert h.fields is not None and "lang" in h.fields
         assert isinstance(h.content, str) and len(h.content) > 0
+
+
+def test_replicated_searcher(corpus_index, ray_session):
+    from riot_ray.engine import ReplicatedSearcher
+
+    idx = corpus_index["index_dir"]
+    rs = ReplicatedSearcher(idx, replicas=2)
+    s = LocalSearcher(idx)
+    reqs = [
+        SearchReq(text=t, rank_opts=RankOpts(max_outputs=5))
+        for t in ("parse", "merge sort", "def import", "batch")
+    ]
+    got = rs.search_many(reqs)
+    for req, resp in zip(reqs, got):
+        want = s.search(req)
+        assert [h.doc_id for h in resp.docs] == [h.doc_id for h in want.docs]
+    one = rs.search(reqs[0])
+    assert [h.doc_id for h in one.docs] == [h.doc_id for h in s.search(reqs[0]).docs]
+    rs.shutdown()
+
+
+def test_opts_from_toml(tmp_path):
+    from riot_ray.config import EngineOpts
+
+    p = tmp_path / "engine.toml"
+    p.write_text(
+        """
+mode = "simple"
+num_shards = 4
+id_cols = ["doc_id"]
+content_col = "text"
+stop_tokens = ["the", "a"]
+
+[bm25]
+k1 = 1.5
+b = 0.5
+"""
+    )
+    o = EngineOpts.from_toml(str(p))
+    assert o.mode == "simple" and o.num_shards == 4
+    assert o.id_cols == ("doc_id",) and o.stop_tokens == ("the", "a")
+    assert o.bm25.k1 == 1.5 and o.bm25.b == 0.5

@@ -28,8 +28,10 @@ INDEX_TYPES = {DOCIDS_INDEX: "docids", FREQS_INDEX: "freqs", LOCS_INDEX: "locs"}
 #   "space"   - reference conformance mode: riot Using=4/NotUseGse semantics
 #               incl. the ForSplitData cumulative-prefix quirk
 #               (/root/reference/segment.go:40-77,192-208)
+#   "chars"   - riot's non-gse char-split path (Using != 4): single chars
+#               through the same ForSplitData quirk (segment.go:105-110)
 #   "pretokenized" - tokens column passthrough (/root/reference/segment.go:117-125)
-TOKENIZE_MODES = ("simple", "code", "space", "pretokenized")
+TOKENIZE_MODES = ("simple", "code", "space", "chars", "pretokenized")
 
 
 @dataclass

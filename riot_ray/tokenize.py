@@ -91,7 +91,7 @@ class Tokenizer:
         if text == "":
             return []
         mode = self.opts.mode
-        if mode == "space":
+        if mode in ("space", "chars"):
             return text.lower().split(" ")
         if mode == "simple":
             return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in self.stop]
@@ -133,6 +133,11 @@ class Tokenizer:
         if mode == "space":
             if content:
                 tokens_map, num_tokens = self._for_split_data(content.lower().split(" "))
+        elif mode == "chars":
+            # riot's non-gse char path (/root/reference/segment.go:105-110):
+            # split into single characters, then the ForSplitData quirk
+            if content:
+                tokens_map, num_tokens = self._for_split_data(list(content.lower()))
         elif mode in ("simple", "code"):
             if content:
                 tokens_map, num_tokens = self._regex_tokens(content)

@@ -127,3 +127,15 @@ def test_labels_tf_zero_only_when_absent():
     m, _, _ = t.doc_tokens_map("foo bar", labels=["baz", "foo"])
     assert m["baz"] is None      # label -> tf=0 marker
     assert m["foo"] == [0]       # existing content term untouched
+
+
+def test_chars_mode_hand_computed():
+    # riot's char-split path: "ab" -> chars [a, b]; ForSplitData emits each
+    # char AND every cumulative prefix with a running 1-based counter
+    t = tok("chars")
+    m, num, _ = t.doc_tokens_map("ab")
+    assert m == {"a": [1, 2], "b": [3], "ab": [4]}
+    assert num == 4
+    m, num, _ = t.doc_tokens_map("xyz")
+    assert m == {"x": [1, 2], "y": [3], "xy": [4], "z": [5], "xyz": [6]}
+    assert num == 6

@@ -207,6 +207,27 @@ def _q_bm25_topk(sf_dir: str):
     )
 
 
+def _q_bm25_topk_wand(sf_dir: str):
+    """Block-max WAND fast path — must equal the exhaustive bm25_topk
+    (same oracle SQL), which the driver verifies independently."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    resp = s.search(
+        SearchReq(
+            text=" ".join(QUERY_TERMS),
+            rank_opts=RankOpts(max_outputs=K),
+            approx_count=True,
+        )
+    )
+    ids = np.array([int(h.doc_id) for h in resp.docs], dtype=np.int64)
+    milli = np.floor(np.array([h.bm25 for h in resp.docs]) * 1000.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "score_milli": pa.array(milli, pa.int64())}
+    )
+
+
 def _q_count_and(sf_dir: str):
     from riot_ray.engine import LocalSearcher
     from riot_ray.types import SearchReq
@@ -343,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_len": _q_doc_token_len,
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_wand": _q_bm25_topk_wand,
         "count_and": _q_count_and,
         "logic_should_notin": _q_logic_should_notin,
         "search_proximity": _q_search_proximity,
@@ -381,7 +403,7 @@ def oracle_sql() -> dict[str, str]:
     stop_in = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     should_in = ", ".join(f"'{t}'" for t in SHOULD_TERMS)
     notin_in = ", ".join(f"'{t}'" for t in NOT_IN_TERMS)
-    return {
+    out = {
         "tf_postings": f"""
             WITH {_TOKS}
             SELECT doc_id, term, count(*)::BIGINT AS tf
@@ -532,3 +554,5 @@ def oracle_sql() -> dict[str, str]:
         # fingerprints / search_proximity / multimodal_decode are
         # approximate or non-SQL-expressible -> rows-only check by design.
     }
+    out["bm25_topk_wand"] = out["bm25_topk"]  # WAND must match exhaustive
+    return out

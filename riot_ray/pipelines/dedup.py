@@ -9,11 +9,12 @@ Five family members, each expressed Ray-Data-first:
                  shingle->doc index: explode shingles, groupby(shingle) to
                  emit co-occurring pairs, count pair intersections, verify
                  |A∩B| / (|A|+|B|-|A∩B|) >= tau.  SQL-oracle-checkable.
-* minhash-LSH  — shingle minhash signatures (vectorized affine permutations)
+* minhash-LSH  — Broder's minhash (1997) + banded LSH: shingle signatures
+                 (vectorized affine permutations)
                  banded into buckets; candidate pairs from bucket groupby,
                  verified by exact jaccard of signatures.  Approximate, so
                  no SQL oracle — tests pin recall vs the exact operator.
-* simhash      — 64-bit tf-weighted simhash; Hamming-<=d pairs found by the
+* simhash      — Charikar's simhash (STOC 2002): 64-bit tf-weighted; Hamming-<=d pairs found by the
                  4x16-bit block trick (a pair within distance 3 must agree
                  on >=1 of 4 blocks -> groupby each block).
 * embedding    — cosine near-dup pairs over list<float> embeddings:

@@ -446,7 +446,10 @@ class ShardData:
         return s, e, np.asarray(ub, dtype=np.float64)
 
     def search_wand(self, tokens, idfs, avgdl, k, dtype_name="float32"):
-        """Exact top-k for an AND query with block-max pruning: iterate the
+        """Exact top-k for an AND query with block-max pruning (Ding & Suel,
+        "Faster top-k document retrieval using block-max indexes",
+        SIGIR 2011 — public literature; applied here to riot's AND
+        semantics): iterate the
         rarest term's blocks in doc order; a block is decoded and scored
         only if (its own upper bound + the other terms' max upper bound over
         the overlapping doc range) can beat the current k-th score.  Returns

@@ -168,3 +168,19 @@ b = 0.5
     assert o.mode == "simple" and o.num_shards == 4
     assert o.id_cols == ("doc_id",) and o.stop_tokens == ("the", "a")
     assert o.bm25.k1 == 1.5 and o.bm25.b == 0.5
+
+
+def test_actor_timeout_partial_results(corpus_index, ray_session):
+    """timeout_ms: ray.wait returns partial results + the Timeout flag
+    (riot's NotTimeOut/TimeOut collect — /root/reference/engine.go:557-630)."""
+    from riot_ray.engine import ActorSearcher
+
+    se = ActorSearcher(corpus_index["index_dir"], num_actors=2)
+    # first query races cold actor startup (index load >> 1ms) -> timeout
+    resp = se.search(SearchReq(text="parse", timeout_ms=1))
+    assert resp.timeout is True
+    # generous timeout after warmup -> complete results, flag off
+    warm = se.search(SearchReq(text="parse", timeout_ms=30_000))
+    assert warm.timeout is False
+    assert warm.num_docs > 0
+    se.shutdown()

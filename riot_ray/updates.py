@@ -160,6 +160,7 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
     if opts.labels_col:
         fwd_cols.append(opts.labels_col)
     files = sorted(x for fs in shard_files.values() for x in fs)
+    rebuilt: set = set()
     if files:
         fwd = rd.read_parquet(files, columns=fwd_cols)
         postings = fwd.map_batches(
@@ -170,16 +171,21 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
             .map_groups(BuildShard(opts, w.segments_dir, fp), batch_format="pyarrow")
             .to_pandas()
         )
-    # a shard whose docs ALL died produces no group -> drop its directory
+        # an all-dead shard contributes no postings: the groupby can come
+        # back empty with no schema at all
+        if len(seg) and "shard" in seg.columns:
+            rebuilt = {int(x) for x in seg["shard"]}
+    # a shard whose docs ALL died produces no postings group — its stale
+    # segment dir must go, or serving would read postings for docs that no
+    # longer exist in the forward table
     for s in dead_shards:
+        if s in rebuilt:
+            continue
         sdir = shard_dir(w.segments_dir, s)
-        man = os.path.join(sdir, "manifest.json")
-        if os.path.exists(man):
-            with open(man) as fh:
-                if json.load(fh).get("fingerprint") != fp and not shard_files[s]:
-                    import shutil
+        if os.path.exists(sdir):
+            import shutil
 
-                    shutil.rmtree(sdir)
+            shutil.rmtree(sdir)
 
     # 3) refresh global termstats + stats from all shard outputs
     _refresh_stats(index_dir, w, opts, stats, fp)

@@ -128,3 +128,26 @@ def __table_to_ds(table):
     import ray.data as rd
 
     return rd.from_arrow(table)
+
+
+def test_compact_fully_dead_shard(ray_session, tmp_path):
+    """Removing EVERY doc of a shard then compacting must drop that shard's
+    segment dir (stale postings would reference docs absent from the
+    forward table) and leave search working."""
+    import glob
+
+    corpus = make_corpus(60, seed=4)
+    idx = _build(str(tmp_path), "deadshard", corpus)
+    # opts in _build: num_parts=4 num_shards=2 -> parts 0,1 -> shard 0
+    f01 = sorted(glob.glob(os.path.join(idx, "forward", "part=0000[01].parquet")))
+    ids = []
+    for f in f01:
+        ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    remove_docs(idx, ids)
+    st = compact(idx)
+    assert st["n_removed"] == len(ids)
+    assert not os.path.exists(os.path.join(idx, "segments", "shard=00000"))
+    s = LocalSearcher(idx)
+    resp = s.search(SearchReq(text="parse"))
+    assert load_stats(idx)["n_docs"] == 60 - len(ids)
+    assert all(h.doc_id not in set(ids) for h in resp.docs)

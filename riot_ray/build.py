@@ -99,6 +99,14 @@ class IndexWriter:
         self._build_termstats()
 
         # ---- global stats ------------------------------------------------
+        if len(seg_manifest) == 0 or "n_docs" not in seg_manifest.columns:
+            # empty source: no shard groups at all
+            import pandas as pd
+
+            seg_manifest = pd.DataFrame(
+                columns=["n_docs", "total_token_len", "n_postings",
+                         "n_terms", "n_blocks", "skipped"]
+            )
         stats = {
             "n_docs": int(seg_manifest["n_docs"].sum()),
             "total_token_len": float(seg_manifest["total_token_len"].sum()),
@@ -174,7 +182,15 @@ class IndexWriter:
         tmp_ts = self.termstats_dir + ".tmp"
         if os.path.exists(tmp_ts):
             shutil.rmtree(tmp_ts)
-        if total_rows <= self.DRIVER_DF_ROWS:
+        if not terms_files:
+            # empty index: an empty df table keeps every loader simple
+            os.makedirs(tmp_ts, exist_ok=True)
+            pq.write_table(
+                pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())}),
+                os.path.join(tmp_ts, "df.parquet"),
+            )
+        elif total_rows <= self.DRIVER_DF_ROWS:
             t = pa.concat_tables(pq.read_table(f) for f in terms_files)
             agg = t.group_by("term").aggregate([("df_local", "sum")])
             agg = agg.rename_columns(["term", "df"])

@@ -120,6 +120,12 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
     tomb = load_tombstones(index_dir)
     stats = load_stats(index_dir)
     opts = EngineOpts.from_json_dict(stats["opts"])
+    if not opts.store_content:
+        raise ValueError(
+            "compact requires an index built with store_content=True: dead "
+            "shards are re-tokenized from the forward table, which holds no "
+            "content in this index (tombstone serving still works)"
+        )
     if tomb.size == 0:
         return {"n_removed": 0, "parts_rewritten": 0, "shards_rebuilt": 0}
 
@@ -211,6 +217,12 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
     t0 = time.time()
     stats = load_stats(index_dir)
     opts = EngineOpts.from_json_dict(stats["opts"])
+    if not opts.store_content:
+        raise ValueError(
+            "add_docs requires an index built with store_content=True: the "
+            "touched shards are re-tokenized from the forward table, which "
+            "holds no content in this index"
+        )
     w = IndexWriter(index_dir, opts)
 
     ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)

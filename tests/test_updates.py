@@ -151,3 +151,21 @@ def test_compact_fully_dead_shard(ray_session, tmp_path):
     resp = s.search(SearchReq(text="parse"))
     assert load_stats(idx)["n_docs"] == 60 - len(ids)
     assert all(h.doc_id not in set(ids) for h in resp.docs)
+
+
+def test_empty_corpus_build_and_search(ray_session, tmp_path):
+    empty = make_corpus(5, seed=1).slice(0, 0)
+    idx = _build(str(tmp_path), "empty", empty)
+    assert load_stats(idx)["n_docs"] == 0
+    s = LocalSearcher(idx)
+    resp = s.search(SearchReq(text="anything"))
+    assert resp.docs == [] and resp.num_docs == 0
+
+
+def test_add_docs_requires_stored_content(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = _build(str(tmp_path), "nostore", make_corpus(30, seed=2),
+                 store_content=False)
+    with pytest.raises(ValueError, match="store_content"):
+        add_docs(idx, rd.from_arrow(make_corpus(31, seed=2).slice(30, 1)))

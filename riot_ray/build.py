@@ -89,7 +89,9 @@ class IndexWriter:
         seg_manifest = (
             postings.groupby("shard")
             .map_groups(
-                BuildShard(opts, self.segments_dir, fp), batch_format="pyarrow"
+                BuildShard(opts, self.segments_dir, fp),
+                batch_format="pyarrow",
+                num_cpus=opts.shard_build_num_cpus,
             )
             .to_pandas()
         )

@@ -174,7 +174,11 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
         )
         seg = (
             postings.groupby("shard")
-            .map_groups(BuildShard(opts, w.segments_dir, fp), batch_format="pyarrow")
+            .map_groups(
+                BuildShard(opts, w.segments_dir, fp),
+                batch_format="pyarrow",
+                num_cpus=opts.shard_build_num_cpus,
+            )
             .to_pandas()
         )
         # an all-dead shard contributes no postings: the groupby can come
@@ -296,7 +300,9 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
         TokenizeStage(opts, tokenizer_factory), batch_format="pyarrow"
     )
     postings.groupby("shard").map_groups(
-        BuildShard(opts, w.segments_dir, fp), batch_format="pyarrow"
+        BuildShard(opts, w.segments_dir, fp),
+        batch_format="pyarrow",
+        num_cpus=opts.shard_build_num_cpus,
     ).to_pandas()
 
     # shards were rebuilt from tombstone-free forward parts; clear any

@@ -49,6 +49,12 @@ def _init_ray(num_cpus: int):
 
 
 def _bench_opts(num_cpus: int = 32):
+    """ONE fixed engine config for every bench leg (the scaling comparison
+    must measure the same job at two cluster sizes, not two tunings).
+    Stage-sizing rationale: tokenize concurrency 8 and 2 CPUs per
+    shard-build task reduce concurrent pressure on the memory bus
+    (measured 15-30% faster at 16 CPUs); at smaller clusters Ray clamps
+    to available resources."""
     from riot_ray.config import EngineOpts
 
     return EngineOpts(
@@ -59,9 +65,7 @@ def _bench_opts(num_cpus: int = 32):
         num_parts=32,
         num_shards=16,
         tokenize_batch_size=2048,
-        # capping tokenize concurrency below total CPUs reduces memory-
-        # bandwidth contention with the shuffle (measured 30% faster)
-        tokenize_concurrency=max(4, num_cpus // 2),
+        tokenize_concurrency=8,
         shard_build_num_cpus=2.0,
     )
 

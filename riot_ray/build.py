@@ -36,7 +36,9 @@ STATS_FILE = "stats.json"
 
 
 def _fingerprint(opts: EngineOpts, source: str) -> str:
-    return hashlib.sha256((opts.to_json() + "\0" + source).encode()).hexdigest()[:16]
+    return hashlib.sha256(
+        (opts.semantic_json() + "\0" + source).encode()
+    ).hexdigest()[:16]
 
 
 class IndexWriter:
@@ -80,21 +82,10 @@ class IndexWriter:
             AssignIds(opts, self.forward_dir, return_rows=True),
             batch_format="pyarrow",
         )
-        tok_kwargs: dict = {"batch_format": "pyarrow", "batch_size": opts.tokenize_batch_size}
-        if opts.tokenize_concurrency:
-            tok_kwargs["concurrency"] = opts.tokenize_concurrency
         postings = assigned.map_batches(
-            TokenizeStage(opts, self.tokenizer_factory), **tok_kwargs
+            TokenizeStage(opts, self.tokenizer_factory), **self.tokenize_kwargs()
         )
-        seg_manifest = (
-            postings.groupby("shard")
-            .map_groups(
-                BuildShard(opts, self.segments_dir, fp),
-                batch_format="pyarrow",
-                num_cpus=opts.shard_build_num_cpus,
-            )
-            .to_pandas()
-        )
+        seg_manifest = self.build_segments(postings, fp)
         n_docs_forward = self._forward_doc_count()
 
         # ---- global term stats (df) -------------------------------------
@@ -128,6 +119,39 @@ class IndexWriter:
         with open(os.path.join(self.index_dir, STATS_FILE), "w") as f:
             json.dump(stats, f, indent=1)
         return stats
+
+    def build_segments(self, postings, fp: str):
+        """groupby(shard) -> BuildShard with clamped per-task CPUs — the one
+        place the shard-build remote-args live (build/compact/add share it).
+        shard_build_num_cpus is clamped to the CURRENT cluster so an index
+        built on a big node never makes its maintenance jobs unschedulable
+        on a small one."""
+        import ray
+
+        cpus = None
+        try:
+            if ray.is_initialized():
+                cpus = ray.cluster_resources().get("CPU")
+        except Exception:
+            pass
+        num_cpus = self.opts.shard_build_num_cpus
+        if cpus:
+            num_cpus = max(1.0, min(float(num_cpus), float(cpus)))
+        return (
+            postings.groupby("shard")
+            .map_groups(
+                BuildShard(self.opts, self.segments_dir, fp),
+                batch_format="pyarrow",
+                num_cpus=num_cpus,
+            )
+            .to_pandas()
+        )
+
+    def tokenize_kwargs(self) -> dict:
+        kw: dict = {"batch_format": "pyarrow", "batch_size": self.opts.tokenize_batch_size}
+        if self.opts.tokenize_concurrency:
+            kw["concurrency"] = self.opts.tokenize_concurrency
+        return kw
 
     def _read_source(self, source):
         """Read with ~one block per cluster CPU (floored by

@@ -84,11 +84,25 @@ class EngineOpts:
     def id_for(self) -> str:
         return INDEX_TYPES[self.index_type]
 
+    # knobs that change scheduling/batching but NOT the bytes produced —
+    # excluded from the semantic fingerprint so tuning them (or upgrading)
+    # never invalidates resume manifests
+    SCHEDULING_ONLY = ("tokenize_batch_size", "tokenize_concurrency",
+                       "shard_build_num_cpus")
+
     def to_json(self) -> str:
         d = asdict(self)
         d["id_cols"] = list(self.id_cols)
         d["meta_cols"] = list(self.meta_cols)
         d["stop_tokens"] = list(self.stop_tokens)
+        return json.dumps(d, sort_keys=True)
+
+    def semantic_json(self) -> str:
+        """Canonical form for build fingerprints: scheduling-only knobs
+        excluded (identical output regardless of their values)."""
+        d = json.loads(self.to_json())
+        for k in self.SCHEDULING_ONLY:
+            d.pop(k, None)
         return json.dumps(d, sort_keys=True)
 
     @staticmethod

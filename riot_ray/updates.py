@@ -41,7 +41,7 @@ from .build import STATS_FILE, IndexWriter, load_stats
 from .config import PART_SHIFT, EngineOpts, shard_of_part
 from .stages.postings import TokenizeStage
 from .stages.prepare import derive_doc_id, make_prepare_fn
-from .stages.segments import BuildShard, shard_dir
+from .stages.segments import shard_dir
 
 
 def _tomb_dir(index_dir: str) -> str:
@@ -170,17 +170,9 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
     if files:
         fwd = rd.read_parquet(files, columns=fwd_cols)
         postings = fwd.map_batches(
-            TokenizeStage(opts, tokenizer_factory), batch_format="pyarrow"
+            TokenizeStage(opts, tokenizer_factory), **w.tokenize_kwargs()
         )
-        seg = (
-            postings.groupby("shard")
-            .map_groups(
-                BuildShard(opts, w.segments_dir, fp),
-                batch_format="pyarrow",
-                num_cpus=opts.shard_build_num_cpus,
-            )
-            .to_pandas()
-        )
+        seg = w.build_segments(postings, fp)
         # an all-dead shard contributes no postings: the groupby can come
         # back empty with no schema at all
         if len(seg) and "shard" in seg.columns:
@@ -297,13 +289,9 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
     fp = f"add-{uuid.uuid4().hex[:12]}"
     fwd = rd.read_parquet(files, columns=fwd_cols)
     postings = fwd.map_batches(
-        TokenizeStage(opts, tokenizer_factory), batch_format="pyarrow"
+        TokenizeStage(opts, tokenizer_factory), **w.tokenize_kwargs()
     )
-    postings.groupby("shard").map_groups(
-        BuildShard(opts, w.segments_dir, fp),
-        batch_format="pyarrow",
-        num_cpus=opts.shard_build_num_cpus,
-    ).to_pandas()
+    w.build_segments(postings, fp)
 
     # shards were rebuilt from tombstone-free forward parts; clear any
     # tombstones covering ONLY retired docs in touched shards (they are

@@ -65,3 +65,17 @@ def test_changed_input_invalidates(ray_session, tmp_path):
     w.build(src1)
     s = w.build(src2)  # different source path -> different fingerprint
     assert s["shards_skipped"] == 0
+
+
+def test_scheduling_knobs_do_not_invalidate_resume(ray_session, tmp_path):
+    """Tuning scheduling-only knobs (batch size, concurrency, per-task CPUs)
+    must not change the build fingerprint — resume still skips."""
+    src = write_corpus(str(tmp_path / "s" / "c.parquet"), 80, seed=5)
+    o1 = EngineOpts(mode="code", num_parts=4, num_shards=2)
+    w1 = IndexWriter(str(tmp_path / "idx"), o1)
+    w1.build(src)
+    o2 = EngineOpts(mode="code", num_parts=4, num_shards=2,
+                    tokenize_batch_size=512, tokenize_concurrency=2,
+                    shard_build_num_cpus=2.0)
+    s2 = IndexWriter(str(tmp_path / "idx"), o2).build(src)
+    assert s2["shards_skipped"] == 2

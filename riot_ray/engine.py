@@ -38,14 +38,9 @@ def _load_termstats(index_dir: str) -> dict:
 
 
 def _load_tombstones(index_dir: str) -> np.ndarray:
-    d = os.path.join(index_dir, "tombstones")
-    if not os.path.isdir(d):
-        return np.empty(0, dtype=np.uint64)
-    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    if not files:
-        return np.empty(0, dtype=np.uint64)
-    t = pq.read_table(files, columns=["doc"])
-    return np.unique(t["doc"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    from .updates import load_tombstones
+
+    return load_tombstones(index_dir)
 
 
 class _SearcherBase:
@@ -151,7 +146,10 @@ class _SearcherBase:
                 keep,
                 orderless=False,
             )
-            return self._collect(results, req, rank, resp)
+            out = self._collect(results, req, rank, resp)
+            # num_docs = docs actually SCORED (pruned blocks never counted)
+            out.num_docs = results[2]
+            return out
         results = self._dispatch(
             "search",
             dict(
@@ -246,7 +244,7 @@ class LocalSearcher(_SearcherBase):
             if orderless:
                 per_shard.append(rank_hit_passthrough(hits))
                 continue
-            ranked, n_scored = rank_hits(hits, rank, s, kwargs.get("tokens", []), keep)
+            ranked, n_scored = rank_hits(hits, rank, s, keep)
             num_scored += n_scored
             per_shard.append(ranked)
         return per_shard, num_scored, num_found, False
@@ -385,8 +383,11 @@ class _BatchQueryStage:
     """Actor-pool stage: one LocalSearcher per actor (index loaded once in
     __init__ — T2/T3), each batch of query rows searched in-process."""
 
-    def __init__(self, index_dir: str, max_outputs: int, hydrate: bool):
-        self.searcher = LocalSearcher(index_dir, hydrate=hydrate)
+    def __init__(self, index_dir: str, max_outputs: int, hydrate: bool,
+                 tokenizer_factory=None):
+        self.searcher = LocalSearcher(
+            index_dir, hydrate=hydrate, tokenizer_factory=tokenizer_factory
+        )
         self.max_outputs = max_outputs
 
     def __call__(self, batch):
@@ -422,6 +423,7 @@ def search_dataset(
     concurrency: int = 4,
     batch_size: int = 256,
     hydrate: bool = False,
+    tokenizer_factory=None,
 ):
     """Batch search: a Dataset with (query_id:int64, text:string) ->
     Dataset of (query_id, rank, doc_id, bm25).  Each actor holds the full
@@ -433,6 +435,7 @@ def search_dataset(
             "index_dir": index_dir,
             "max_outputs": max_outputs,
             "hydrate": hydrate,
+            "tokenizer_factory": tokenizer_factory,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -471,7 +474,7 @@ def _make_shard_worker():
                 if orderless:
                     out_hits.append(rank_hit_passthrough(hits))
                     continue
-                ranked, n_sc = rank_hits(hits, rank, s, kwargs.get("tokens", []), keep)
+                ranked, n_sc = rank_hits(hits, rank, s, keep)
                 num_scored += n_sc
                 out_hits.append(ranked)
             return out_hits, num_scored, num_found

@@ -249,7 +249,6 @@ def fingerprint_batch(
             has_win[sel_parent] = True
             order = np.lexsort((sel_min, sel_parent))
             sp, sm = sel_parent[order], sel_min[order]
-            newdoc = np.r_[True, sp[1:] != sp[:-1]]
             dedup_mask = np.r_[True, (sp[1:] != sp[:-1]) | (sm[1:] != sm[:-1])]
             for p, v in zip(sp[dedup_mask], sm[dedup_mask]):
                 fps[p].append(int(v))

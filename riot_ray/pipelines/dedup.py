@@ -159,13 +159,34 @@ def ngram_jaccard_pairs(
     max_group: int = 512,
 ):
     """Exact n-gram Jaccard duplicate pairs: columns
-    (id_a, id_b, jaccard) with jaccard rounded to 6dp, id_a < id_b."""
+    (id_a, id_b, jaccard) with jaccard rounded to 6dp, id_a < id_b.
+
+    Shingles shared by more than ``max_group`` docs (no-signal boilerplate)
+    are removed from the shingle UNIVERSE — both the pair counts and the
+    per-doc sizes — so the reported jaccard is exact over the filtered
+    universe (dropping them from candidates alone would understate the
+    intersection of surfaced pairs).  With no shingle over the cap the
+    result is plain exact jaccard (the SQL-oracle case)."""
     import ray
     from ray.data.aggregate import Count
 
     shingles = ds.map_batches(
         lambda b: shingle_batch(b, text_col, id_col, n), batch_format="pyarrow"
-    ).materialize()  # reused twice (sizes + pairs): materialize once
+    ).materialize()  # reused below: materialize once
+
+    # hot-shingle filter: df per shingle, drop df > max_group everywhere
+    sh_df = shingles.groupby("shingle").aggregate(Count(alias_name="df"))
+    hot_tbl = sh_df.filter(lambda r: r["df"] > max_group).to_pandas()
+    if len(hot_tbl):
+        hot = np.sort(hot_tbl["shingle"].to_numpy().astype(np.uint64))
+        hot_ref = ray.put(hot)
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            h = ray.get(hot_ref)
+            sh = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.filter(pa.array(~np.isin(sh, h, assume_unique=False)))
+
+        shingles = shingles.map_batches(drop_hot, batch_format="pyarrow").materialize()
 
     sizes = shingles.groupby(id_col).aggregate(Count(alias_name="n_shingles"))
     size_tbl = sizes.to_pandas()
@@ -212,9 +233,12 @@ def ngram_jaccard_pairs(
 # minhash + LSH
 # --------------------------------------------------------------------------- #
 def _perm_params(num_perm: int, seed: int):
+    """a, b < 2^32 so a * x32 + b < 2^64 computes EXACTLY in uint64 — a
+    full-width product would silently wrap mod 2^64 before the Mersenne
+    mod, breaking the permutation family (collisions bias est_jaccard)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -237,9 +261,10 @@ class MinHashStage:
         starts = np.r_[0, 1 + np.flatnonzero(kp[1:] != kp[:-1])] if len(kp) else np.empty(0, np.int64)
         sigs = np.full((len(ids_all), self.num_perm), np.iinfo(np.uint64).max, np.uint64)
         if len(kp):
-            # (n_shingles, num_perm) affine hash mod 2^61-1 — size batches so
-            # n_shingles * num_perm * 8B fits the worker heap
-            hv = (kg[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            # fold shingles to 32 bits so the affine hash is exact in u64;
+            # (n_shingles, num_perm) — size batches so this fits worker heap
+            x32 = (kg ^ (kg >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
+            hv = (x32[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
             mins = np.minimum.reduceat(hv, starts, axis=0)
             present_ids = kp[starts.astype(np.int64)]
             id_to_row = {v: i for i, v in enumerate(ids_all)}

@@ -147,6 +147,13 @@ def knn_lsh(
         flips = [np.uint64(0)]
         if multiprobe >= 1:
             flips += [np.uint64(1 << b) for b in range(n_planes)]
+        if multiprobe >= 2:
+            from itertools import combinations
+
+            flips += [np.uint64((1 << i) | (1 << j))
+                      for i, j in combinations(range(n_planes), 2)]
+        if multiprobe >= 3:
+            raise ValueError("multiprobe > 2 is not implemented")
         for t in range(n_tables):
             for f in flips:
                 cand_mask |= g_qkeys[t][:, None] == (keys[t][None, :] ^ f)

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from .codecs import decode_varbyte
-from .config import DOCIDS_INDEX, LOCS_INDEX, EngineOpts
+from .config import DOCIDS_INDEX, LOCS_INDEX, EngineOpts, shard_of_part
 from .types import Logic, RankOpts, ScoredHit, SearchReq, SearchResp, hit_sort_key
 
 
@@ -187,7 +187,7 @@ class ShardData:
         files = []
         for f in sorted(glob.glob(os.path.join(index_dir, "forward", "part=*.parquet"))):
             part = int(re.search(r"part=(\d+)", f).group(1))
-            if part * opts.num_shards // opts.num_parts == self.shard_id:
+            if shard_of_part(part, opts.num_parts, opts.num_shards) == self.shard_id:
                 files.append(f)
         extra = []
         if hydrate:
@@ -266,7 +266,9 @@ class ShardData:
     # -- lookup kernels --------------------------------------------------- #
     def _alive(self, cand: np.ndarray) -> np.ndarray:
         if self.tombstones.size:
-            dead = np.isin(cand, self.tombstones, assume_unique=True)
+            # cand may contain duplicates (the NotIn-only quirk preserves
+            # them) — assume_unique would silently drop live docs
+            dead = np.isin(cand, self.tombstones)
             cand = cand[~dead]
         return cand
 
@@ -471,9 +473,24 @@ class ShardData:
 
         import heapq
 
-        heap: list = []  # min-heap of (score, -doc) keeping k best
+        class _RevStr:
+            """Inverted string order so the min-heap evicts the LARGEST
+            doc_id among tied scores — matching the exact path's
+            (score desc, doc_id asc) total order at the k boundary."""
+
+            __slots__ = ("v",)
+
+            def __init__(self, v):
+                self.v = v
+
+            def __lt__(self, other):
+                return self.v > other.v
+
+            def __eq__(self, other):
+                return self.v == other.v
+
+        heap: list = []  # min-heap of (score, _RevStr(doc_id), doc)
         n_scored = 0
-        d = None
         for bi in range(ls, le):
             lo, hi = self.blk_min[bi], self.blk_max[bi]
             ub = lead_ub[bi - ls]
@@ -488,8 +505,9 @@ class ShardData:
                 ub += float(np.max(oub[a - s : b - s]))
             if not ok:
                 continue
-            if len(heap) >= k and ub <= heap[0][0]:
-                continue  # block-max prune
+            if len(heap) >= k and ub < heap[0][0]:
+                continue  # block-max prune (strict: a tied block could
+                # still hold a smaller doc_id that wins the tie)
             docs, tfs = self.block_postings(lead_t, bi)
             cand = docs
             cand_tf = {lead_t: tfs}
@@ -522,25 +540,26 @@ class ShardData:
                 )
                 score = score + np.where(tf_t > 0, contrib, dtype(0.0))
             n_scored += int(cand.size)
-            for c, sc in zip(cand, score):
-                item = (float(sc), -int(c))
+            cand_ids = self.doc_ids_of(cand)
+            for c, cid, sc in zip(cand, cand_ids, score):
+                item = (float(sc), _RevStr(cid), int(c))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
         if not heap:
             return HitBlock.empty(), 0
-        heap.sort(reverse=True)  # score desc, doc asc
-        docs_out = np.array([-h[1] for h in heap], dtype=np.uint64)
+        heap.sort(reverse=True)  # score desc, doc_id asc (_RevStr inverts)
+        docs_out = np.array([h[2] for h in heap], dtype=np.uint64)
         scores_out = np.array([h[0] for h in heap], dtype=np.float64)
-        ids_out = self.doc_ids_of(docs_out)
+        ids_out = np.array([h[1].v for h in heap], dtype=object)
         return HitBlock(docs_out, ids_out, scores_out), n_scored
 
 
 # --------------------------------------------------------------------------- #
 # ranking (per shard) and merge
 # --------------------------------------------------------------------------- #
-def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, tokens, keep: int):
+def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, keep: int):
     """Apply scoring criteria, sort by the documented total order, truncate
     to ``keep`` (= offset+max per shard — /root/reference/ranker_worker.go:62-66).
     Returns (list[ScoredHit], num_scored)."""

@@ -328,3 +328,33 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         MediaDecodeStage(decode="real")
+
+
+def test_ngram_jaccard_hot_shingle_filter(ray_session):
+    """Shingles above max_group are removed from the UNIVERSE (sizes and
+    pair counts together) so surfaced pairs keep exact jaccard over the
+    filtered universe — not an understated intersection."""
+    import ray.data as rd
+
+    boiler = "common header line repeated in every file here "  # hot shingles
+    # per-doc tails use doc-specific words so cross-doc shingles exist ONLY
+    # via the boilerplate...
+    texts = [boiler + f"tail{i} word{i} alpha{i} beta{i} gamma{i} end{i}" for i in range(8)]
+    # ...except docs 6/7, which share a rare 9-word phrase differing in the
+    # final word -> their true overlap survives the hot-shingle filter
+    texts[6] = boiler + "rare penguin stanza flows deeply tonight over still water six"
+    texts[7] = boiler + "rare penguin stanza flows deeply tonight over still water seven"
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()), "text": pa.array(texts)})
+    )
+    # cap of 4 kills the 8-doc boilerplate shingles entirely
+    got = (
+        __import__("riot_ray.pipelines.dedup", fromlist=["ngram_jaccard_pairs"])
+        .ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_group=4)
+        .to_pandas()
+    )
+    pairs = {tuple(x) for x in got[["id_a", "id_b"]].to_numpy()}
+    assert (6, 7) in pairs
+    row = got[(got["id_a"] == 6) & (got["id_b"] == 7)].iloc[0]
+    # over the filtered universe docs 6/7 share all but the number shingles
+    assert row["jaccard"] > 0.5

@@ -35,10 +35,18 @@ from .stages.segments import BuildShard
 STATS_FILE = "stats.json"
 
 
-def _fingerprint(opts: EngineOpts, source: str) -> str:
-    return hashlib.sha256(
-        (opts.semantic_json() + "\0" + source).encode()
-    ).hexdigest()[:16]
+def _fingerprint(opts: EngineOpts, source: str, files=None) -> str:
+    """Semantic opts + source description + file-level metadata (path,
+    size, mtime) of every input file — a changed input invalidates resume
+    without hashing 100 TB of content."""
+    h = hashlib.sha256((opts.semantic_json() + "\0" + source).encode())
+    for f in sorted(files or []):
+        try:
+            st = os.stat(f)
+            h.update(f"|{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"|{f}:?".encode())
+    return h.hexdigest()[:16]
 
 
 class IndexWriter:
@@ -71,7 +79,12 @@ class IndexWriter:
 
         ds = source if isinstance(source, rd.Dataset) else self._read_source(source)
         desc = source_desc or (source if isinstance(source, str) else "dataset")
-        fp = _fingerprint(opts, desc)
+        src_files = []
+        if isinstance(source, str) and os.path.isfile(source):
+            src_files = [source]
+        elif isinstance(source, (list, tuple)):
+            src_files = [f for f in source if isinstance(f, str) and os.path.isfile(f)]
+        fp = _fingerprint(opts, desc, src_files)
 
         # ---- ONE fused pipeline: the doc-pass groupby output feeds the
         # tokenize stage directly (AssignIds writes forward/part=K.parquet as
@@ -79,13 +92,12 @@ class IndexWriter:
         # DAG with two shuffles (part, shard) and one barrier at the end.
         prepared = ds.map_batches(make_prepare_fn(opts), batch_format="pyarrow")
         assigned = prepared.groupby("part").map_groups(
-            AssignIds(opts, self.forward_dir, return_rows=True),
+            AssignIds(opts, self.forward_dir, return_rows=True, fingerprint=fp),
             batch_format="pyarrow",
         )
-        postings = assigned.map_batches(
-            TokenizeStage(opts, self.tokenizer_factory), **self.tokenize_kwargs()
-        )
+        postings = self.apply_tokenize(assigned)
         seg_manifest = self.build_segments(postings, fp)
+        self._remove_stale_outputs(fp)
         n_docs_forward = self._forward_doc_count()
 
         # ---- global term stats (df) -------------------------------------
@@ -120,6 +132,27 @@ class IndexWriter:
             json.dump(stats, f, indent=1)
         return stats
 
+    def _remove_stale_outputs(self, fp: str):
+        """Drop forward parts / segment shards whose manifests carry a
+        DIFFERENT fingerprint — leftovers of an earlier build into the same
+        index_dir (different corpus or partitioning) would otherwise leak
+        into termstats and serving."""
+        import shutil
+
+        for man in glob.glob(os.path.join(self.forward_dir, "part=*.manifest.json")):
+            with open(man) as f:
+                m = json.load(f)
+            if m.get("fingerprint") != fp:
+                part_file = man.replace(".manifest.json", ".parquet")
+                for path in (man, part_file):
+                    if os.path.exists(path):
+                        os.remove(path)
+        for man in glob.glob(os.path.join(self.segments_dir, "shard=*", "manifest.json")):
+            with open(man) as f:
+                m = json.load(f)
+            if m.get("fingerprint") != fp:
+                shutil.rmtree(os.path.dirname(man))
+
     def build_segments(self, postings, fp: str):
         """groupby(shard) -> BuildShard with clamped per-task CPUs — the one
         place the shard-build remote-args live (build/compact/add share it).
@@ -147,11 +180,27 @@ class IndexWriter:
             .to_pandas()
         )
 
-    def tokenize_kwargs(self) -> dict:
-        kw: dict = {"batch_format": "pyarrow", "batch_size": self.opts.tokenize_batch_size}
-        if self.opts.tokenize_concurrency:
-            kw["concurrency"] = self.opts.tokenize_concurrency
-        return kw
+    def apply_tokenize(self, ds):
+        """Tokenize stage.  With tokenize_concurrency set, pass the CLASS so
+        Ray Data runs an ACTOR pool — a callable instance runs as tasks and
+        the code-mode expansion cache would be rebuilt per task."""
+        opts = self.opts
+        if opts.tokenize_concurrency:
+            return ds.map_batches(
+                TokenizeStage,
+                fn_constructor_kwargs={
+                    "opts": opts,
+                    "tokenizer_factory": self.tokenizer_factory,
+                },
+                batch_format="pyarrow",
+                batch_size=opts.tokenize_batch_size,
+                concurrency=opts.tokenize_concurrency,
+            )
+        return ds.map_batches(
+            TokenizeStage(opts, self.tokenizer_factory),
+            batch_format="pyarrow",
+            batch_size=opts.tokenize_batch_size,
+        )
 
     def _read_source(self, source):
         """Read with ~one block per cluster CPU (floored by
@@ -219,9 +268,11 @@ class IndexWriter:
         elif total_rows <= self.DRIVER_DF_ROWS:
             t = pa.concat_tables(pq.read_table(f) for f in terms_files)
             agg = t.group_by("term").aggregate([("df_local", "sum")])
-            agg = agg.rename_columns(["term", "df"])
+            # select by NAME: pyarrow's aggregate column order has changed
+            # across major versions — a positional rename silently swaps
+            out = pa.table({"term": agg["term"], "df": agg["df_local_sum"]})
             os.makedirs(tmp_ts, exist_ok=True)
-            pq.write_table(agg, os.path.join(tmp_ts, "df.parquet"))
+            pq.write_table(out, os.path.join(tmp_ts, "df.parquet"))
         else:
             from ray.data.aggregate import Sum
 

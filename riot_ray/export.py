@@ -43,7 +43,6 @@ def postings_dataset(index_dir: str):
         doc_sorted, id_sorted = ray.get(fwd_ref)
         terms_out, ids_out, tf_out = [], [], []
         terms = batch["term"].to_pylist()
-        ns = batch["n"].to_numpy(zero_copy_only=False)
         for i in range(batch.num_rows):
             docs = np.cumsum(
                 decode_varbyte(batch["docs_vb"][i].as_py()), dtype=np.uint64

@@ -64,7 +64,7 @@ def make_prepare_fn(opts: EngineOpts):
     keep = [c for c in dict.fromkeys(
         list(opts.id_cols)
         + list(opts.meta_cols)
-        + ([opts.content_col] if opts.store_content or True else [])
+        + [opts.content_col]
         + ([opts.tokens_col] if opts.tokens_col else [])
         + ([opts.token_len_col] if opts.token_len_col else [])
         + ([opts.labels_col] if opts.labels_col else [])
@@ -98,10 +98,12 @@ class AssignIds:
     tokenize stage can consume the groupby output directly — one fused
     pipeline, no barrier + forward re-read between doc pass and tokenize."""
 
-    def __init__(self, opts: EngineOpts, forward_dir: str, return_rows: bool = False):
+    def __init__(self, opts: EngineOpts, forward_dir: str, return_rows: bool = False,
+                 fingerprint: str = ""):
         self.opts = opts
         self.forward_dir = forward_dir
         self.return_rows = return_rows
+        self.fingerprint = fingerprint
         self.__name__ = "AssignIds"
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -141,6 +143,7 @@ class AssignIds:
         os.replace(tmp, final)
         manifest = {
             "part": part,
+            "fingerprint": self.fingerprint,
             "n_docs": n,
             "n_dups_dropped": int(len(doc_ids) - n),
             "bytes": os.path.getsize(final),

@@ -144,8 +144,12 @@ class BuildShard:
         rank_of_code[vorder] = np.arange(len(vocab_np))
         rank = rank_of_code[codes]
 
-        # strip docmeta sentinel rows from the posting build
-        meta_codes = np.flatnonzero(vocab_np == META_TERM)
+        # strip docmeta sentinel rows from the posting build.  NB: numpy
+        # coerces a "\x00" comparand to '<U1' and trims the NUL, so
+        # vocab_np == META_TERM is always all-False — compare in Python
+        meta_codes = np.flatnonzero(
+            np.fromiter((v == META_TERM for v in vocab_np), bool, count=len(vocab_np))
+        )
         if len(meta_codes):
             keep = codes != meta_codes[0]
             rank, doc, tf, tlen = rank[keep], doc[keep], tf[keep], tlen[keep]
@@ -155,14 +159,17 @@ class BuildShard:
         rank_s, doc_s, tf_s, tlen_s = rank[order], doc[order], tf[order], tlen[order]
 
         n = len(order)
-        term_change = np.r_[True, rank_s[1:] != rank_s[:-1]]
+        if n:
+            term_change = np.r_[True, rank_s[1:] != rank_s[:-1]]
+        else:
+            term_change = np.empty(0, dtype=bool)
         term_starts = np.flatnonzero(term_change)
         within = np.arange(n, dtype=np.int64) - np.repeat(
             term_starts, np.diff(np.r_[term_starts, n])
         )
         blk_mask = term_change | (within % self.opts.block_size == 0)
         starts = np.flatnonzero(blk_mask)
-        ends = np.r_[starts[1:], n]
+        ends = np.r_[starts[1:], n] if len(starts) else np.empty(0, np.int64)
         counts = ends - starts
 
         # delta within block: absolute at block start, diffs elsewhere
@@ -175,7 +182,7 @@ class BuildShard:
 
         vlen = np.searchsorted(_THRESHOLDS, deltas, side="right").astype(np.int64) + 1
         vb_ends_all = np.cumsum(vlen)
-        blk_byte_ends = vb_ends_all[ends - 1] if n else np.empty(0, dtype=np.int64)
+        blk_byte_ends = vb_ends_all[ends - 1] if len(ends) else np.empty(0, dtype=np.int64)
         docs_vb = _large_binary_from_offsets(vb, blk_byte_ends)
 
         tfs_bin = _large_binary_from_offsets(
@@ -190,11 +197,11 @@ class BuildShard:
             "docs_vb": docs_vb,
             "tfs_f32": tfs_bin,
             "max_tf": pa.array(
-                np.maximum.reduceat(tf_s, starts) if n else np.empty(0, np.float32),
+                np.maximum.reduceat(tf_s, starts) if len(starts) else np.empty(0, np.float32),
                 pa.float32(),
             ),
             "min_len": pa.array(
-                np.minimum.reduceat(tlen_s, starts) if n else np.empty(0, np.float32),
+                np.minimum.reduceat(tlen_s, starts) if len(starts) else np.empty(0, np.float32),
                 pa.float32(),
             ),
         }
@@ -220,7 +227,7 @@ class BuildShard:
             cols["pos_cnt_i32"] = _large_binary_from_offsets(
                 np.ascontiguousarray(pcounts, dtype="<i4").tobytes(), ends * 4
             )
-            blk_pos_ends = pos_ends_rows[ends - 1] if n else np.empty(0, np.int64)
+            blk_pos_ends = pos_ends_rows[ends - 1] if len(ends) else np.empty(0, np.int64)
             cols["pos_i32"] = _large_binary_from_offsets(
                 np.ascontiguousarray(pos_sorted, dtype="<i4").tobytes(), blk_pos_ends * 4
             )

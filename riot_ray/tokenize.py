@@ -54,6 +54,7 @@ def split_identifier(ident: str) -> list[str]:
     '_' and camel boundaries yields more than one part."""
     whole = ident.lower()
     out = [whole]
+    seen = {whole}
     parts = []
     for chunk in ident.split("_"):
         if chunk:
@@ -61,7 +62,8 @@ def split_identifier(ident: str) -> list[str]:
     if len(parts) > 1:
         for p in parts:
             lp = p.lower()
-            if lp != whole:
+            if lp not in seen:
+                seen.add(lp)
                 out.append(lp)
     return out
 

@@ -39,7 +39,6 @@ import ray.data as rd
 
 from .build import STATS_FILE, IndexWriter, load_stats
 from .config import PART_SHIFT, EngineOpts, shard_of_part
-from .stages.postings import TokenizeStage
 from .stages.prepare import derive_doc_id, make_prepare_fn
 from .stages.segments import shard_dir
 
@@ -120,14 +119,14 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
     tomb = load_tombstones(index_dir)
     stats = load_stats(index_dir)
     opts = EngineOpts.from_json_dict(stats["opts"])
+    if tomb.size == 0:
+        return {"n_removed": 0, "parts_rewritten": 0, "shards_rebuilt": 0}
     if not opts.store_content:
         raise ValueError(
             "compact requires an index built with store_content=True: dead "
             "shards are re-tokenized from the forward table, which holds no "
             "content in this index (tombstone serving still works)"
         )
-    if tomb.size == 0:
-        return {"n_removed": 0, "parts_rewritten": 0, "shards_rebuilt": 0}
 
     dead_parts = np.unique((tomb >> np.uint64(PART_SHIFT)).astype(np.int64))
     dead_shards = sorted(
@@ -152,7 +151,7 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
         os.replace(tmp, f)
 
     # 2) rebuild shards owning those parts, from the (now clean) forward table
-    w = IndexWriter(index_dir, opts)
+    w = IndexWriter(index_dir, opts, tokenizer_factory=tokenizer_factory)
     fp = f"compact-{uuid.uuid4().hex[:12]}"
     shard_files: dict[int, list[str]] = {s: [] for s in dead_shards}
     for f in _forward_parts(index_dir):
@@ -169,9 +168,7 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
     rebuilt: set = set()
     if files:
         fwd = rd.read_parquet(files, columns=fwd_cols)
-        postings = fwd.map_batches(
-            TokenizeStage(opts, tokenizer_factory), **w.tokenize_kwargs()
-        )
+        postings = w.apply_tokenize(fwd)
         seg = w.build_segments(postings, fp)
         # an all-dead shard contributes no postings: the groupby can come
         # back empty with no schema at all
@@ -219,7 +216,7 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
             "touched shards are re-tokenized from the forward table, which "
             "holds no content in this index"
         )
-    w = IndexWriter(index_dir, opts)
+    w = IndexWriter(index_dir, opts, tokenizer_factory=tokenizer_factory)
 
     ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)
     prepared = ds.map_batches(make_prepare_fn(opts), batch_format="pyarrow")
@@ -228,11 +225,13 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
     import ray
 
     part_tables = ray.get(prepared.select_columns(["part"]).to_arrow_refs())
-    touched = np.unique(
-        np.concatenate(
-            [t["part"].to_numpy(zero_copy_only=False) for t in part_tables if t.num_rows]
-        )
-    )
+    part_arrays = [
+        t["part"].to_numpy(zero_copy_only=False) for t in part_tables if t.num_rows
+    ]
+    if not part_arrays:
+        return {"n_added": 0, "n_replaced": 0, "parts_touched": 0,
+                "shards_rebuilt": 0, "wall_s": round(time.time() - t0, 3)}
+    touched = np.unique(np.concatenate(part_arrays))
     touched_set = set(int(p) for p in touched)
     existing_files = [f for f in _forward_parts(index_dir) if _part_of(f) in touched_set]
 
@@ -247,6 +246,15 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
 
     new_tagged = prepared.map_batches(_tag_new, batch_format="pyarrow")
     schema_cols = new_tagged.schema().names
+    if existing_files:
+        have = set(pq.read_schema(existing_files[0]).names) | {"part", "__gen"}
+        missing = [c for c in have - set(schema_cols) if c not in ("part", "__gen")]
+        if missing:
+            raise ValueError(
+                f"add_docs source lacks column(s) {sorted(missing)} present in "
+                "the existing forward table — merging would silently drop "
+                "them from rewritten parts"
+            )
 
     def _tag_existing(batch: pa.Table) -> pa.Table:
         doc = batch["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -288,9 +296,7 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
         fwd_cols.append(opts.labels_col)
     fp = f"add-{uuid.uuid4().hex[:12]}"
     fwd = rd.read_parquet(files, columns=fwd_cols)
-    postings = fwd.map_batches(
-        TokenizeStage(opts, tokenizer_factory), **w.tokenize_kwargs()
-    )
+    postings = w.apply_tokenize(fwd)
     w.build_segments(postings, fp)
 
     # shards were rebuilt from tombstone-free forward parts; clear any

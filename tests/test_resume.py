@@ -79,3 +79,46 @@ def test_scheduling_knobs_do_not_invalidate_resume(ray_session, tmp_path):
                     shard_build_num_cpus=2.0)
     s2 = IndexWriter(str(tmp_path / "idx"), o2).build(src)
     assert s2["shards_skipped"] == 2
+
+
+def test_modified_input_same_path_invalidates(ray_session, tmp_path):
+    """Rewriting the source file in place must invalidate resume (the
+    fingerprint covers file size+mtime, not just the path)."""
+    import pyarrow.parquet as pq
+
+    from riot_ray.corpus import make_corpus
+
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(make_corpus(60, seed=1), src)
+    opts = EngineOpts(mode="code", num_parts=4, num_shards=2)
+    w = IndexWriter(str(tmp_path / "idx"), opts)
+    w.build(src)
+    pq.write_table(make_corpus(80, seed=2), src)  # same path, new content
+    s2 = w.build(src)
+    assert s2["shards_skipped"] == 0
+    assert s2["n_docs"] == 80
+
+
+def test_rebuild_removes_stale_outputs(ray_session, tmp_path):
+    """Building a different corpus into the same index_dir must not leak the
+    old build's forward parts or segment shards into the new index."""
+    import glob
+
+    from riot_ray.corpus import make_corpus
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import SearchReq
+
+    idx = str(tmp_path / "idx")
+    srcA = write_corpus(str(tmp_path / "a.parquet"), 120, seed=1)
+    IndexWriter(idx, EngineOpts(mode="code", num_parts=8, num_shards=4)).build(srcA)
+    # second build: fewer parts/shards -> old part/shard ids would linger
+    srcB = write_corpus(str(tmp_path / "b.parquet"), 20, seed=2)
+    st = IndexWriter(idx, EngineOpts(mode="code", num_parts=2, num_shards=1)).build(srcB)
+    assert st["n_docs"] == 20
+    assert len(glob.glob(os.path.join(idx, "forward", "part=*.parquet"))) <= 2
+    assert len(glob.glob(os.path.join(idx, "segments", "shard=*"))) == 1
+    s = LocalSearcher(idx)
+    resp = s.search(SearchReq(text="parse"))
+    assert all(int(h.doc) < (2 << 40) for h in resp.docs)
+    n, _ = s._global()
+    assert n == 20

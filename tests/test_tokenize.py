@@ -139,3 +139,11 @@ def test_chars_mode_hand_computed():
     m, num, _ = t.doc_tokens_map("xyz")
     assert m == {"x": [1, 2], "y": [3], "xy": [4], "z": [5], "xyz": [6]}
     assert num == 6
+
+
+def test_split_identifier_distinct_subtokens():
+    from riot_ray.tokenize import split_identifier
+
+    assert split_identifier("foo_foo") == ["foo_foo", "foo"]
+    assert split_identifier("FooFoo") == ["foofoo", "foo"]
+    assert split_identifier("parseJson") == ["parsejson", "parse", "json"]

@@ -169,3 +169,14 @@ def test_add_docs_requires_stored_content(ray_session, tmp_path):
                  store_content=False)
     with pytest.raises(ValueError, match="store_content"):
         add_docs(idx, rd.from_arrow(make_corpus(31, seed=2).slice(30, 1)))
+
+
+def test_add_docs_empty_source_noop(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = _build(str(tmp_path), "emptyadd", make_corpus(20, seed=6))
+    empty = make_corpus(5, seed=6).slice(0, 0)
+    out = add_docs(idx, rd.from_arrow(empty))
+    assert out == {"n_added": 0, "n_replaced": 0, "parts_touched": 0,
+                   "shards_rebuilt": 0, "wall_s": out["wall_s"]}
+    assert load_stats(idx)["n_docs"] == 20

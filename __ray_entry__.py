@@ -64,10 +64,11 @@ def _index_for(sf_dir: str, variant: str = "freq") -> str:
     opts = _opts() if variant == "freq" else _opts(index_type=LOCS_INDEX)
     key = hashlib.sha256(f"{src}|{variant}|{opts.to_json()}".encode()).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, f"{os.path.basename(os.path.normpath(sf_dir))}-{variant}-{key}")
-    marker = os.path.join(index_dir, "stats.json")
-    w = IndexWriter(index_dir, opts)
-    if not os.path.exists(marker):
-        w.build(src, source_desc=src)
+    # always run build(): its fingerprint (opts + source path + file
+    # size/mtime) makes unchanged re-runs skip every shard, and a source
+    # regenerated in place correctly invalidates — a stats.json existence
+    # shortcut would serve a stale index in that case
+    IndexWriter(index_dir, opts).build(src, source_desc=src)
     return index_dir
 
 
@@ -184,14 +185,6 @@ def _q_corpus_stats(sf_dir: str):
     )
 
 
-def _search(sf_dir: str, **kw):
-    from riot_ray.engine import LocalSearcher
-    from riot_ray.types import RankOpts, SearchReq
-
-    s = LocalSearcher(_index_for(sf_dir))
-    return s, SearchReq(**kw), RankOpts
-
-
 def _q_bm25_topk(sf_dir: str):
     from riot_ray.engine import LocalSearcher
     from riot_ray.types import RankOpts, SearchReq
@@ -274,7 +267,10 @@ def _q_dedup_exact(sf_dir: str):
 def _q_dedup_ngram(sf_dir: str):
     from riot_ray.pipelines import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.2)
+    # cap high enough to never trigger at oracle scales: the SQL computes
+    # plain exact jaccard, and the hot-shingle universe filter would
+    # diverge from it (the scale-safe default 512 stays for pipeline users)
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.2, max_group=1_000_000)
 
 
 def _q_dedup_embedding(sf_dir: str):

@@ -188,7 +188,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
                                      "quality", "dedup_ngram_jaccard",
                                      "dedup_minhash", "knn_brute")), 3)
     return {
-        "metric": "headline_suite_sec (index build + 400 searches + pipelines)",
+        "metric": "headline_suite_sec (index build + 1000 searches + pipelines)",
         "value": value,
         "unit": "sec",
         "queries": q,
@@ -244,8 +244,18 @@ def run_scaling() -> dict:
                  "--src", src, "--num-cpus", str(cpus)],
                 capture_output=True, text=True, env=dict(os.environ),
             )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"--build-only child (cpus={cpus}) failed rc={p.returncode}:\n"
+                    f"{p.stderr[-2000:]}"
+                )
+            lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"--build-only child (cpus={cpus}) printed no JSON:\n"
+                    f"{p.stderr[-2000:]}"
+                )
+            r = json.loads(lines[-1])
             if best is None or r["wall_s"] < best["wall_s"]:
                 best = r
         results[cpus] = best

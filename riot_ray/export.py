@@ -22,6 +22,8 @@ from .codecs import decode_varbyte
 
 def _forward_map(index_dir: str):
     files = sorted(glob.glob(os.path.join(index_dir, "forward", "part=*.parquet")))
+    if not files:
+        return np.empty(0, np.uint64), np.empty(0, object)
     t = pq.read_table(files, columns=["doc", "doc_id"])
     doc = t["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
     order = np.argsort(doc)
@@ -29,18 +31,47 @@ def _forward_map(index_dir: str):
     return doc[order], ids
 
 
+def _empty_dataset(schema: "pa.Schema"):
+    import ray.data as rd
+
+    return rd.from_arrow(schema.empty_table())
+
+
+def _live_lookup(doc_sorted, id_sorted, tomb, docs):
+    """Map segment doc u64s to doc_id strings; docs absent from the forward
+    table (mid-compaction crash window) or tombstoned are DROPPED, matching
+    what serving would return.  Returns (keep_mask, ids)."""
+    rows = np.searchsorted(doc_sorted, docs)
+    rows_c = np.minimum(rows, max(len(doc_sorted) - 1, 0))
+    present = (
+        doc_sorted[rows_c] == docs if len(doc_sorted) else np.zeros(len(docs), bool)
+    )
+    if tomb.size:
+        present &= ~np.isin(docs, tomb)
+    return present, id_sorted[rows_c]
+
+
 def postings_dataset(index_dir: str):
-    """Dataset of (term:string, doc_id:string, tf:int64) over all shards."""
+    """Dataset of (term:string, doc_id:string, tf:int64) over all shards —
+    LIVE docs only (tombstoned/forward-missing docs are excluded, matching
+    serving)."""
     import ray
     import ray.data as rd
 
-    fwd_ref = ray.put(_forward_map(index_dir))
+    from .updates import load_tombstones
+
+    schema = pa.schema(
+        [("term", pa.string()), ("doc_id", pa.string()), ("tf", pa.int64())]
+    )
     files = sorted(
         glob.glob(os.path.join(index_dir, "segments", "shard=*", "blocks.parquet"))
     )
+    if not files:
+        return _empty_dataset(schema)
+    fwd_ref = ray.put((*_forward_map(index_dir), load_tombstones(index_dir)))
 
     def decode(batch: pa.Table) -> pa.Table:
-        doc_sorted, id_sorted = ray.get(fwd_ref)
+        doc_sorted, id_sorted, tomb = ray.get(fwd_ref)
         terms_out, ids_out, tf_out = [], [], []
         terms = batch["term"].to_pylist()
         for i in range(batch.num_rows):
@@ -48,15 +79,12 @@ def postings_dataset(index_dir: str):
                 decode_varbyte(batch["docs_vb"][i].as_py()), dtype=np.uint64
             )
             tfs = np.frombuffer(batch["tfs_f32"][i].as_py(), dtype="<f4")
-            rows = np.searchsorted(doc_sorted, docs)
-            terms_out.append(np.full(len(docs), terms[i], dtype=object))
-            ids_out.append(id_sorted[rows])
-            tf_out.append(tfs.astype(np.int64))
+            keep, ids = _live_lookup(doc_sorted, id_sorted, tomb, docs)
+            terms_out.append(np.full(int(keep.sum()), terms[i], dtype=object))
+            ids_out.append(ids[keep])
+            tf_out.append(tfs.astype(np.int64)[keep])
         if not terms_out:
-            return pa.table(
-                {"term": pa.array([], pa.string()), "doc_id": pa.array([], pa.string()),
-                 "tf": pa.array([], pa.int64())}
-            )
+            return schema.empty_table()
         return pa.table(
             {
                 "term": pa.array(np.concatenate(terms_out), pa.string()),
@@ -71,24 +99,29 @@ def postings_dataset(index_dir: str):
 
 
 def docmeta_dataset(index_dir: str):
-    """Dataset of (doc_id:string, token_len:int64)."""
+    """Dataset of (doc_id:string, token_len:int64) — live docs only."""
     import ray
     import ray.data as rd
 
-    fwd_ref = ray.put(_forward_map(index_dir))
+    from .updates import load_tombstones
+
+    schema = pa.schema([("doc_id", pa.string()), ("token_len", pa.int64())])
     files = sorted(
         glob.glob(os.path.join(index_dir, "segments", "shard=*", "docmeta.parquet"))
     )
+    if not files:
+        return _empty_dataset(schema)
+    fwd_ref = ray.put((*_forward_map(index_dir), load_tombstones(index_dir)))
 
     def attach(batch: pa.Table) -> pa.Table:
-        doc_sorted, id_sorted = ray.get(fwd_ref)
+        doc_sorted, id_sorted, tomb = ray.get(fwd_ref)
         doc = batch["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        rows = np.searchsorted(doc_sorted, doc)
+        keep, ids = _live_lookup(doc_sorted, id_sorted, tomb, doc)
         return pa.table(
             {
-                "doc_id": pa.array(id_sorted[rows], pa.string()),
+                "doc_id": pa.array(ids[keep], pa.string()),
                 "token_len": pa.array(
-                    batch["token_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch["token_len"].to_numpy(zero_copy_only=False).astype(np.int64)[keep],
                     pa.int64(),
                 ),
             }

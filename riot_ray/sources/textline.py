@@ -28,6 +28,8 @@ def read_delimited_text(
     import ray.data as rd
 
     want = [(i, n) for i, n in enumerate(field_names) if n is not None]
+    if not want:
+        raise ValueError("field_names must name at least one field (all None)")
     need = max(i for i, _ in want) + 1
 
     def parse(batch: pa.Table) -> pa.Table:

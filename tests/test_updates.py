@@ -180,3 +180,14 @@ def test_add_docs_empty_source_noop(ray_session, tmp_path):
     assert out == {"n_added": 0, "n_replaced": 0, "parts_touched": 0,
                    "shards_rebuilt": 0, "wall_s": out["wall_s"]}
     assert load_stats(idx)["n_docs"] == 20
+
+
+def test_export_views_exclude_tombstoned(ray_session, tmp_path):
+    from riot_ray.export import docmeta_dataset, postings_dataset
+
+    idx = _build(str(tmp_path), "exp", make_corpus(40, seed=8))
+    s = LocalSearcher(idx)
+    victim = s.search(SearchReq(text="parse")).docs[0].doc_id
+    remove_docs(idx, [victim])
+    assert victim not in set(postings_dataset(idx).to_pandas()["doc_id"])
+    assert victim not in set(docmeta_dataset(idx).to_pandas()["doc_id"])

@@ -171,7 +171,9 @@ def ngram_jaccard_pairs(
     from ray.data.aggregate import Count
 
     shingles = ds.map_batches(
-        lambda b: shingle_batch(b, text_col, id_col, n), batch_format="pyarrow"
+        lambda b: shingle_batch(b, text_col, id_col, n),
+        batch_format="pyarrow",
+        batch_size=2048,
     ).materialize()  # reused below: materialize once
 
     # hot-shingle filter: df per shingle, drop df > max_group everywhere
@@ -190,8 +192,10 @@ def ngram_jaccard_pairs(
 
     sizes = shingles.groupby(id_col).aggregate(Count(alias_name="n_shingles"))
     size_tbl = sizes.to_pandas()
-    size_map = dict(zip(size_tbl[id_col], size_tbl["n_shingles"]))
-    size_ref = ray.put(size_map)
+    sid = size_tbl[id_col].to_numpy()
+    sn = size_tbl["n_shingles"].to_numpy().astype(np.float64)
+    order = np.argsort(sid)
+    size_ref = ray.put((sid[order], sn[order]))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         sh = batch["shingle"].to_numpy(zero_copy_only=False)
@@ -210,12 +214,12 @@ def ngram_jaccard_pairs(
     )
 
     def score(batch: pa.Table) -> pa.Table:
-        sm = ray.get(size_ref)
+        sid_s, sn_s = ray.get(size_ref)
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
         it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.fromiter((sm[x] for x in a), np.float64, count=len(a))
-        nb = np.fromiter((sm[x] for x in b), np.float64, count=len(b))
+        na = sn_s[np.searchsorted(sid_s, a)]
+        nb = sn_s[np.searchsorted(sid_s, b)]
         j = round6(it / (na + nb - it))
         keep = j >= threshold
         return pa.table(
@@ -273,7 +277,9 @@ class MinHashStage:
         return pa.table(
             {
                 self.id_col: pa.array(ids_all, pa.int64()),
-                "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), pa.uint64()), self.num_perm
+                ),
             }
         )
 
@@ -297,7 +303,9 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Count
 
     rows_per_band = num_perm // bands
-    kwargs: dict = {"batch_format": "pyarrow"}
+    # bound the (n_shingles x num_perm) hash matrix: 512 docs x ~200
+    # shingles x 128 perms x 8B ~ 100 MB per task
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": 512}
     if concurrency:
         kwargs["concurrency"] = concurrency
     sigs = ds.map_batches(
@@ -306,7 +314,12 @@ def minhash_lsh_pairs(
 
     def band_keys(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+        sig_col = batch["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = np.asarray(
+            sig_col.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64
+        ).reshape(len(ids), num_perm)
         outs_id, outs_key = [], []
         for bi in range(bands):
             chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
@@ -335,18 +348,34 @@ def minhash_lsh_pairs(
         .map_groups(_PairEmit("id_a", max_group, key_col="key"), batch_format="pyarrow")
     )
 
-    sig_tbl = sigs.to_pandas()
-    sig_map = {i: np.asarray(s, dtype=np.uint64) for i, s in zip(sig_tbl[id_col], sig_tbl["sig"])}
-    sig_ref = ray.put(sig_map)
+    # broadcast signatures as ONE (ids, matrix) pair — a dict of N small
+    # arrays has O(N) python overhead and stalls past ~100k docs.  (At the
+    # next scale tier — billions of docs — replace the broadcast entirely
+    # with a candidates x signatures join.)
+    sig_tables = ray.get(sigs.to_arrow_refs())
+    ids_cat = np.concatenate(
+        [t[id_col].to_numpy(zero_copy_only=False) for t in sig_tables if t.num_rows]
+    )
+    mat_cat = np.concatenate(
+        [
+            np.asarray(
+                t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            ).reshape(t.num_rows, num_perm)
+            for t in sig_tables
+            if t.num_rows
+        ]
+    )
+    order = np.argsort(ids_cat)
+    sig_ref = ray.put((ids_cat[order], mat_cat[order]))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sig_ref)
+        sids, smat = ray.get(sig_ref)
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
         if len(a) == 0:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "est_jaccard": pa.array([], pa.float64())})
-        sa = np.stack([sm[x] for x in a])
-        sb = np.stack([sm[x] for x in b])
+        sa = smat[np.searchsorted(sids, a)]
+        sb = smat[np.searchsorted(sids, b)]
         est = round6((sa == sb).mean(axis=1))
         keep = est >= threshold
         return pa.table(
@@ -412,7 +441,9 @@ def simhash_pairs(
     width = 64 // n_blocks
 
     sims = ds.map_batches(
-        lambda b: simhash_batch(b, text_col, id_col), batch_format="pyarrow"
+        lambda b: simhash_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        batch_size=2048,  # bounds the (docs x 64)-bit accumulation matrices
     ).materialize()
 
     def block_keys(batch: pa.Table) -> pa.Table:
@@ -441,18 +472,28 @@ def simhash_pairs(
         .map_groups(_PairEmit("id_a", max_group, key_col="key"), batch_format="pyarrow")
     )
 
-    sim_tbl = sims.to_pandas()
-    sim_map = dict(zip(sim_tbl[id_col], sim_tbl["simhash"]))
-    sim_ref = ray.put(sim_map)
+    sim_tables = ray.get(sims.to_arrow_refs())
+    ids_cat = np.concatenate(
+        [t[id_col].to_numpy(zero_copy_only=False) for t in sim_tables if t.num_rows]
+    )
+    sim_cat = np.concatenate(
+        [
+            t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for t in sim_tables
+            if t.num_rows
+        ]
+    )
+    order = np.argsort(ids_cat)
+    sim_ref = ray.put((ids_cat[order], sim_cat[order]))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sim_ref)
+        sids, svals = ray.get(sim_ref)
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
         if len(a) == 0:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
-        sa = np.fromiter((sm[x] for x in a), np.uint64, count=len(a))
-        sb = np.fromiter((sm[x] for x in b), np.uint64, count=len(b))
+        sa = svals[np.searchsorted(sids, a)]
+        sb = svals[np.searchsorted(sids, b)]
         x = sa ^ sb
         ham = np.zeros(len(x), np.int64)
         for i in range(64):

@@ -288,6 +288,16 @@ def _q_knn(sf_dir: str):
     return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from riot_ray.pipelines import dedup_clusters, ngram_jaccard_pairs
+
+    # connected components (transitive closure) over the exact ngram-jaccard
+    # pair graph; same uncapped max_group as _q_dedup_ngram so the pair
+    # graph matches the SQL oracle's exactly
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.2, max_group=1_000_000)
+    return dedup_clusters(pairs)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from riot_ray.pipelines import minhash_lsh_pairs
 
@@ -369,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -531,6 +542,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.2
+            """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g
+              FROM toks,
+                   UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]) AS u(g)
+              WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.2),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+            SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+            FROM reach GROUP BY id
             """,
         "dedup_embedding": """
             SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b

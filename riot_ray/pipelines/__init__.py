@@ -6,6 +6,8 @@ token stats, winnowing fingerprints), and multimodal binary-column stages.
 
 from .analysis import fingerprint, lang_id, quality_score, token_stats
 from .dedup import (
+    dedup_clusters,
+    dedup_filter,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -21,6 +23,8 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "exact_dedup",
+    "dedup_clusters",
+    "dedup_filter",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

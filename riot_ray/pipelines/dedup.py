@@ -234,6 +234,84 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------- #
+# pair lists -> clusters -> survivors
+# --------------------------------------------------------------------------- #
+def dedup_clusters(pairs_ds):
+    """Connected components over a near-dup pair list: every doc appearing in
+    >=1 pair gets ``cluster_id`` = the minimum doc id in its component
+    (transitive closure — A~B, B~C puts A and C in one cluster even if they
+    never paired directly).
+
+    Input: a Dataset/table with ``id_a``/``id_b`` columns (the output shape
+    of every ``*_pairs`` operator here); extra columns are ignored.  Returns
+    a Dataset with columns (doc_id, cluster_id).
+
+    Scale note: the PAIR set is the thresholded survivors — orders of
+    magnitude smaller than the corpus (the corpus itself never centralizes).
+    Union-find runs driver-side over that small set; past ~10^8 pairs swap
+    this for iterative hash-min label propagation (repeat
+    groupby(node).min(label) until fixpoint), same output contract.
+    """
+    import ray.data as rd
+
+    tbl = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    # an empty Dataset round-trips to a column-less DataFrame
+    a = tbl["id_a"].to_numpy(np.int64) if "id_a" in tbl else np.empty(0, np.int64)
+    b = tbl["id_b"].to_numpy(np.int64) if "id_b" in tbl else np.empty(0, np.int64)
+    ids = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(np.searchsorted(ids, a), np.searchsorted(ids, b)):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min index == min doc id (ids is sorted), so the root
+            # IS the cluster label
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(ids[roots], pa.int64()),
+            }
+        )
+    )
+
+
+def dedup_filter(ds, pairs_ds, id_col: str = "doc_id"):
+    """Survivors after near-dup collapse: drop every doc whose cluster_id
+    (from :func:`dedup_clusters` over ``pairs_ds``) is not itself — i.e.
+    keep one representative (min id) per duplicate cluster plus every
+    singleton.  The loser set (small) is broadcast once via ray.put; the
+    corpus-wide filter is a distributed map_batches anti-join."""
+    import ray
+
+    members = dedup_clusters(pairs_ds).to_pandas()
+    losers = members.loc[
+        members["doc_id"] != members["cluster_id"], "doc_id"
+    ].to_numpy(np.int64)
+    losers_ref = ray.put(np.sort(losers))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(losers_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, drop, assume_unique=False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
 # minhash + LSH
 # --------------------------------------------------------------------------- #
 def _perm_params(num_perm: int, seed: int):

@@ -358,3 +358,101 @@ def test_ngram_jaccard_hot_shingle_filter(ray_session):
     row = got[(got["id_a"] == 6) & (got["id_b"] == 7)].iloc[0]
     # over the filtered universe docs 6/7 share all but the number shingles
     assert row["jaccard"] > 0.5
+
+
+def test_dedup_clusters_transitive_and_filter(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dedup_clusters, dedup_filter
+
+    # chain 1-2, 2-3 must collapse transitively; 10-11 is a separate cluster
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 10], pa.int64()),
+                "id_b": pa.array([2, 3, 11], pa.int64()),
+                "jaccard": pa.array([0.9, 0.8, 0.7], pa.float64()),
+            }
+        )
+    )
+    got = dedup_clusters(pairs).to_pandas().sort_values("doc_id")
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == {
+        1: 1,
+        2: 1,
+        3: 1,
+        10: 10,
+        11: 10,
+    }
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 5, 10, 11], pa.int64()),
+                "text": pa.array(["a"] * 6, pa.string()),
+            }
+        )
+    )
+    kept = sorted(dedup_filter(docs, pairs).to_pandas()["doc_id"])
+    # one representative (min id) per cluster + the singleton 5
+    assert kept == [1, 5, 10]
+
+
+def test_dedup_clusters_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dedup_clusters
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    assert dedup_clusters(pairs).count() == 0
+
+
+def test_dedup_clusters_matches_recursive_sql(docs_ds):
+    """Clusters over exact ngram-jaccard pairs vs DuckDB WITH RECURSIVE
+    min-label propagation on the same pair graph."""
+    from riot_ray.pipelines import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.2, max_group=1_000_000)
+    got = (
+        dedup_clusters(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, g
+          FROM toks,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS u(g)
+          WHERE len(t) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.2),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+        SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id
+        """
+    ).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()

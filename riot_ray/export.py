@@ -41,11 +41,13 @@ def _live_lookup(doc_sorted, id_sorted, tomb, docs):
     """Map segment doc u64s to doc_id strings; docs absent from the forward
     table (mid-compaction crash window) or tombstoned are DROPPED, matching
     what serving would return.  Returns (keep_mask, ids)."""
+    if len(doc_sorted) == 0:
+        # empty forward table (e.g. mid-compaction crash window): every
+        # segment doc is dropped — id_sorted is empty and must not be indexed
+        return np.zeros(len(docs), bool), np.empty(len(docs), dtype=object)
     rows = np.searchsorted(doc_sorted, docs)
-    rows_c = np.minimum(rows, max(len(doc_sorted) - 1, 0))
-    present = (
-        doc_sorted[rows_c] == docs if len(doc_sorted) else np.zeros(len(docs), bool)
-    )
+    rows_c = np.minimum(rows, len(doc_sorted) - 1)
+    present = doc_sorted[rows_c] == docs
     if tomb.size:
         present &= ~np.isin(docs, tomb)
     return present, id_sorted[rows_c]
@@ -82,7 +84,10 @@ def postings_dataset(index_dir: str):
             keep, ids = _live_lookup(doc_sorted, id_sorted, tomb, docs)
             terms_out.append(np.full(int(keep.sum()), terms[i], dtype=object))
             ids_out.append(ids[keep])
-            tf_out.append(tfs.astype(np.int64)[keep])
+            # round, don't truncate: pretokenized Frequency overrides are
+            # floats (riot's KeywordIndex.Frequency); this export view keeps
+            # the integer-tf assumption but must not round 2.9999 down to 2
+            tf_out.append(np.floor(tfs + 0.5).astype(np.int64)[keep])
         if not terms_out:
             return schema.empty_table()
         return pa.table(

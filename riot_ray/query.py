@@ -431,7 +431,15 @@ class ShardData:
 
     def block_upper_bounds(self, term: str, idf: float, avgdl: float, dtype=np.float32):
         """Per-block score upper bound for one term: tf=max_tf, d=min_len
-        maximize idf*tf*(k1+1)/(tf+k1*(1-b+b*d/avgdl))."""
+        maximize idf*tf*(k1+1)/(tf+k1*(1-b+b*d/avgdl)).
+
+        Bounds are always computed in float64 and inflated by a few float32
+        ulps: the exact kernel runs in the configured dtype, and in float32
+        mode its separately-rounded numerator/denominator can land ~1 ulp
+        ABOVE the float64 value of the same expression — a bound taken at the
+        kernel's own dtype could then prune a block holding a true top-k doc.
+        The inflation keeps the identical-top-k contract; it only makes
+        pruning negligibly less aggressive."""
         rng = self.term_range.get(term)
         if rng is None:
             return None
@@ -443,9 +451,13 @@ class ShardData:
             avgdl,
             self.opts.bm25.k1,
             self.opts.bm25.b,
-            dtype,
+            np.float64,
         )
-        return s, e, np.asarray(ub, dtype=np.float64)
+        ub = np.asarray(ub, dtype=np.float64)
+        if dtype is np.float32:
+            # ~6 f32 ops in the kernel, each <= 2^-24 relative error
+            ub = ub * (1.0 + 1e-6) + 1e-30
+        return s, e, ub
 
     def search_wand(self, tokens, idfs, avgdl, k, dtype_name="float32"):
         """Exact top-k for an AND query with block-max pruning (Ding & Suel,

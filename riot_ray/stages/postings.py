@@ -47,6 +47,9 @@ class TokenizeStage:
             and not self.with_pos
             and opts.tokens_col is None
             and opts.labels_col is None
+            # explicit DocIndex.TokenLen overrides are applied in the per-doc
+            # path only — the vectorized path derives token_len from counts
+            and opts.token_len_col is None
             and hasattr(self.tok, "batch_term_counts")
         )
         if vector_ok:

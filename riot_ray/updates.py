@@ -160,10 +160,9 @@ def compact(index_dir: str, tokenizer_factory=None) -> dict:
             shard_files[s].append(f)
 
     fwd_cols = ["doc", opts.content_col]
-    if opts.tokens_col:
-        fwd_cols.append(opts.tokens_col)
-    if opts.labels_col:
-        fwd_cols.append(opts.labels_col)
+    for c in (opts.tokens_col, opts.labels_col, opts.token_len_col):
+        if c:
+            fwd_cols.append(c)
     files = sorted(x for fs in shard_files.values() for x in fs)
     rebuilt: set = set()
     if files:
@@ -290,10 +289,9 @@ def add_docs(index_dir: str, source, tokenizer_factory=None) -> dict:
         if shard_of_part(_part_of(f), opts.num_parts, opts.num_shards) in touched_shards
     ]
     fwd_cols = ["doc", opts.content_col]
-    if opts.tokens_col:
-        fwd_cols.append(opts.tokens_col)
-    if opts.labels_col:
-        fwd_cols.append(opts.labels_col)
+    for c in (opts.tokens_col, opts.labels_col, opts.token_len_col):
+        if c:
+            fwd_cols.append(c)
     fp = f"add-{uuid.uuid4().hex[:12]}"
     fwd = rd.read_parquet(files, columns=fwd_cols)
     postings = w.apply_tokenize(fwd)

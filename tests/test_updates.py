@@ -191,3 +191,73 @@ def test_export_views_exclude_tombstoned(ray_session, tmp_path):
     remove_docs(idx, [victim])
     assert victim not in set(postings_dataset(idx).to_pandas()["doc_id"])
     assert victim not in set(docmeta_dataset(idx).to_pandas()["doc_id"])
+
+
+def _token_len_corpus(n=30):
+    """Simple-mode corpus with an explicit DocIndex.TokenLen override column
+    that DIFFERS from the tokenizer's own counts (100+i vs a few words)."""
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "content": pa.array(
+                [f"alpha beta gamma w{i} w{i % 3}" for i in range(n)], pa.string()
+            ),
+            "lang": pa.array(["t"] * n, pa.string()),
+            "tl": pa.array([float(100 + i) for i in range(n)], pa.float32()),
+        }
+    )
+
+
+def _docmeta_lens(index_dir):
+    from riot_ray.export import docmeta_dataset
+
+    t = docmeta_dataset(index_dir).to_pandas()
+    return dict(zip(t["doc_id"], t["token_len"]))
+
+
+def test_token_len_override_in_freq_mode_build(ray_session, tmp_path):
+    """ADVICE regression: simple/code freq-mode builds must honour
+    token_len_col (the vectorized path used to ignore it, corrupting BM25
+    doc lengths and avgdl)."""
+    table = _token_len_corpus()
+    src = os.path.join(str(tmp_path), "tl.parquet")
+    pq.write_table(table, src)
+    opts = EngineOpts(
+        mode="simple", id_cols=("doc_id",), num_parts=4, num_shards=2,
+        token_len_col="tl",
+    )
+    idx = os.path.join(str(tmp_path), "tl_index")
+    stats = IndexWriter(idx, opts).build(src)
+    lens = _docmeta_lens(idx)
+    assert lens == {f"d{i}": 100 + i for i in range(30)}
+    assert stats["total_token_len"] == float(sum(100 + i for i in range(30)))
+
+
+def test_token_len_override_survives_compact_and_add(ray_session, tmp_path):
+    """ADVICE regression: compact()/add_docs() shard rebuilds must re-read
+    the token_len_col from the forward table (they used to drop it,
+    reverting lens to tokenizer counts)."""
+    import ray.data as rd
+
+    table = _token_len_corpus()
+    src = os.path.join(str(tmp_path), "tlc.parquet")
+    pq.write_table(table, src)
+    opts = EngineOpts(
+        mode="simple", id_cols=("doc_id",), num_parts=4, num_shards=2,
+        token_len_col="tl",
+    )
+    idx = os.path.join(str(tmp_path), "tlc_index")
+    IndexWriter(idx, opts).build(src)
+
+    remove_docs(idx, ["d0"])
+    compact(idx)
+    lens = _docmeta_lens(idx)
+    assert lens == {f"d{i}": 100 + i for i in range(1, 30)}
+    assert load_stats(idx)["total_token_len"] == float(
+        sum(100 + i for i in range(1, 30))
+    )
+
+    add_docs(idx, rd.from_arrow(_token_len_corpus(31).slice(30, 1)))
+    lens = _docmeta_lens(idx)
+    assert lens[f"d{30}"] == 130
+    assert lens == {f"d{i}": 100 + i for i in range(1, 31)}

@@ -280,6 +280,18 @@ def _q_dedup_embedding(sf_dir: str):
     return ds.select_columns(["id_a", "id_b"])  # ids only: float-hash-safe
 
 
+def _q_dedup_embedding_lsh(sf_dir: str):
+    """Approximate (LSH-bucketed) variant of dedup_embedding — the
+    billion-row path; no oracle (recall < 1 by design, pinned vs the exact
+    operator in pytest)."""
+    from riot_ray.pipelines import embedding_dup_pairs_lsh
+
+    ds = embedding_dup_pairs_lsh(
+        _emb(sf_dir), threshold=0.4, n_planes=4, n_tables=24
+    )
+    return ds.select_columns(["id_a", "id_b"])
+
+
 def _q_knn(sf_dir: str):
     from riot_ray.pipelines import knn_brute
 
@@ -383,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "knn_cosine_topk": _q_knn,
         "knn_lsh_topk": _q_knn_lsh,
         "lang_id": _q_lang_id,

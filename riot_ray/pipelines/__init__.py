@@ -9,6 +9,7 @@ from .dedup import (
     dedup_clusters,
     dedup_filter,
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -29,6 +30,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "knn_brute",
     "knn_lsh",
     "decode_media",

@@ -24,6 +24,15 @@ All pair outputs use (id_a < id_b) canonical order.  Hot-key safety: shingle
 groups are capped (a shingle shared by >max_group docs is dropped from
 candidate generation — standard LSH practice; a shingle that common carries
 no signal) so no group is quadratic in the corpus.
+
+Scale contract (round-2 rework): NO per-doc state is ever materialized on
+the driver.  Pair verification attaches per-doc payloads (shingle counts,
+minhash signatures, simhash values, embeddings) to the candidate pair table
+via DISTRIBUTED hash joins on doc id (``Dataset.join`` — both sides
+hash-partition on the key and each partition verifies vectorized), so the
+verify tail streams at any corpus size.  The only driver-side collections
+are (a) the hot-shingle blocklist (shingles with df > max_group — bounded
+and tiny by construction) and (b) thresholded pair/cluster survivor sets.
 """
 
 from __future__ import annotations
@@ -37,6 +46,173 @@ import pyarrow.compute as pc
 from .analysis import _flatten_tokens, _token_hashes, round6
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _empty_pairs(*extra: tuple) -> pa.Table:
+    """Empty canonical pair table: (id_a, id_b [, extra (name, type)...])."""
+    cols = {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    for name, typ in extra:
+        cols[name] = pa.array([], typ)
+    return pa.table(cols)
+
+
+def _join_parts(requested: int | None) -> int:
+    """Resolve the hash-join partition count.  Ray's hash-shuffle join
+    schedules one aggregator actor per partition; asking for more partitions
+    than the cluster has CPUs starves the map side (observed deadlock at
+    16 partitions on a 4-CPU session).  Default: one partition per CPU,
+    clamped to [2, 64] — multi-node deployments with huge pair tables should
+    pass an explicit count sized to aggregate memory."""
+    if requested:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cpus, 64))
+
+
+def _unique_pairs(cands):
+    """Dedup candidate pairs (a pair can surface from several bands/blocks/
+    buckets) with one small groupby shuffle; returns (id_a, id_b)."""
+    from ray.data.aggregate import Count
+
+    return (
+        cands.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_nsrc"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
+class _JoinAssemble:
+    """Group fn for :func:`_hash_join`: one hash partition holding tagged
+    rows from both sides; vectorized local inner join via searchsorted."""
+
+    def __init__(self, left_on: str, right_key: str, left_names: list,
+                 out_schema: pa.Schema):
+        self.left_on = left_on
+        self.right_key = right_key
+        self.left_names = left_names
+        self.out_schema = out_schema
+        self.__name__ = "JoinAssemble"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        role = group["__role"].to_numpy(zero_copy_only=False)
+        lmask = role == 0
+        left = group.filter(pa.array(lmask))
+        right = group.filter(pa.array(~lmask))
+        if left.num_rows == 0 or right.num_rows == 0:
+            return self.out_schema.empty_table()
+        rkeys = right[self.right_key].to_numpy(zero_copy_only=False)
+        rorder = np.argsort(rkeys)
+        rkeys = rkeys[rorder]
+        lkeys = left[self.left_on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rkeys, lkeys)
+        pos_c = np.minimum(pos, len(rkeys) - 1)
+        hit = rkeys[pos_c] == lkeys
+        left = left.filter(pa.array(hit))
+        take = pa.array(rorder[pos_c[hit]])
+        cols = {n: left[n] for n in self.left_names}
+        for n in self.out_schema.names:
+            if n not in cols:
+                cols[n] = right[n].take(take)
+        return pa.table({n: cols[n] for n in self.out_schema.names})
+
+
+def _hash_join(left, right, left_on: str, right_on: str,
+               payload: dict, num_partitions: int):
+    """Distributed inner hash-join expressed as ONE sort-shuffle
+    ``groupby(part).map_groups`` over the tagged union of both sides.
+
+    (Ray 2.49's ``Dataset.join`` crashes with "No match for key field" when
+    any hash partition comes up empty on the left — routine for small or
+    skewed pair tables — so the join is built on the groupby primitive the
+    rest of the engine already trusts.)
+
+    ``right`` must be UNIQUE on ``right_on`` (per-doc payload tables are);
+    ``payload`` maps right column -> output name.  Output: all left columns
+    + renamed payload columns; left rows without a match are dropped.
+    Only (key, payload) move through the shuffle — the scale-safe
+    replacement for driver-side payload broadcasts."""
+    import ray.data as rd
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    l_names = list(left_schema.names)
+    l_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    r_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    out_fields = [(n, l_types[n]) for n in l_names] + [
+        (out, r_types[src]) for src, out in payload.items()
+    ]
+    out_schema = pa.schema(out_fields)
+    key_t = l_types[left_on]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = b[left_on].to_numpy(zero_copy_only=False)
+        cols = {"__part": pa.array((key % num_partitions).astype(np.int32), pa.int32()),
+                "__role": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "__rkey": pa.nulls(n, key_t)}
+        for name in l_names:
+            cols[name] = b[name]
+        for src, out in payload.items():
+            cols[out] = pa.nulls(n, r_types[src])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = b[right_on].to_numpy(zero_copy_only=False)
+        cols = {"__part": pa.array((key % num_partitions).astype(np.int32), pa.int32()),
+                "__role": pa.array(np.ones(n, np.int8), pa.int8()),
+                "__rkey": b[right_on].cast(key_t)}
+        for name in l_names:
+            cols[name] = pa.nulls(n, l_types[name])
+        for src, out in payload.items():
+            cols[out] = b[src]
+        return pa.table(cols)
+
+    u = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return u.groupby("__part").map_groups(
+        _JoinAssemble(left_on, "__rkey", l_names, out_schema),
+        batch_format="pyarrow",
+    )
+
+
+def _join_pair_payload(pairs, values, id_col: str, payload_cols: list[str],
+                       num_partitions: int):
+    """Attach per-doc payload columns to BOTH sides of a pair table via two
+    distributed hash joins on doc id (the scale-safe replacement for
+    driver-side payload broadcasts).  ``values``: Dataset with columns
+    (id_col, *payload_cols).  Returns pairs extended with ``{col}_a`` /
+    ``{col}_b``."""
+    out = _hash_join(pairs, values, "id_a", id_col,
+                     {c: f"{c}_a" for c in payload_cols}, num_partitions)
+    return _hash_join(out, values, "id_b", id_col,
+                      {c: f"{c}_b" for c in payload_cols}, num_partitions)
+
+
+def _binary_matrix(col, width: int, dtype) -> np.ndarray:
+    """(n, width) numpy view over a large_binary column of fixed-size packed
+    rows — zero-copy off the Arrow values buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, width), dtype)
+    n = len(col)
+    itemsize = np.dtype(dtype).itemsize
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + n + 1
+    ]
+    if offs[-1] - offs[0] == n * width * itemsize:
+        buf = np.frombuffer(col.buffers()[2], dtype=dtype)
+        start = offs[0] // itemsize
+        return buf[start: start + n * width].reshape(n, width)
+    # non-contiguous rows (sliced/taken array): per-row copy fallback
+    return np.stack([np.frombuffer(v.as_py(), dtype=dtype) for v in col])
 
 
 # --------------------------------------------------------------------------- #
@@ -65,7 +241,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # shingles
 # --------------------------------------------------------------------------- #
 def shingle_batch(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
-    """Distinct word-n-gram shingle hashes per doc: (id, shingle:u64)."""
+    """Distinct word-n-gram shingle hashes per doc: (id, shingle:int64).
+
+    The 64 hash bits are REINTERPRETED as int64 (bijective view): Ray's
+    hash/sort shuffles handle u64 group keys by pickling every value into
+    Python objects — int64 keys stay zero-copy Arrow through the
+    groupby("shingle") df-count and every downstream stage."""
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -91,7 +272,7 @@ def shingle_batch(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Tab
     return pa.table(
         {
             id_col: pa.array(ids[kp], pa.int64()),
-            "shingle": pa.array(kg, pa.uint64()),
+            "shingle": pa.array(kg.view(np.int64), pa.int64()),
         }
     )
 
@@ -157,6 +338,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_group: int = 512,
+    join_partitions: int | None = None,
 ):
     """Exact n-gram Jaccard duplicate pairs: columns
     (id_a, id_b, jaccard) with jaccard rounded to 6dp, id_a < id_b.
@@ -166,9 +348,17 @@ def ngram_jaccard_pairs(
     per-doc sizes — so the reported jaccard is exact over the filtered
     universe (dropping them from candidates alone would understate the
     intersection of surfaced pairs).  With no shingle over the cap the
-    result is plain exact jaccard (the SQL-oracle case)."""
+    result is plain exact jaccard (the SQL-oracle case).
+
+    Scale shape: the hot-shingle blocklist is the ONLY driver-side collect
+    (bounded: total shingles / max_group entries at most); per-doc shingle
+    counts are attached to the pair table by a distributed hash join, and
+    pair scoring is a pure vectorized map."""
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Count
+
+    num_partitions = _join_parts(join_partitions)
 
     shingles = ds.map_batches(
         lambda b: shingle_batch(b, text_col, id_col, n),
@@ -176,31 +366,40 @@ def ngram_jaccard_pairs(
         batch_size=2048,
     ).materialize()  # reused below: materialize once
 
-    # hot-shingle filter: df per shingle, drop df > max_group everywhere
+    # hot-shingle filter: df per shingle, drop df > max_group everywhere.
+    # The >cap filter is a vectorized expression push-down; only the
+    # (tiny, bounded) surviving blocklist ever reaches the driver.
     sh_df = shingles.groupby("shingle").aggregate(Count(alias_name="df"))
-    hot_tbl = sh_df.filter(lambda r: r["df"] > max_group).to_pandas()
-    if len(hot_tbl):
-        hot = np.sort(hot_tbl["shingle"].to_numpy().astype(np.uint64))
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        # vectorized Arrow mask (Ray's expression filter is row-based here)
+        return b.filter(pc.greater(b["df"], max_group)).select(["shingle"])
+
+    hot_tables = ray.get(
+        sh_df.map_batches(hot_only, batch_format="pyarrow").to_arrow_refs()
+    )
+    hot = np.sort(
+        np.concatenate(
+            [t["shingle"].to_numpy(zero_copy_only=False) for t in hot_tables]
+        ).astype(np.int64)
+    ) if any(t.num_rows for t in hot_tables) else np.empty(0, np.int64)
+    if hot.size:
         hot_ref = ray.put(hot)
 
         def drop_hot(batch: pa.Table) -> pa.Table:
             h = ray.get(hot_ref)
-            sh = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            sh = batch["shingle"].to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(~np.isin(sh, h, assume_unique=False)))
 
         shingles = shingles.map_batches(drop_hot, batch_format="pyarrow").materialize()
 
     sizes = shingles.groupby(id_col).aggregate(Count(alias_name="n_shingles"))
-    size_tbl = sizes.to_pandas()
-    sid = size_tbl[id_col].to_numpy()
-    sn = size_tbl["n_shingles"].to_numpy().astype(np.float64)
-    order = np.argsort(sid)
-    size_ref = ray.put((sid[order], sn[order]))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         sh = batch["shingle"].to_numpy(zero_copy_only=False)
+        # numpy mod on int64 returns the divisor's sign -> always 0..31
         return batch.append_column(
-            "bucket", pa.array((sh % np.uint64(32)).astype(np.int32), pa.int32())
+            "bucket", pa.array((sh % 32).astype(np.int32), pa.int32())
         )
 
     inter = (
@@ -211,15 +410,20 @@ def ngram_jaccard_pairs(
         )
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="inter"))
-    )
+    ).materialize()
+    if inter.count() == 0:
+        return rd.from_arrow(_empty_pairs(("jaccard", pa.float64())))
+
+    # per-doc shingle counts joined onto both pair sides — distributed,
+    # never centralized (was: sizes.to_pandas() + broadcast)
+    joined = _join_pair_payload(inter, sizes, id_col, ["n_shingles"], num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
-        sid_s, sn_s = ray.get(size_ref)
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
         it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = sn_s[np.searchsorted(sid_s, a)]
-        nb = sn_s[np.searchsorted(sid_s, b)]
+        na = batch["n_shingles_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_shingles_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         j = round6(it / (na + nb - it))
         keep = j >= threshold
         return pa.table(
@@ -230,13 +434,14 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #
 # pair lists -> clusters -> survivors
 # --------------------------------------------------------------------------- #
-def dedup_clusters(pairs_ds):
+def dedup_clusters(pairs_ds, pair_limit: int = 10_000_000,
+                   join_partitions: int | None = None, max_iters: int = 64):
     """Connected components over a near-dup pair list: every doc appearing in
     >=1 pair gets ``cluster_id`` = the minimum doc id in its component
     (transitive closure — A~B, B~C puts A and C in one cluster even if they
@@ -246,15 +451,24 @@ def dedup_clusters(pairs_ds):
     of every ``*_pairs`` operator here); extra columns are ignored.  Returns
     a Dataset with columns (doc_id, cluster_id).
 
-    Scale note: the PAIR set is the thresholded survivors — orders of
-    magnitude smaller than the corpus (the corpus itself never centralizes).
-    Union-find runs driver-side over that small set; past ~10^8 pairs swap
-    this for iterative hash-min label propagation (repeat
-    groupby(node).min(label) until fixpoint), same output contract.
+    Two paths, same output contract:
+
+    * pairs <= ``pair_limit``: driver-side union-find (the pair set is the
+      thresholded survivor graph — usually orders of magnitude smaller than
+      the corpus; a few 10^7 edges union-find in seconds).
+    * pairs >  ``pair_limit``: distributed hash-min label propagation —
+      iterate ``label(v) = min(label(v), min over neighbors' labels)`` as a
+      labels x edges hash join + groupby(node).min until fixpoint (detected
+      by the monotone-decreasing label checksum).  O(component diameter)
+      rounds; near-dup components are shallow in practice.
     """
     import ray.data as rd
 
-    tbl = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    pairs = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    if pairs.count() > pair_limit:
+        return _clusters_labelprop(pairs, _join_parts(join_partitions), max_iters)
+
+    tbl = pairs.to_pandas()
     # an empty Dataset round-trips to a column-less DataFrame
     a = tbl["id_a"].to_numpy(np.int64) if "id_a" in tbl else np.empty(0, np.int64)
     b = tbl["id_b"].to_numpy(np.int64) if "id_b" in tbl else np.empty(0, np.int64)
@@ -287,6 +501,74 @@ def dedup_clusters(pairs_ds):
             }
         )
     )
+
+
+def _clusters_labelprop(pairs, join_partitions: int, max_iters: int):
+    """Distributed connected components: hash-min label propagation over the
+    (materialized) pair Dataset.  Every step is a Ray Data shuffle — no
+    per-node state ever reaches the driver; the fixpoint check reads one
+    scalar (the label checksum, strictly decreasing until convergence
+    because labels only ever shrink toward the component minimum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
+
+    # init: label(v) = min(v, min direct neighbor) — one round for free
+    def _min_self(batch: pa.Table) -> pa.Table:
+        node = batch["src"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "label": pa.array(np.minimum(node, lab), pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="label"))
+        .map_batches(_min_self, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    def _prop_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["dst"].cast(pa.int64()),
+             "label": batch["label"].cast(pa.int64())}
+        )
+
+    for _ in range(max_iters):
+        prop = _hash_join(
+            edges, labels, "src", "node", {"label": "label"}, join_partitions
+        ).map_batches(_prop_cols, batch_format="pyarrow")
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
 
 
 def dedup_filter(ds, pairs_ds, id_col: str = "doc_id"):
@@ -327,7 +609,11 @@ def _perm_params(num_perm: int, seed: int):
 class MinHashStage:
     """Per-doc minhash signature (num_perm x u64->u32) — permutation params
     built once per actor; the per-batch work is one (shingles x perms)
-    broadcast min-reduce via np.minimum.reduceat."""
+    broadcast min-reduce via np.minimum.reduceat.
+
+    Signatures are emitted as packed ``large_binary`` rows (num_perm
+    little-endian u64s): binary payloads survive the distributed hash join
+    in the verify stage (Arrow's join kernel rejects fixed_size_list)."""
 
     def __init__(self, text_col: str, id_col: str, n: int, num_perm: int, seed: int):
         self.text_col, self.id_col, self.n = text_col, id_col, n
@@ -338,7 +624,7 @@ class MinHashStage:
         sh = shingle_batch(batch, self.text_col, self.id_col, self.n)
         ids_all = batch[self.id_col].to_numpy(zero_copy_only=False)
         kp = sh[self.id_col].to_numpy(zero_copy_only=False)
-        kg = sh["shingle"].to_numpy(zero_copy_only=False)
+        kg = sh["shingle"].to_numpy(zero_copy_only=False).view(np.uint64)
         # group boundaries (kp sorted by construction)
         starts = np.r_[0, 1 + np.flatnonzero(kp[1:] != kp[:-1])] if len(kp) else np.empty(0, np.int64)
         sigs = np.full((len(ids_all), self.num_perm), np.iinfo(np.uint64).max, np.uint64)
@@ -352,13 +638,15 @@ class MinHashStage:
             id_to_row = {v: i for i, v in enumerate(ids_all)}
             rows = np.fromiter((id_to_row[v] for v in present_ids), np.int64, count=len(present_ids))
             sigs[rows] = mins
+        packed = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
+        row_bytes = self.num_perm * 8
+        offsets = np.arange(len(ids_all) + 1, dtype=np.int64) * row_bytes
+        sig_col = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(ids_all),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(packed)],
+        )
         return pa.table(
-            {
-                self.id_col: pa.array(ids_all, pa.int64()),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.ravel(), pa.uint64()), self.num_perm
-                ),
-            }
+            {self.id_col: pa.array(ids_all, pa.int64()), "sig": sig_col}
         )
 
 
@@ -373,12 +661,16 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_group: int = 512,
     concurrency: int | None = None,
+    join_partitions: int | None = None,
 ):
     """Near-dup pairs via MinHash+LSH: (id_a, id_b, est_jaccard).  Candidate
     generation = band-bucket groupby; verification = signature agreement
-    fraction (unbiased jaccard estimator) >= threshold."""
-    import ray
-    from ray.data.aggregate import Count
+    fraction (unbiased jaccard estimator) >= threshold.
+
+    Verify is a distributed candidates x signatures hash join on doc id
+    (each partition compares signature matrices vectorized) — per-doc state
+    never centralizes, so the tail streams at any corpus size."""
+    import ray.data as rd
 
     rows_per_band = num_perm // bands
     # bound the (n_shingles x num_perm) hash matrix: 512 docs x ~200
@@ -392,12 +684,7 @@ def minhash_lsh_pairs(
 
     def band_keys(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig_col = batch["sig"]
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
-        sig = np.asarray(
-            sig_col.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64
-        ).reshape(len(ids), num_perm)
+        sig = _binary_matrix(batch["sig"], num_perm, "<u8")
         outs_id, outs_key = [], []
         for bi in range(bands):
             chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
@@ -417,44 +704,25 @@ def minhash_lsh_pairs(
             }
         )
 
-    # no pre-verify groupby: a pair surfacing from several bands would only
-    # be deduped here at full candidate volume; verification is idempotent,
-    # so verify every candidate row and dedup the (small) surviving set
     cands = (
         sigs.map_batches(band_keys, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_PairEmit("id_a", max_group, key_col="key"), batch_format="pyarrow")
     )
+    # dedup pairs surfacing from several bands BEFORE the verify join, so
+    # each unique pair ships its two signatures exactly once
+    uniq = _unique_pairs(cands).materialize()
+    if uniq.count() == 0:
+        return rd.from_arrow(_empty_pairs(("est_jaccard", pa.float64())))
 
-    # broadcast signatures as ONE (ids, matrix) pair — a dict of N small
-    # arrays has O(N) python overhead and stalls past ~100k docs.  (At the
-    # next scale tier — billions of docs — replace the broadcast entirely
-    # with a candidates x signatures join.)
-    sig_tables = ray.get(sigs.to_arrow_refs())
-    ids_cat = np.concatenate(
-        [t[id_col].to_numpy(zero_copy_only=False) for t in sig_tables if t.num_rows]
-    )
-    mat_cat = np.concatenate(
-        [
-            np.asarray(
-                t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-            ).reshape(t.num_rows, num_perm)
-            for t in sig_tables
-            if t.num_rows
-        ]
-    )
-    order = np.argsort(ids_cat)
-    sig_ref = ray.put((ids_cat[order], mat_cat[order]))
+    joined = _join_pair_payload(uniq, sigs, id_col, ["sig"], _join_parts(join_partitions))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sids, smat = ray.get(sig_ref)
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "est_jaccard": pa.array([], pa.float64())})
-        sa = smat[np.searchsorted(sids, a)]
-        sb = smat[np.searchsorted(sids, b)]
-        est = round6((sa == sb).mean(axis=1))
+        sa = _binary_matrix(batch["sig_a"], num_perm, "<u8")
+        sb = _binary_matrix(batch["sig_b"], num_perm, "<u8")
+        est = round6((sa == sb).mean(axis=1)) if len(a) else np.empty(0, np.float64)
         keep = est >= threshold
         return pa.table(
             {
@@ -464,12 +732,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    from ray.data.aggregate import Max
-
-    verified = cands.map_batches(verify, batch_format="pyarrow")
-    return verified.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #
@@ -507,13 +770,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_group: int = 1024,
+    join_partitions: int | None = None,
 ):
     """Pairs within Hamming distance <= max_hamming of their 64-bit simhash.
     Blocking: split 64 bits into (max_hamming+1) blocks — a qualifying pair
     must agree exactly on >=1 block (pigeonhole), so candidates come from
-    (block_id, block_value) groupbys; verified by popcount."""
-    import ray
-    from ray.data.aggregate import Count
+    (block_id, block_value) groupbys; verified by popcount over a
+    distributed candidates x simhash join (no driver-side value table)."""
+    import ray.data as rd
 
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
@@ -549,29 +813,17 @@ def simhash_pairs(
         .groupby("bucket")
         .map_groups(_PairEmit("id_a", max_group, key_col="key"), batch_format="pyarrow")
     )
+    uniq = _unique_pairs(cands).materialize()
+    if uniq.count() == 0:
+        return rd.from_arrow(_empty_pairs(("hamming", pa.int64())))
 
-    sim_tables = ray.get(sims.to_arrow_refs())
-    ids_cat = np.concatenate(
-        [t[id_col].to_numpy(zero_copy_only=False) for t in sim_tables if t.num_rows]
-    )
-    sim_cat = np.concatenate(
-        [
-            t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            for t in sim_tables
-            if t.num_rows
-        ]
-    )
-    order = np.argsort(ids_cat)
-    sim_ref = ray.put((ids_cat[order], sim_cat[order]))
+    joined = _join_pair_payload(uniq, sims, id_col, ["simhash"], _join_parts(join_partitions))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sids, svals = ray.get(sim_ref)
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
-        sa = svals[np.searchsorted(sids, a)]
-        sb = svals[np.searchsorted(sids, b)]
+        sa = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         x = sa ^ sb
         ham = np.zeros(len(x), np.int64)
         for i in range(64):
@@ -585,51 +837,78 @@ def simhash_pairs(
             }
         )
 
-    from ray.data.aggregate import Max
-
-    verified = cands.map_batches(verify, batch_format="pyarrow")
-    return verified.groupby(["id_a", "id_b"]).aggregate(
-        Max("hamming", alias_name="hamming")
-    )
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #
 # embedding cosine near-dup
 # --------------------------------------------------------------------------- #
+def _pack_norm_vec(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    """(id, nvec:large_binary) — unit-normalized f64 vector packed per row
+    (binary survives hash joins; normalization done once, upstream of every
+    pair kernel)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vec = batch[vec_col]
+    if isinstance(vec, pa.ChunkedArray):
+        vec = vec.combine_chunks()
+    V = np.stack(vec.to_numpy(zero_copy_only=False)).astype(np.float64) \
+        if len(ids) else np.empty((0, 0))
+    if len(ids):
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        V = V / n
+    dim = V.shape[1] if len(ids) else 0
+    packed = np.ascontiguousarray(V, dtype="<f8").tobytes()
+    offsets = np.arange(len(ids) + 1, dtype=np.int64) * dim * 8
+    nvec = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(ids),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(packed)],
+    )
+    return pa.table({id_col: pa.array(ids, pa.int64()), "nvec": nvec})
+
+
 def embedding_dup_pairs(
     ds,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
 ):
-    """Cosine-similarity >= threshold pairs (id_a < id_b, cos rounded 6dp).
+    """EXACT cosine-similarity >= threshold pairs (id_a < id_b, cos 6dp).
 
-    Scale path: the normalized matrix is broadcast once via ray.put and each
-    batch does one matmul against it (works to ~1M x few-hundred dims; past
-    that, swap the broadcast for the LSH-bucketed variant in simsearch.py —
-    same pair-verify tail)."""
+    Distributed block-pair matmul: normalized (id, matrix) blocks live in
+    the OBJECT STORE (the driver holds only ObjectRefs — the corpus never
+    centralizes) and one Ray task per unordered block pair computes its
+    similarity tile.  Exact all-pairs is inherently O(N^2) work; this
+    spreads the tiles across the cluster and streams results back as a
+    Dataset.  For billion-row approximate near-dup use
+    :func:`embedding_dup_pairs_lsh` (same output contract, LSH-bounded
+    candidate generation)."""
     import ray
+    import ray.data as rd
 
-    mat_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = mat_tbl[id_col].to_numpy()
-    M = np.stack(mat_tbl[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Mn = M / norms
-    ref = ray.put((ids_all, Mn))
+    blocks = ds.map_batches(
+        lambda b: _pack_norm_vec(b, id_col, vec_col), batch_format="pyarrow"
+    )
+    refs = [r for r in blocks.to_arrow_refs()]
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        g_ids, g_mat = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        V = np.stack(
-            batch[vec_col].to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        n = np.linalg.norm(V, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (V / n) @ g_mat.T
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta[id_col].to_numpy(zero_copy_only=False)
+        ib = tb[id_col].to_numpy(zero_copy_only=False)
+        if len(ia) == 0 or len(ib) == 0:
+            return _empty_pairs(("cosine", pa.float64()))
+        dim = len(ta["nvec"][0].as_py()) // 8
+        A = _binary_matrix(ta["nvec"], dim, "<f8")
+        B = A if same else _binary_matrix(tb["nvec"], dim, "<f8")
+        sims = A @ B.T
         ri, ci = np.nonzero(sims >= threshold)
-        a, b = ids[ri], g_ids[ci]
-        keep = a < b
+        a, b = ia[ri], ib[ci]
+        if same:
+            keep = a < b
+        else:
+            # canonicalize cross-tile pairs (ids are arbitrary across blocks)
+            keep = a != b
+            a, b = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
@@ -638,4 +917,93 @@ def embedding_dup_pairs(
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(tile.remote(refs[i], refs[j], i == j))
+    if not futs:
+        return rd.from_arrow(_empty_pairs(("cosine", pa.float64())))
+    return rd.from_arrow_refs(futs)
+
+
+def embedding_dup_pairs_lsh(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_group: int = 4096,
+    join_partitions: int | None = None,
+):
+    """APPROXIMATE cosine near-dup pairs — the billion-row path.  Random-
+    hyperplane LSH (Charikar 2002) buckets each vector in ``n_tables``
+    independent tables; candidate pairs come from bucket co-occurrence
+    (_PairEmit, capped at max_group) and are verified EXACTLY by a
+    distributed pair x vector hash join + per-pair dot product.  Output
+    schema matches :func:`embedding_dup_pairs`; recall < 1 by design —
+    tests pin it against the exact operator."""
+    import ray.data as rd
+
+    from .simsearch import _LshIndexStage
+
+    vecs = ds.map_batches(
+        lambda b: _pack_norm_vec(b, id_col, vec_col), batch_format="pyarrow"
+    ).materialize()
+
+    def bucket_keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "key": pa.array([], pa.uint64()),
+                 "bucket": pa.array([], pa.int32())}
+            )
+        dim = len(batch["nvec"][0].as_py()) // 8
+        V = _binary_matrix(batch["nvec"], dim, "<f8")
+        out_i, out_k = [], []
+        for t in range(n_tables):
+            st = _LshIndexStage(n_planes, dim, seed + t)
+            key = (st.key_of(V) << np.uint64(4)) | np.uint64(t)
+            out_i.append(ids)
+            out_k.append(key)
+        keys = np.concatenate(out_k)
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_i), pa.int64()),
+                "key": pa.array(keys, pa.uint64()),
+                "bucket": pa.array((keys % np.uint64(32)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    cands = (
+        vecs.map_batches(bucket_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_PairEmit("id_a", max_group, key_col="key"), batch_format="pyarrow")
+    )
+    uniq = _unique_pairs(cands).materialize()
+    if uniq.count() == 0:
+        return rd.from_arrow(_empty_pairs(("cosine", pa.float64())))
+
+    joined = _join_pair_payload(uniq, vecs, id_col, ["nvec"], _join_parts(join_partitions))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return _empty_pairs(("cosine", pa.float64()))
+        dim = len(batch["nvec_a"][0].as_py()) // 8
+        A = _binary_matrix(batch["nvec_a"], dim, "<f8")
+        B = _binary_matrix(batch["nvec_b"], dim, "<f8")
+        cos = round6(np.einsum("ij,ij->i", A, B))
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -456,3 +456,108 @@ def test_dedup_clusters_matches_recursive_sql(docs_ds):
     ).to_pandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+
+
+# ---------------------------------------------------------------------------- #
+# round-2 scale paths
+# ---------------------------------------------------------------------------- #
+def test_dedup_clusters_distributed_matches_unionfind(ray_session):
+    """Forcing the label-propagation path (pair_limit=0) must reproduce the
+    driver union-find output exactly — chains (diameter > 1 round), separate
+    components and star shapes."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import dedup_clusters
+
+    # a 7-chain, a star, a separate 2-cluster
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (20, 21), (20, 22), (20, 23), (40, 41)]
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    small = dedup_clusters(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        dedup_clusters(pairs, pair_limit=0, join_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert small.equals(dist)
+    assert set(dist[dist["doc_id"] <= 7]["cluster_id"]) == {1}
+    assert set(dist[(dist["doc_id"] >= 20) & (dist["doc_id"] <= 23)]["cluster_id"]) == {20}
+
+
+def test_embedding_dup_exact_multiblock(ray_session):
+    """Block-pair tiles must find pairs WITHIN a block and ACROSS blocks."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 16))
+    # 16 vectors: i and i+8 are near-identical -> 8 cross/within pairs
+    vecs = np.concatenate([base, base + rng.standard_normal((8, 16)) * 0.01])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(16), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)  # force several blocks -> cross-block tiles exercised
+    got = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    pairs = {tuple(x) for x in got[["id_a", "id_b"]].to_numpy()}
+    assert pairs == {(i, i + 8) for i in range(8)}
+
+
+def test_embedding_dup_lsh_recall_vs_exact(ray_session, emb_ds):
+    """The LSH-bucketed approximate operator must surface >=90% of the exact
+    pairs at this scale, with exact cosine values on everything it emits."""
+    from riot_ray.pipelines import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    # threshold 0.4 is a WIDE angle (~66 deg): per-plane collision prob is
+    # only ~0.63, so the wide-net configuration is few planes x many tables
+    # (the 0.95-near-dup default regime uses more planes).  Expected recall
+    # for a pair exactly AT 0.4: 1 - (1 - 0.63^4)^24 ~ 0.98.
+    exact = embedding_dup_pairs(emb_ds, threshold=0.4).to_pandas()
+    approx = embedding_dup_pairs_lsh(
+        emb_ds, threshold=0.4, n_planes=4, n_tables=24, seed=1
+    ).to_pandas()
+    exact_pairs = {tuple(x) for x in exact[["id_a", "id_b"]].to_numpy()}
+    approx_pairs = {tuple(x) for x in approx[["id_a", "id_b"]].to_numpy()}
+    assert approx_pairs <= exact_pairs  # verify step is exact: no false hits
+    assert len(exact_pairs) > 0
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    # emitted cosines equal the exact operator's for the same pairs
+    merged = approx.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert np.allclose(merged["cosine_l"], merged["cosine_e"], atol=1e-9)
+
+
+def test_embedding_dup_lsh_near_dup_regime(ray_session):
+    """At the operator's design point (cos >= 0.95 near-dups) the default
+    plane/table config recalls everything on a planted-dup corpus."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((32, 24))
+    vecs = np.concatenate([base, base + rng.standard_normal((32, 24)) * 0.005])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(64), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(3)
+    got = embedding_dup_pairs_lsh(ds, threshold=0.95).to_pandas()
+    pairs = {tuple(x) for x in got[["id_a", "id_b"]].to_numpy()}
+    assert {(i, i + 32) for i in range(32)} <= pairs
+    assert (got["cosine"] >= 0.95).all()

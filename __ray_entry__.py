@@ -600,9 +600,65 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) <= {K}
             """,
-        # dedup_minhash / dedup_simhash / knn_lsh_topk / lang_id /
-        # fingerprints / search_proximity / multimodal_decode are
-        # approximate or non-SQL-expressible -> rows-only check by design.
+        # dedup_minhash / dedup_simhash / dedup_embedding_lsh / knn_lsh_topk
+        # / search_proximity / multimodal_decode are approximate or
+        # non-SQL-expressible -> rows-only check by design (recall/golden
+        # pins live in pytest).
     }
     out["bm25_topk_wand"] = out["bm25_topk"]  # WAND must match exhaustive
+
+    # fingerprints: full winnowing (Schleimer et al. SIGMOD'03) in SQL.
+    # Token hash = first 8 md5 bytes as UBIGINT (= riot_ray._token_hashes);
+    # k-gram rolling hash = the same (kg * FNV64) ^ h chain in mod-2^64
+    # HUGEINT arithmetic; window minima + short-doc fallback as in
+    # riot_ray.pipelines.analysis.fingerprint_batch (k=5, window=8).
+    FP_K, FP_W = 5, 8
+    kg = "0::UBIGINT"
+    for j in range(FP_K):
+        h = f"('0x' || substr(md5(t[i+{j}]), 1, 16))::UBIGINT"
+        kg = (f"xor(((({kg})::HUGEINT * 1099511628211) % "
+              f"18446744073709551616)::UBIGINT, {h})")
+    out["fingerprints"] = f"""
+        WITH {_TOKS},
+        grams AS (
+          SELECT doc_id,
+                 [{kg} for i in range(1, len(t) - {FP_K - 2})] AS kgs
+          FROM toks),
+        fp AS (SELECT doc_id, kgs, len(kgs) AS m FROM grams)
+        SELECT fp.doc_id,
+               CASE WHEN m = 0 THEN 0
+                    WHEN m < {FP_W} THEN 1
+                    ELSE len(list_distinct([list_min(kgs[i:i+{FP_W - 1}])
+                                            for i in range(1, m - {FP_W - 2})]))
+               END::BIGINT AS n_fingerprints,
+               md5(d.text) AS digest
+        FROM fp JOIN documents d ON d.doc_id = fp.doc_id
+        """
+
+    # lang_id: the marker-word heuristic is pure SQL — per-language marker
+    # hit ratio, argmax with ties to the earlier language code, 'und' at 0.
+    langs = sorted(STOPWORDS)  # matches LangId's argmax order
+    ratio_cols = ",\n                   ".join(
+        "len(list_filter(t, x -> x IN ({words}))) / GREATEST(len(t), 1)::DOUBLE AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])), lang=lang
+        )
+        for lang in langs
+    )
+    best = f"GREATEST({', '.join('s_' + lang for lang in langs)})"
+    case = "CASE WHEN {best} = 0 THEN 'und' ".format(best=best)
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        case += f"WHEN {geq} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    out["lang_id"] = f"""
+        WITH {_TOKS},
+        sc AS (
+          SELECT doc_id,
+                   {ratio_cols}
+          FROM toks)
+        SELECT doc_id,
+               {case} AS lang_pred,
+               ROUND({best}, 6) AS lang_conf
+        FROM sc
+        """
     return out

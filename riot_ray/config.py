@@ -31,7 +31,11 @@ INDEX_TYPES = {DOCIDS_INDEX: "docids", FREQS_INDEX: "freqs", LOCS_INDEX: "locs"}
 #   "chars"   - riot's non-gse char-split path (Using != 4): single chars
 #               through the same ForSplitData quirk (segment.go:105-110)
 #   "pretokenized" - tokens column passthrough (/root/reference/segment.go:117-125)
-TOKENIZE_MODES = ("simple", "code", "space", "chars", "pretokenized")
+#   "dict"    - gse-analog dictionary segmentation (riot Using=0/1 —
+#               /root/reference/segment.go:128-169): max-probability unigram
+#               DP over a frequency dictionary, byte-offset positions; needs
+#               dict_path and/or dict_entries
+TOKENIZE_MODES = ("simple", "code", "space", "chars", "pretokenized", "dict")
 
 
 @dataclass
@@ -63,6 +67,10 @@ class EngineOpts:
     index_type: int = FREQS_INDEX
     stop_tokens: tuple = ()          # /root/reference/stop_tokens.go:31-57
     lowercase: bool = True
+    # dict mode only: gse-format dictionary file (riot's GseDict,
+    # /root/reference/engine.go:292-301) and/or inline (word, freq) entries
+    dict_path: str | None = None
+    dict_entries: tuple = ()
 
     # --- scoring ----------------------------------------------------------
     bm25: BM25Params = field(default_factory=BM25Params)
@@ -123,9 +131,9 @@ class EngineOpts:
         d.update({k: v for k, v in data.items() if not isinstance(v, dict)})
         if "bm25" in data:
             d["bm25"] = BM25Params(**data["bm25"])
-        for k in ("id_cols", "meta_cols", "stop_tokens"):
+        for k in ("id_cols", "meta_cols", "stop_tokens", "dict_entries"):
             if k in d:
-                d[k] = tuple(d[k])
+                d[k] = tuple(tuple(x) if isinstance(x, list) else x for x in d[k])
         return EngineOpts(**d)
 
     @staticmethod
@@ -135,6 +143,10 @@ class EngineOpts:
         d["id_cols"] = tuple(d["id_cols"])
         d["meta_cols"] = tuple(d["meta_cols"])
         d["stop_tokens"] = tuple(d["stop_tokens"])
+        if "dict_entries" in d:
+            d["dict_entries"] = tuple(
+                tuple(x) if isinstance(x, list) else x for x in d["dict_entries"]
+            )
         return EngineOpts(**d)
 
 

@@ -186,18 +186,18 @@ def lang_id(ds, text_col: str = "text", concurrency: int | None = None):
 # document fingerprinting (rolling hash / winnowing)
 # --------------------------------------------------------------------------- #
 def _token_hashes(flat: pa.Array) -> np.ndarray:
-    """u64 hash per token — hashes computed once per UNIQUE token (blake2b,
-    stable across runs/processes), then gathered."""
+    """u64 hash per token — hashes computed once per UNIQUE token, then
+    gathered.  The hash is the first 8 md5 bytes read big-endian, i.e.
+    DuckDB's ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` — chosen so the
+    winnowing fingerprint operator is SQL-oracle-checkable end to end
+    (stable across runs/processes either way)."""
     denc = pc.dictionary_encode(flat)
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = denc.dictionary.to_pylist()
     table = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "little")
-            for u in uniq
-        ),
+        (int(hashlib.md5(u.encode()).hexdigest()[:16], 16) for u in uniq),
         dtype=np.uint64,
         count=len(uniq),
     )
@@ -256,10 +256,9 @@ def fingerprint_batch(
             for p in np.unique(kg_parent):
                 if not has_win[p]:
                     fps[p].append(int(kg[kg_parent == p].min()))
+    # md5 = DuckDB's md5(text): the whole-doc digest is oracle-checkable
     digest = [
-        hashlib.blake2b(
-            (texts[i].as_py() or "").encode("utf-8"), digest_size=16
-        ).hexdigest()
+        hashlib.md5((texts[i].as_py() or "").encode("utf-8")).hexdigest()
         for i in range(n_rows)
     ]
     out = batch.select([c for c in batch.column_names if c != text_col])

@@ -122,7 +122,9 @@ class _JoinAssemble:
 
 
 def _hash_join(left, right, left_on: str, right_on: str,
-               payload: dict, num_partitions: int):
+               payload: dict, num_partitions: int,
+               left_schema: pa.Schema | None = None,
+               right_schema: pa.Schema | None = None):
     """Distributed inner hash-join expressed as ONE sort-shuffle
     ``groupby(part).map_groups`` over the tagged union of both sides.
 
@@ -135,11 +137,18 @@ def _hash_join(left, right, left_on: str, right_on: str,
     ``payload`` maps right column -> output name.  Output: all left columns
     + renamed payload columns; left rows without a match are dropped.
     Only (key, payload) move through the shuffle — the scale-safe
-    replacement for driver-side payload broadcasts."""
-    import ray.data as rd
+    replacement for driver-side payload broadcasts.
 
-    left_schema = left.schema()
-    right_schema = right.schema()
+    Pass ``left_schema``/``right_schema`` (pyarrow) whenever the dataset is
+    LAZY: ``Dataset.schema()`` on an unexecuted pipeline runs the whole
+    plan once just to peek a row — measured at 600k docs, the implicit
+    schema probe doubled the verify stage's wall time."""
+    if left_schema is None:
+        ls = left.schema()
+        left_schema = pa.schema(list(zip(ls.names, ls.types)))
+    if right_schema is None:
+        rs = right.schema()
+        right_schema = pa.schema(list(zip(rs.names, rs.types)))
     l_names = list(left_schema.names)
     l_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
     r_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
@@ -183,16 +192,33 @@ def _hash_join(left, right, left_on: str, right_on: str,
 
 
 def _join_pair_payload(pairs, values, id_col: str, payload_cols: list[str],
-                       num_partitions: int):
+                       num_partitions: int,
+                       values_schema: pa.Schema | None = None):
     """Attach per-doc payload columns to BOTH sides of a pair table via two
     distributed hash joins on doc id (the scale-safe replacement for
     driver-side payload broadcasts).  ``values``: Dataset with columns
     (id_col, *payload_cols).  Returns pairs extended with ``{col}_a`` /
-    ``{col}_b``."""
+    ``{col}_b``.
+
+    ``pairs`` must be materialized (callers do — they count() it for the
+    empty guard); pass ``values_schema`` when ``values`` is lazy so no
+    implicit execution happens during planning."""
+    ps = pairs.schema()
+    pairs_schema = pa.schema(list(zip(ps.names, ps.types)))
+    if values_schema is None:
+        vs = values.schema()
+        values_schema = pa.schema(list(zip(vs.names, vs.types)))
+    v_types = {n: t for n, t in zip(values_schema.names, values_schema.types)}
     out = _hash_join(pairs, values, "id_a", id_col,
-                     {c: f"{c}_a" for c in payload_cols}, num_partitions)
+                     {c: f"{c}_a" for c in payload_cols}, num_partitions,
+                     left_schema=pairs_schema, right_schema=values_schema)
+    mid_schema = pa.schema(
+        list(zip(pairs_schema.names, pairs_schema.types))
+        + [(f"{c}_a", v_types[c]) for c in payload_cols]
+    )
     return _hash_join(out, values, "id_b", id_col,
-                      {c: f"{c}_b" for c in payload_cols}, num_partitions)
+                      {c: f"{c}_b" for c in payload_cols}, num_partitions,
+                      left_schema=mid_schema, right_schema=values_schema)
 
 
 def _binary_matrix(col, width: int, dtype) -> np.ndarray:
@@ -415,8 +441,12 @@ def ngram_jaccard_pairs(
         return rd.from_arrow(_empty_pairs(("jaccard", pa.float64())))
 
     # per-doc shingle counts joined onto both pair sides — distributed,
-    # never centralized (was: sizes.to_pandas() + broadcast)
-    joined = _join_pair_payload(inter, sizes, id_col, ["n_shingles"], num_partitions)
+    # never centralized (was: sizes.to_pandas() + broadcast); schema passed
+    # explicitly: sizes is lazy and schema() would execute it during planning
+    joined = _join_pair_payload(
+        inter, sizes, id_col, ["n_shingles"], num_partitions,
+        values_schema=pa.schema([(id_col, pa.int64()), ("n_shingles", pa.int64())]),
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)

@@ -68,6 +68,119 @@ def split_identifier(ident: str) -> list[str]:
     return out
 
 
+class DictSegmenter:
+    """Dictionary-driven segmenter for ``mode="dict"`` — the rebuild of
+    riot's gse path (M2: /root/reference/segment.go:128-169 calls gse's
+    ModeSegment; dict load at /root/reference/engine.go:292-301).
+
+    Fresh implementation of the PUBLISHED max-probability unigram
+    segmentation algorithm (the sego/gse/jieba family): over each non-latin
+    run, dynamic programming picks the split minimizing
+    ``sum(log2(total_freq / freq(word)))`` — i.e. maximizing the product of
+    word frequencies; unknown single characters get frequency 1.  Latin or
+    digit runs are atomic tokens (emitted lowercased, like gse's alpha
+    handling); whitespace is a boundary and never emitted; every other
+    character participates in the DP (punctuation falls out as unknown
+    singles, which riot also indexes when no stop file is set).
+
+    Dictionary format = gse's: ``word freq [pos]`` per line, ``//`` comments
+    skipped.  Positions are BYTE offsets into the original content (gse's
+    ``segment.Start()``), token text is lowercased.
+
+    State (dict + cost table) loads once per actor (T1); segmentation is
+    per-doc Python — a conformance/feature mode, not the vectorized
+    simple/code hot path."""
+
+    _LATIN = re.compile(r"[A-Za-z0-9]+")
+
+    def __init__(self, dict_path: str | None = None, dict_entries=None):
+        import math
+
+        freq: dict[str, float] = {}
+        if dict_path:
+            with open(dict_path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("//"):
+                        continue
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    try:
+                        freq[parts[0]] = float(parts[1]) if len(parts) > 1 else 1.0
+                    except ValueError:
+                        freq[parts[0]] = 1.0
+        for entry in dict_entries or ():
+            word, f_ = (entry[0], float(entry[1])) if len(entry) > 1 else (entry[0], 1.0)
+            freq[word] = f_
+        self.total = max(sum(freq.values()), 1.0)
+        self.max_len = max((len(w) for w in freq), default=1)
+        self.cost = {w: math.log2(self.total / f) for w, f in freq.items() if f > 0}
+        self.unk_cost = math.log2(self.total)  # unknown char: freq 1
+
+    def _dp_run(self, run: str):
+        """Min-cost split of one non-latin run; ties prefer the LONGER word
+        (maximal match) for determinism.  Returns token list."""
+        m = len(run)
+        best = [0.0] + [float("inf")] * m
+        back = [0] * (m + 1)
+        for i in range(m):
+            if best[i] == float("inf"):
+                continue
+            hi = min(self.max_len, m - i)
+            # unknown single char is always a candidate
+            for L in range(1, hi + 1):
+                w = run[i: i + L]
+                c = self.cost.get(w)
+                if c is None:
+                    if L > 1:
+                        continue
+                    c = self.unk_cost
+                cand = best[i] + c
+                j = i + L
+                # strictly-less OR equal-with-longer-word wins
+                if cand < best[j] or (cand == best[j] and (j - back[j]) < L):
+                    best[j] = cand
+                    back[j] = i
+        out = []
+        j = m
+        while j > 0:
+            i = back[j]
+            out.append(run[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    def segment(self, text: str) -> list[tuple[str, int]]:
+        """(token_text_lowercased, byte_start) for every segment of text."""
+        out: list[tuple[str, int]] = []
+        i = 0
+        n = len(text)
+        byte_of = [0] * (n + 1)
+        for k, ch in enumerate(text):
+            byte_of[k + 1] = byte_of[k] + len(ch.encode("utf-8"))
+        while i < n:
+            ch = text[i]
+            if ch.isspace():
+                i += 1
+                continue
+            m = self._LATIN.match(text, i)
+            if m:
+                out.append((m.group().lower(), byte_of[i]))
+                i = m.end()
+                continue
+            # non-latin run: up to the next whitespace/latin boundary
+            j = i
+            while j < n and not text[j].isspace() and not self._LATIN.match(text, j):
+                j += 1
+            pos = i
+            for tok in self._dp_run(text[i:j]):
+                out.append((tok.lower(), byte_of[pos]))
+                pos += len(tok)
+            i = j
+        return out
+
+
 class Tokenizer:
     """Stateful tokenizer: compiled patterns + stop set + expansion cache.
 
@@ -79,6 +192,9 @@ class Tokenizer:
         self.opts = opts
         self.stop = frozenset(opts.stop_tokens)
         self._exp_cache: dict[str, list[str]] = {}
+        self.segmenter = None
+        if opts.mode == "dict":
+            self.segmenter = DictSegmenter(opts.dict_path, opts.dict_entries)
 
     # ------------------------------------------------------------------ #
     # query side
@@ -95,6 +211,13 @@ class Tokenizer:
         mode = self.opts.mode
         if mode in ("space", "chars"):
             return text.lower().split(" ")
+        if mode == "dict":
+            # /root/reference/engine.go:500-510: ToLower then gse Segment,
+            # stop filter applied per token
+            return [
+                t for t, _ in self.segmenter.segment(text.lower())
+                if t not in self.stop
+            ]
         if mode == "simple":
             return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in self.stop]
         if mode == "code":
@@ -140,6 +263,16 @@ class Tokenizer:
             # split into single characters, then the ForSplitData quirk
             if content:
                 tokens_map, num_tokens = self._for_split_data(list(content.lower()))
+        elif mode == "dict":
+            # Using=1 semantics (/root/reference/segment.go:128-169): segment
+            # content, append byte positions per occurrence, stop-filter the
+            # tokensMap; numTokens counts ALL segments (pre-filter)
+            if content:
+                segs = self.segmenter.segment(content)
+                num_tokens = len(segs)
+                for t, pos in segs:
+                    if t not in self.stop:
+                        tokens_map.setdefault(t, []).append(pos)
         elif mode in ("simple", "code"):
             if content:
                 tokens_map, num_tokens = self._regex_tokens(content)

@@ -270,7 +270,9 @@ class IndexWriter:
             agg = t.group_by("term").aggregate([("df_local", "sum")])
             # select by NAME: pyarrow's aggregate column order has changed
             # across major versions — a positional rename silently swaps
-            out = pa.table({"term": agg["term"], "df": agg["df_local_sum"]})
+            out = pa.table({"term": agg["term"], "df": agg["df_local_sum"]}).sort_by(
+                "term"
+            )  # term-sorted on disk: TermStats then loads without a re-sort
             os.makedirs(tmp_ts, exist_ok=True)
             pq.write_table(out, os.path.join(tmp_ts, "df.parquet"))
         else:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .build import load_stats
@@ -27,14 +28,53 @@ from .tokenize import Tokenizer
 from .types import RankOpts, SearchReq, SearchResp
 
 
-def _load_termstats(index_dir: str) -> dict:
-    d = os.path.join(index_dir, "termstats")
-    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    out: dict[str, int] = {}
-    for f in files:
-        t = pq.read_table(f)
-        out.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
-    return out
+class TermStats:
+    """Global term->df dictionary, ARROW-RESIDENT: terms stay in one sorted
+    Arrow string buffer and lookups are O(log n) binary searches.
+
+    A Python dict of the whole vocabulary costs ~100 B/entry of object
+    overhead per searcher replica — GBs at a 10^8-term vocabulary.  Here the
+    resident footprint is the raw UTF-8 bytes + one i64 offset per term
+    (plus the df i64 vector), independent of Python object count; query-side
+    lookups touch a handful of terms, so ~27 buffer probes per token are
+    free compared to posting-list decode."""
+
+    def __init__(self, index_dir: str):
+        d = os.path.join(index_dir, "termstats")
+        files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        t = pa.concat_tables(pq.read_table(f, columns=["term", "df"]) for f in files)
+        # builds write the driver-aggregated file term-sorted; the
+        # distributed fallback emits several unsorted files — sort once here
+        terms = t["term"].combine_chunks()
+        idx = pa.compute.sort_indices(terms)
+        self._terms = terms.take(idx)
+        self._df = t["df"].combine_chunks().take(idx).to_numpy(zero_copy_only=False)
+
+    def __len__(self) -> int:
+        return len(self._terms)
+
+    def get(self, term: str, default=None):
+        lo, hi = 0, len(self._terms)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._terms[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(self._terms) and self._terms[lo].as_py() == term:
+            return int(self._df[lo])
+        return default
+
+    def items(self):
+        """Iterate (term, df) — export/debug only, not the query path."""
+        for i in range(len(self._terms)):
+            yield self._terms[i].as_py(), int(self._df[i])
+
+
+def _load_termstats(index_dir: str) -> TermStats:
+    return TermStats(index_dir)
 
 
 def _load_tombstones(index_dir: str) -> np.ndarray:

@@ -45,18 +45,46 @@ def derive_doc_id(batch: pa.Table, opts: EngineOpts) -> pa.Array:
     return pc.binary_join_element_wise(head, cols[-1], "@")
 
 
+def _utf8_views(col):
+    """(memoryview over the UTF-8 values buffer, start/end offset arrays)
+    for a string column — hashing reads Arrow's buffer slices directly, no
+    per-row Python str materialization or .encode() round-trip (this is the
+    first stage every byte of a build crosses)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_utf8())
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset: col.offset + n + 1
+    ]
+    mv = memoryview(col.buffers()[2])
+    return mv, offs, col
+
+
 def _sha256_col(contents) -> pa.Array:
-    vals = contents.to_pylist()
-    return pa.array(
-        [hashlib.sha256((v or "").encode("utf-8")).hexdigest() for v in vals],
-        type=pa.string(),
-    )
+    mv, offs, arr = _utf8_views(contents)
+    sha = hashlib.sha256
+    if arr.null_count == 0:
+        out = [sha(mv[offs[i]: offs[i + 1]]).hexdigest() for i in range(len(arr))]
+    else:
+        valid = np.asarray(
+            pa.compute.is_valid(arr).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        empty = sha(b"").hexdigest()  # null content hashes like ""
+        out = [
+            sha(mv[offs[i]: offs[i + 1]]).hexdigest() if valid[i] else empty
+            for i in range(len(arr))
+        ]
+    return pa.array(out, type=pa.string())
 
 
 def _crc_part(doc_ids, num_parts: int) -> np.ndarray:
-    return np.array(
-        [zlib.crc32(d.encode("utf-8")) % num_parts for d in doc_ids.to_pylist()],
+    mv, offs, arr = _utf8_views(doc_ids)
+    crc = zlib.crc32
+    return np.fromiter(
+        (crc(mv[offs[i]: offs[i + 1]]) % num_parts for i in range(len(arr))),
         dtype=np.int32,
+        count=len(arr),
     )
 
 

@@ -1,0 +1,215 @@
+"""HTTP serving facade — the rebuild of riot's ``net/http`` layer.
+
+Mirrors the reference's request/response shapes
+(/root/reference/net/http/http.go:53-128, search.go:21-36):
+
+* ``GET/POST /search`` — params ``query``, ``outputOffset``, ``maxOutputs``
+  (+ passthrough ``userid``/``time``); responds
+  ``{"code": 0, "len": N, "timestamp": unix, "docs": [{"id", "content",
+  "score", "attri"}]}``.
+* ``GET/POST /dist``  — scatter the same request to member node URLs
+  (``/search`` on each), merge, truncate to maxOutputs
+  (dist.go:52-115).  The reference merges by ``(Attri.Ts, Id)`` — a
+  serving-layer recency order this rebuild intentionally replaces with the
+  engine's (score desc, id asc) total order (SURVEY.md §2.9 note).
+* ``GET/POST /index``  — add one document (http.go:131-166 AddIndex):
+  params ``docid``, ``query``; routed through riot_ray.updates.add_docs.
+* ``GET /delete``      — tombstone one docid (http.go:169-175 DelIndex).
+* ``GET /status``      — engine stats (n_docs, tombstones, shards).
+
+Deliberately stdlib-only (http.server.ThreadingHTTPServer): the sandbox has
+no web framework, and the facade's job is wire-shape parity + a real
+network endpoint over ``LocalSearcher``/``ActorSearcher`` — not a prod
+server.  etcd/grpc registration (net/grpc, net/cli) is out of scope; Ray's
+own actor naming covers member discovery inside a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .types import RankOpts, SearchReq
+
+
+def _doc_payload(hit) -> dict:
+    return {
+        "id": hit.doc_id,
+        "content": hit.content if hit.content is not None else "",
+        "score": list(hit.scores) if hit.scores else [hit.bm25],
+        "attri": hit.fields or {},
+    }
+
+
+class SearchHTTPServer:
+    """Thread-pooled HTTP endpoint over any searcher (Local/Actor/Replicated).
+
+    ``dist_members``: other nodes' base URLs for /dist scatter-gather
+    (analog of com.Config.Url, /root/reference/net/http/dist.go:77-84)."""
+
+    def __init__(self, searcher, host: str = "127.0.0.1", port: int = 0,
+                 default_max_outputs: int = 10, dist_members: list[str] | None = None,
+                 index_dir: str | None = None, dist_timeout_s: float = 1.0):
+        self.searcher = searcher
+        self.default_max_outputs = default_max_outputs
+        self.dist_members = list(dist_members or [])
+        self.index_dir = index_dir or getattr(searcher, "index_dir", None)
+        self.dist_timeout_s = dist_timeout_s  # reference: 1000ms client timeout
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _params(self):
+                if self.command == "POST":
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = self.rfile.read(n).decode()
+                    return {k: v[0] for k, v in urllib.parse.parse_qs(body).items()}
+                q = urllib.parse.urlparse(self.path).query
+                return {k: v[0] for k, v in urllib.parse.parse_qs(q).items()}
+
+            def _reply(self, obj, code=200):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json;charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _route(self):
+                path = urllib.parse.urlparse(self.path).path
+                p = self._params()
+                try:
+                    if path == "/search":
+                        self._reply(outer._search(p))
+                    elif path == "/dist":
+                        self._reply(outer._dist(p))
+                    elif path == "/index":
+                        self._reply(outer._add_index(p))
+                    elif path == "/delete":
+                        self._reply(outer._delete(p))
+                    elif path == "/status":
+                        self._reply(outer._status())
+                    else:
+                        self._reply({"code": 404, "error": "unknown route"}, 404)
+                except Exception as e:  # wire errors as JSON, like a service
+                    self._reply({"code": 500, "error": str(e)}, 500)
+
+            do_GET = _route
+            do_POST = _route
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+
+    # ---- handlers -------------------------------------------------------- #
+    def _search_docs(self, p: dict) -> tuple[list[dict], int]:
+        offset = int(p.get("outputOffset") or 0)
+        max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
+        resp = self.searcher.search(
+            SearchReq(
+                text=p.get("query") or "",
+                rank_opts=RankOpts(output_offset=offset, max_outputs=max_outputs),
+            )
+        )
+        return [_doc_payload(h) for h in resp.docs], max_outputs
+
+    def _search(self, p: dict) -> dict:
+        docs, _ = self._search_docs(p)
+        return {
+            "code": 0,
+            "len": len(docs),
+            "timestamp": int(time.time()),
+            "docs": docs,
+        }
+
+    def _dist(self, p: dict) -> dict:
+        """Scatter to members (plus this node), merge by the engine's
+        (score desc, id asc) order, truncate to maxOutputs."""
+        max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
+        docs, _ = self._search_docs(p)
+        qs = urllib.parse.urlencode({**p, "maxOutputs": str(max_outputs)})
+        for base in self.dist_members:
+            try:
+                with urllib.request.urlopen(
+                    f"{base}/search?{qs}", timeout=self.dist_timeout_s
+                ) as r:
+                    docs.extend(json.loads(r.read().decode()).get("docs", []))
+            except Exception:
+                continue  # member down: partial results (dist.go:40-44)
+        docs.sort(key=lambda d: (-max(d["score"]) if d["score"] else 0.0, d["id"]))
+        docs = docs[:max_outputs]
+        return {"code": 0, "len": len(docs), "timestamp": int(time.time()), "docs": docs}
+
+    def _add_index(self, p: dict) -> dict:
+        if not self.index_dir:
+            raise RuntimeError("index_dir unknown: pass index_dir= to enable /index")
+        import pyarrow as pa
+        import ray.data as rd
+
+        from .build import load_stats
+        from .config import EngineOpts
+        from .updates import add_docs
+
+        opts = EngineOpts.from_json_dict(load_stats(self.index_dir)["opts"])
+        docid = p.get("docid") or ""
+        # invert derive_doc_id's "{c0}/{c1}@{c2}" composition for multi-col ids
+        if len(opts.id_cols) == 1:
+            id_vals = [docid]
+        else:
+            head, _, commit = docid.rpartition("@")
+            id_vals = head.split("/", len(opts.id_cols) - 2) + [commit]
+            if len(id_vals) != len(opts.id_cols):
+                raise RuntimeError(
+                    f"docid {docid!r} does not match the id scheme "
+                    f"{'/'.join(opts.id_cols[:-1])}@{opts.id_cols[-1]}"
+                )
+        row = pa.table(
+            {
+                **{c: pa.array([v], pa.string()) for c, v in zip(opts.id_cols, id_vals)},
+                opts.content_col: pa.array([p.get("query") or ""], pa.string()),
+                **{c: pa.array([""], pa.string()) for c in opts.meta_cols},
+            }
+        )
+        out = add_docs(self.index_dir, rd.from_arrow(row))
+        return {"code": 0, "timestamp": int(time.time()), "docs": None,
+                "n_added": out["n_added"], "n_replaced": out["n_replaced"]}
+
+    def _delete(self, p: dict) -> dict:
+        if not self.index_dir:
+            raise RuntimeError("index_dir unknown: pass index_dir= to enable /delete")
+        from .updates import remove_docs
+
+        out = remove_docs(self.index_dir, [p.get("docid") or ""])
+        return {"code": 0, "timestamp": int(time.time()),
+                "n_removed": out["n_removed"]}
+
+    def _status(self) -> dict:
+        st = getattr(self.searcher, "stats", {})
+        return {
+            "code": 0,
+            "n_docs": st.get("n_docs"),
+            "n_postings": st.get("n_postings"),
+            "num_shards": st.get("num_shards"),
+            "tombstones": getattr(self.searcher, "n_tomb", 0),
+        }
+
+    # ---- lifecycle ------------------------------------------------------- #
+    def serve_background(self):
+        """Start serving on a daemon thread; returns the base URL."""
+        import threading
+
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        self._thread = t
+        return f"http://{self.host}:{self.port}"
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,103 @@
+"""HTTP facade — wire-shape parity with riot's net/http layer
+(/root/reference/net/http/http.go Search/AddIndex/DelIndex, dist.go WgDist)."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from riot_ray.engine import LocalSearcher
+from riot_ray.httpserve import SearchHTTPServer
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read().decode())
+
+
+@pytest.fixture(scope="module")
+def server(corpus_index):
+    s = LocalSearcher(corpus_index["index_dir"], hydrate=True)
+    srv = SearchHTTPServer(s, index_dir=corpus_index["index_dir"])
+    base = srv.serve_background()
+    yield base, srv
+    srv.shutdown()
+
+
+def test_search_shape_and_order(server, corpus_index):
+    base, _ = server
+    out = _get(f"{base}/search?query=parse+batch&maxOutputs=5")
+    assert out["code"] == 0 and out["len"] == len(out["docs"]) <= 5
+    assert {"id", "content", "score", "attri"} <= set(out["docs"][0])
+    scores = [max(d["score"]) for d in out["docs"]]
+    assert scores == sorted(scores, reverse=True)
+    # parity with the in-process searcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(corpus_index["index_dir"])
+    resp = s.search(SearchReq(text="parse batch", rank_opts=RankOpts(max_outputs=5)))
+    assert [d["id"] for d in out["docs"]] == [h.doc_id for h in resp.docs]
+
+
+def test_search_post_form_and_offset(server):
+    base, _ = server
+    body = urllib.parse.urlencode({"query": "parse batch", "maxOutputs": 3,
+                                   "outputOffset": 2}).encode()
+    req = urllib.request.Request(f"{base}/search", data=body, method="POST")
+    out = json.loads(urllib.request.urlopen(req, timeout=10).read().decode())
+    full = _get(f"{base}/search?query=parse+batch&maxOutputs=5")
+    assert [d["id"] for d in out["docs"]] == [d["id"] for d in full["docs"]][2:5]
+
+
+def test_dist_merges_self_and_members(server):
+    base, srv = server
+    # member = this same node: dist must still dedupe nothing but merge+cut
+    srv.dist_members = [base]
+    out = _get(f"{base}/dist?query=parse&maxOutputs=4")
+    assert out["len"] == len(out["docs"]) <= 4
+    scores = [max(d["score"]) for d in out["docs"]]
+    assert scores == sorted(scores, reverse=True)
+    srv.dist_members = []
+
+
+def test_status_and_unknown_route(server, corpus_index):
+    base, _ = server
+    st = _get(f"{base}/status")
+    assert st["n_docs"] == corpus_index["stats"]["n_docs"]
+    try:
+        _get(f"{base}/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_index_and_delete_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.corpus import make_corpus
+
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(make_corpus(40, seed=3), src)
+    opts = EngineOpts(mode="code", num_parts=4, num_shards=2)
+    idx = str(tmp_path / "idx")
+    IndexWriter(idx, opts).build(src)
+    srv = SearchHTTPServer(LocalSearcher(idx), index_dir=idx)
+    base = srv.serve_background()
+    try:
+        out = _get(f"{base}/index?docid=web/new/doc@1&query=zebra+quokka+parse")
+        assert out["n_added"] == 1
+        # searcher state is per-request-fresh only for updates done via the
+        # engine; reload to observe the added doc
+        srv.searcher = LocalSearcher(idx)
+        hits = _get(f"{base}/search?query=zebra+quokka")
+        assert [d["id"] for d in hits["docs"]] == ["web/new/doc@1"]
+        out = _get(f"{base}/delete?docid=web/new/doc@1")
+        assert out["n_removed"] == 1
+        srv.searcher = LocalSearcher(idx)
+        hits = _get(f"{base}/search?query=zebra+quokka")
+        assert hits["docs"] == []
+    finally:
+        srv.shutdown()

@@ -20,8 +20,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..codecs import _THRESHOLDS, encode_varbyte
 from ..config import META_TERM, PART_SHIFT, EngineOpts
 from ..tokenize import Tokenizer, needs_positions, tokens_map_to_rows
+from .segments import _large_binary_from_offsets
 
 
 class TokenizeStage:
@@ -59,14 +61,21 @@ class TokenizeStage:
     # -- hot path ---------------------------------------------------------
     def _vectorized(self, batch: pa.Table) -> pa.Table:
         """Packed combiner output: ONE row per (shard, term) carrying the
-        batch's postings as list columns, plus one META_TERM row per shard
-        carrying (doc, token_len) docmeta pairs.  This shrinks the shuffle
-        from a row per (term, doc) to a row per distinct term per batch —
-        the pre-aggregation that makes the groupby("shard") exchange cheap
-        (SURVEY.md §4 hot-key guidance).  Schema:
+        batch's postings, plus one META_TERM row per shard carrying
+        (doc, token_len) docmeta pairs.  This shrinks the shuffle from a row
+        per (term, doc) to a row per distinct term per batch — the
+        pre-aggregation that makes the groupby("shard") exchange cheap
+        (SURVEY.md §4 hot-key guidance).
+
+        Shuffle diet: docs travel SORTED + delta + varbyte packed into a
+        binary column (~2-3 B/posting vs 8 B raw u64 + list offsets), tfs as
+        raw little-endian f32 bytes; the per-row posting count is implicit
+        (len(tfs)/4).  BuildShard re-sorts everything by (term, doc) anyway,
+        so pre-sorting per run costs nothing semantically and makes the
+        deltas small.  Schema:
 
             shard:int32, term:string,
-            docs:large_list<uint64>, tfs:large_list<float32>
+            docs_vb:large_binary, tfs_f32:large_binary
         """
         opts = self.opts
         contents = batch[opts.content_col]
@@ -89,8 +98,9 @@ class TokenizeStage:
         p_tf = tf.astype(np.float32)
         p_shard = shard_of_doc[parent]
 
-        # sort postings by (shard, term-code): contiguous runs per output row
-        order = np.lexsort((codes, p_shard))
+        # sort postings by (shard, term-code, doc): contiguous runs per
+        # output row with ascending docs inside each run (delta-encodable)
+        order = np.lexsort((p_doc, codes, p_shard))
         s_shard, s_code = p_shard[order], codes[order]
         s_doc, s_tf = p_doc[order], p_tf[order]
         n = len(order)
@@ -104,16 +114,9 @@ class TokenizeStage:
 
         out_shard = s_shard[starts]
         out_term = vocab.take(pa.array(s_code[starts]))
-        offsets = np.r_[0, ends].astype(np.int64)
-        docs_col = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), pa.array(s_doc, pa.uint64())
-        )
-        tfs_col = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), pa.array(s_tf, pa.float32())
-        )
 
-        # docmeta rows: one META_TERM row per shard with (doc, token_len)
-        dorder = np.argsort(shard_of_doc, kind="stable")
+        # docmeta rows: one META_TERM row per shard, docs ascending
+        dorder = np.lexsort((doc, shard_of_doc))
         d_shard = shard_of_doc[dorder]
         d_doc = doc[dorder]
         d_len = token_len[dorder].astype(np.float32)
@@ -124,27 +127,41 @@ class TokenizeStage:
         else:
             dstarts = np.empty(0, np.int64)
             dends = np.empty(0, np.int64)
-        doffsets = np.r_[0, dends].astype(np.int64)
-        meta_docs = pa.LargeListArray.from_arrays(
-            pa.array(doffsets, pa.int64()), pa.array(d_doc, pa.uint64())
-        )
-        meta_tfs = pa.LargeListArray.from_arrays(
-            pa.array(doffsets, pa.int64()), pa.array(d_len, pa.float32())
-        )
+
+        # one packed encode over postings + docmeta values together
+        all_doc = np.concatenate([s_doc, d_doc]) if (n or len(d_doc)) else s_doc
+        all_tf = np.concatenate([s_tf, d_len]) if (n or len(d_len)) else s_tf
+        row_starts = np.concatenate([starts, n + dstarts]).astype(np.int64)
+        row_ends = np.concatenate([ends, n + dends]).astype(np.int64)
+
+        deltas = all_doc.copy()
+        if len(deltas):
+            deltas[1:] -= all_doc[:-1]
+            deltas[row_starts] = all_doc[row_starts]
+        vb = encode_varbyte(deltas)
+        vlen = np.searchsorted(_THRESHOLDS, deltas, side="right").astype(np.int64) + 1
+        vb_ends = np.cumsum(vlen)
+        blk_ends = vb_ends[row_ends - 1] if len(row_ends) else np.empty(0, np.int64)
+        blk_starts = np.r_[0, blk_ends[:-1]] if len(row_ends) else np.empty(0, np.int64)
+        # rows are laid out consecutively (postings runs then meta runs), so
+        # per-row slices tile the buffer exactly
+        docs_vb = _large_binary_from_offsets(vb, blk_ends)
+        assert len(blk_starts) == len(row_starts)
+
+        tf_bytes = np.ascontiguousarray(all_tf, dtype="<f4").tobytes()
+        tfs_col = _large_binary_from_offsets(tf_bytes, row_ends * 4)
 
         shard_col = np.r_[out_shard, d_shard[dstarts]].astype(np.int32)
         term_col = pa.concat_arrays(
             [out_term.combine_chunks() if isinstance(out_term, pa.ChunkedArray) else out_term,
              pa.array([META_TERM] * len(dstarts), pa.string())]
         )
-        docs_all = pa.concat_arrays([docs_col, meta_docs])
-        tfs_all = pa.concat_arrays([tfs_col, meta_tfs])
         return pa.table(
             {
                 "shard": pa.array(shard_col, pa.int32()),
                 "term": term_col,
-                "docs": docs_all,
-                "tfs": tfs_all,
+                "docs_vb": docs_vb,
+                "tfs_f32": tfs_col,
             }
         )
 

@@ -42,6 +42,18 @@ def shard_dir(segments_dir: str, shard: int) -> str:
     return os.path.join(segments_dir, f"shard={shard:05d}")
 
 
+def _binary_values(col) -> tuple:
+    """(concatenated values bytes, zero-based offsets) of a large_binary
+    column — rows of a valid binary array are adjacent slices, so the value
+    range [offs[0], offs[-1]) IS the row-ordered concatenation."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[col.offset: col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] else np.empty(0, np.uint8)
+    return data[offs[0]: offs[-1]], (offs - offs[0]).astype(np.int64)
+
+
 def _large_binary_from_offsets(values: bytes, ends: np.ndarray) -> pa.Array:
     """Build a large_binary array whose i-th value is values[ends[i-1]:ends[i]]
     — zero-copy over the packed buffer."""
@@ -77,26 +89,32 @@ class BuildShard:
                 m["skipped"] = True
                 return self._manifest_row(m)
 
-        packed = "docs" in group.column_names
+        packed = "docs_vb" in group.column_names
         with_pos = "positions" in group.column_names
 
         if packed:
             # packed combiner format (one row per (shard, term) per batch):
-            # explode list columns back to flat postings + docmeta
+            # decode the delta+varbyte docs / raw-f32 tfs binary columns back
+            # to flat postings + docmeta — ONE vectorized decode over the
+            # whole group's concatenated buffers
             term_col = group["term"]
             if isinstance(term_col, pa.ChunkedArray):
                 term_col = term_col.combine_chunks()
-            docs_col = group["docs"]
-            if isinstance(docs_col, pa.ChunkedArray):
-                docs_col = docs_col.combine_chunks()
-            tfs_col = group["tfs"]
-            if isinstance(tfs_col, pa.ChunkedArray):
-                tfs_col = tfs_col.combine_chunks()
             import pyarrow.compute as pc
 
-            row_parent = pc.list_parent_indices(docs_col).to_numpy(zero_copy_only=False)
-            doc = np.asarray(pc.list_flatten(docs_col).to_numpy(zero_copy_only=False), dtype=np.uint64)
-            tf = np.asarray(pc.list_flatten(tfs_col).to_numpy(zero_copy_only=False), dtype=np.float32)
+            from ..codecs import decode_varbyte
+
+            vb_buf, _ = _binary_values(group["docs_vb"])
+            tf_buf, tf_offs = _binary_values(group["tfs_f32"])
+            tf = np.frombuffer(tf_buf, dtype="<f4")
+            counts = ((tf_offs[1:] - tf_offs[:-1]) // 4).astype(np.int64)
+            row_parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            deltas = decode_varbyte(vb_buf)
+            # un-delta with a reset at every row start
+            cum = np.cumsum(deltas, dtype=np.uint64)
+            row_starts = np.r_[0, np.cumsum(counts)[:-1]].astype(np.int64)
+            base = (cum - deltas)[row_starts] if len(deltas) else np.empty(0, np.uint64)
+            doc = cum - np.repeat(base, counts)
             is_meta_row = pc.equal(term_col, META_TERM).to_numpy(zero_copy_only=False)
             meta_mask = np.asarray(is_meta_row, dtype=bool)[row_parent]
             # docmeta: dedup on doc (a doc appears in exactly one batch)

@@ -25,14 +25,17 @@ groups are capped (a shingle shared by >max_group docs is dropped from
 candidate generation — standard LSH practice; a shingle that common carries
 no signal) so no group is quadratic in the corpus.
 
-Scale contract (round-2 rework): NO per-doc state is ever materialized on
-the driver.  Pair verification attaches per-doc payloads (shingle counts,
-minhash signatures, simhash values, embeddings) to the candidate pair table
-via DISTRIBUTED hash joins on doc id (``Dataset.join`` — both sides
-hash-partition on the key and each partition verifies vectorized), so the
-verify tail streams at any corpus size.  The only driver-side collections
-are (a) the hot-shingle blocklist (shingles with df > max_group — bounded
-and tiny by construction) and (b) thresholded pair/cluster survivor sets.
+Scale contract (round-2 rework): NO ungated per-doc state is ever
+materialized on the driver.  Pair verification attaches per-doc payloads
+(shingle counts, minhash signatures, simhash values, embeddings) to the
+candidate pair table with the standard size-gated join selection: payload
+tables under BROADCAST_BYTES (64 MB) are broadcast once via ray.put and
+looked up vectorized (cheap when pairs outnumber docs); larger payload
+tables go through a DISTRIBUTED hash join on doc id (both sides
+hash-partition on the key, each partition verifies vectorized) so the
+verify tail streams at any corpus size.  The remaining driver-side
+collections are (a) the hot-shingle blocklist (df > max_group — bounded and
+tiny by construction) and (b) thresholded pair/cluster survivor sets.
 """
 
 from __future__ import annotations
@@ -191,6 +194,61 @@ def _hash_join(left, right, left_on: str, right_on: str,
     )
 
 
+# one broadcast copy per node is cheap up to this size; past it the payload
+# table is joined instead of centralized (Spark-style broadcast-join gate)
+BROADCAST_BYTES = 64 << 20
+
+
+def _broadcast_attach(pairs, values, id_col: str, payload_cols: list[str]):
+    """Small-values fast path: pull the (gated-small) payload table into ONE
+    sorted Arrow table, ray.put it once, and attach payloads to both pair
+    sides with a vectorized searchsorted per batch.  When the PAIR table
+    dwarfs the payload table (small corpus / low threshold), this beats the
+    shuffle join by avoiding two extra sort exchanges over the pairs."""
+    import ray
+
+    tabs = [t for t in ray.get(values.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tabs).combine_chunks()
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    t = t.take(pa.array(order))
+    ref = ray.put((ids[order], t.select(payload_cols)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids_s, vt = ray.get(ref)
+        for side in ("a", "b"):
+            rows = pa.array(
+                np.searchsorted(
+                    ids_s, batch[f"id_{side}"].to_numpy(zero_copy_only=False)
+                )
+            )
+            for c in payload_cols:
+                batch = batch.append_column(f"{c}_{side}", vt[c].take(rows))
+        return batch
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def _attach_pair_payload(pairs, values, id_col: str, payload_cols: list[str],
+                         num_partitions: int,
+                         values_schema: pa.Schema | None = None,
+                         n_values: int | None = None,
+                         values_row_bytes: int | None = None):
+    """Attach per-doc payloads to both pair sides — broadcast when the
+    payload table fits BROADCAST_BYTES (one copy per node, vectorized
+    lookup), distributed hash join otherwise (per-doc state never
+    centralizes past the gate).  This is the standard size-gated
+    broadcast-vs-shuffle join selection."""
+    if (
+        n_values is not None
+        and values_row_bytes is not None
+        and n_values * values_row_bytes <= BROADCAST_BYTES
+    ):
+        return _broadcast_attach(pairs, values, id_col, payload_cols)
+    return _join_pair_payload(pairs, values, id_col, payload_cols,
+                              num_partitions, values_schema)
+
+
 def _join_pair_payload(pairs, values, id_col: str, payload_cols: list[str],
                        num_partitions: int,
                        values_schema: pa.Schema | None = None):
@@ -326,7 +384,8 @@ class _PairEmit:
         key, ids = key[order], ids[order]
         n = len(key)
         empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
         )
         if n < 2:
             return empty
@@ -349,10 +408,22 @@ class _PairEmit:
             b = (runs_l[:, None] + ib[None, :]).ravel()
             out_a.append(ids[a])
             out_b.append(ids[b])
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # map-side combine: a pair co-occurring under many keys of THIS
+        # bucket ships once with its multiplicity — near-dup pairs share
+        # hundreds of shingles, so this is the big shuffle-row reduction
+        # (downstream: Sum("n") == the pre-combine Count per pair)
+        porder = np.lexsort((b, a))
+        a, b = a[porder], b[porder]
+        newp = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        pstarts = np.flatnonzero(newp)
+        cnt = np.diff(np.r_[pstarts, len(a)])
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "id_a": pa.array(a[pstarts], pa.int64()),
+                "id_b": pa.array(b[pstarts], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
@@ -382,7 +453,7 @@ def ngram_jaccard_pairs(
     pair scoring is a pure vectorized map."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     num_partitions = _join_parts(join_partitions)
 
@@ -419,7 +490,9 @@ def ngram_jaccard_pairs(
 
         shingles = shingles.map_batches(drop_hot, batch_format="pyarrow").materialize()
 
-    sizes = shingles.groupby(id_col).aggregate(Count(alias_name="n_shingles"))
+    sizes = shingles.groupby(id_col).aggregate(
+        Count(alias_name="n_shingles")
+    ).materialize()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         sh = batch["shingle"].to_numpy(zero_copy_only=False)
@@ -435,17 +508,18 @@ def ngram_jaccard_pairs(
             _PairEmit(id_col, max_group, key_col="shingle"), batch_format="pyarrow"
         )
         .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="inter"))
+        .aggregate(Sum("n", alias_name="inter"))
     ).materialize()
     if inter.count() == 0:
         return rd.from_arrow(_empty_pairs(("jaccard", pa.float64())))
 
-    # per-doc shingle counts joined onto both pair sides — distributed,
-    # never centralized (was: sizes.to_pandas() + broadcast); schema passed
-    # explicitly: sizes is lazy and schema() would execute it during planning
-    joined = _join_pair_payload(
+    # per-doc shingle counts attached to both pair sides — broadcast under
+    # the 64 MB gate (two int64s per doc => broadcast up to ~4e6 docs), a
+    # distributed hash join past it; never an ungated driver table
+    joined = _attach_pair_payload(
         inter, sizes, id_col, ["n_shingles"], num_partitions,
         values_schema=pa.schema([(id_col, pa.int64()), ("n_shingles", pa.int64())]),
+        n_values=sizes.count(), values_row_bytes=16,
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -745,7 +819,10 @@ def minhash_lsh_pairs(
     if uniq.count() == 0:
         return rd.from_arrow(_empty_pairs(("est_jaccard", pa.float64())))
 
-    joined = _join_pair_payload(uniq, sigs, id_col, ["sig"], _join_parts(join_partitions))
+    joined = _attach_pair_payload(
+        uniq, sigs, id_col, ["sig"], _join_parts(join_partitions),
+        n_values=sigs.count(), values_row_bytes=num_perm * 8 + 8,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -847,7 +924,10 @@ def simhash_pairs(
     if uniq.count() == 0:
         return rd.from_arrow(_empty_pairs(("hamming", pa.int64())))
 
-    joined = _join_pair_payload(uniq, sims, id_col, ["simhash"], _join_parts(join_partitions))
+    joined = _attach_pair_payload(
+        uniq, sims, id_col, ["simhash"], _join_parts(join_partitions),
+        n_values=sims.count(), values_row_bytes=16,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -1016,7 +1096,13 @@ def embedding_dup_pairs_lsh(
     if uniq.count() == 0:
         return rd.from_arrow(_empty_pairs(("cosine", pa.float64())))
 
-    joined = _join_pair_payload(uniq, vecs, id_col, ["nvec"], _join_parts(join_partitions))
+    nv = vecs.count()
+    # row bytes = id + packed f64 vector; read dim off the first row
+    dim_bytes = len(vecs.take(1)[0]["nvec"]) if nv else 0
+    joined = _attach_pair_payload(
+        uniq, vecs, id_col, ["nvec"], _join_parts(join_partitions),
+        n_values=nv, values_row_bytes=dim_bytes + 8,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)

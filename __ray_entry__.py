@@ -310,6 +310,29 @@ def _q_dedup_clusters(sf_dir: str):
     return dedup_clusters(pairs)
 
 
+def _q_dedup_survivors(sf_dir: str):
+    """Survivor set after near-dup collapse over the exact ngram-jaccard
+    pair graph: one representative (min id) per cluster + all singletons —
+    the dedup_filter operator end-to-end."""
+    from riot_ray.pipelines import dedup_filter, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_group=1_000_000)
+    return dedup_filter(docs, pairs).select_columns(["doc_id"])
+
+
+def _q_multimodal_resize(sf_dir: str):
+    """Resize stage plumbing: header rewrite + proportional body truncation,
+    then re-decode — checks the binary-column layout chains across stages."""
+    from riot_ray.pipelines import decode_media, make_fake_media, resize_media
+    import ray.data as rd
+
+    ds = rd.from_arrow(make_fake_media(128, seed=42))
+    out = decode_media(resize_media(ds, target_w=16, target_h=16, concurrency=2),
+                       concurrency=2)
+    return out.select_columns(["media_id", "mime", "width", "height", "n_frames"])
+
+
 def _q_dedup_minhash(sf_dir: str):
     from riot_ray.pipelines import minhash_lsh_pairs
 
@@ -392,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -401,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
     }
 
 
@@ -585,6 +610,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
             SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
             FROM reach GROUP BY id
+            """,
+        "dedup_survivors": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g
+              FROM toks,
+                   UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]) AS u(g)
+              WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.2),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+            losers AS (
+              SELECT id FROM reach GROUP BY id HAVING id != min(r))
+            SELECT doc_id::BIGINT AS doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM losers)
             """,
         "dedup_embedding": """
             SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b

@@ -124,12 +124,24 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     with ThreadPoolExecutor(16) as ex:
         list(ex.map(one, range(n_q)))
     total = time.time() - t0
+    # batched fan-out: N queries planned once, ONE RPC per shard worker —
+    # the serving mode that amortizes Ray's per-call overhead
+    breqs = [
+        SearchReq(text=f"{terms[i % 10]} {terms[(i + 3) % 10]}",
+                  rank_opts=RankOpts(max_outputs=10))
+        for i in range(2000)
+    ]
+    se.search_many(breqs[:64])  # warmup
+    t0 = time.time()
+    se.search_many(breqs)
+    fan_batched = time.time() - t0
     se.shutdown()
     lat = np.sort(np.array(lat))
     q["search_total"] = round(seq_total + total, 3)
     q["search_p50"] = round(float(lat[int(0.50 * len(lat))]), 5)
     q["search_p99"] = round(float(lat[int(0.99 * len(lat))]), 5)
     q["search_qps"] = round(n_q / total, 1)
+    q["fanout_batched_qps"] = round(len(breqs) / fan_batched, 1)
 
     # replicated serving (index fits in RAM): batch QPS, 1 RPC per replica
     from riot_ray.engine import ReplicatedSearcher

@@ -184,3 +184,29 @@ def test_actor_timeout_partial_results(corpus_index, ray_session):
     assert warm.timeout is False
     assert warm.num_docs > 0
     se.shutdown()
+
+
+def test_actor_search_many_matches_per_query(ray_session, corpus_index):
+    """Batched fan-out (one RPC per shard worker for N queries) must return
+    exactly what N individual searches return — incl. WAND, count-only,
+    empty and missing-term short-circuits."""
+    from riot_ray.engine import ActorSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    se = ActorSearcher(corpus_index["index_dir"], num_actors=2)
+    reqs = [
+        SearchReq(text="parse batch", rank_opts=RankOpts(max_outputs=5)),
+        SearchReq(text="merge", rank_opts=RankOpts(max_outputs=3, output_offset=1)),
+        SearchReq(text="parse batch", rank_opts=RankOpts(max_outputs=5),
+                  approx_count=True),                    # WAND plan
+        SearchReq(text="parse", count_docs_only=True),   # count-only
+        SearchReq(text=""),                              # empty short-circuit
+        SearchReq(text="zzznosuchterm parse"),           # missing keyword
+    ]
+    singles = [se.search(r) for r in reqs]
+    batched = se.search_many(reqs)
+    for s, b in zip(singles, batched):
+        assert s.num_docs == b.num_docs
+        assert [h.doc_id for h in s.docs] == [h.doc_id for h in b.docs]
+        assert [round(h.bm25, 6) for h in s.docs] == [round(h.bm25, 6) for h in b.docs]
+    se.shutdown()

@@ -183,7 +183,14 @@ class IndexWriter:
     def apply_tokenize(self, ds):
         """Tokenize stage.  With tokenize_concurrency set, pass the CLASS so
         Ray Data runs an ACTOR pool — a callable instance runs as tasks and
-        the code-mode expansion cache would be rebuilt per task."""
+        the code-mode expansion cache would be rebuilt per task.
+
+        The pool is AUTOSCALING ``(1, N)``: a fixed int pool is a hard
+        minimum, and on a cluster with fewer than N free CPUs Ray Data waits
+        forever for actors it can never schedule — the whole build deadlocks
+        (observed: tokenize_concurrency=8 on a 4-CPU cluster).  (1, N) keeps
+        the big-cluster behavior (pool grows to N under load) and degrades
+        gracefully on small ones."""
         opts = self.opts
         if opts.tokenize_concurrency:
             return ds.map_batches(
@@ -194,7 +201,7 @@ class IndexWriter:
                 },
                 batch_format="pyarrow",
                 batch_size=opts.tokenize_batch_size,
-                concurrency=opts.tokenize_concurrency,
+                concurrency=(1, opts.tokenize_concurrency),
             )
         return ds.map_batches(
             TokenizeStage(opts, self.tokenizer_factory),

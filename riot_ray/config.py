@@ -71,6 +71,12 @@ class EngineOpts:
     # /root/reference/engine.go:292-301) and/or inline (word, freq) entries
     dict_path: str | None = None
     dict_entries: tuple = ()
+    # riot's PinYin option (/root/reference/segment.go:231-241,316-378):
+    # expand content into char/prefix/syllable/abbreviation tokens.  The
+    # syllable table is data — pinyin_dict points at a "char pinyin" file
+    # (DEMO_MAPPING used when None; see riot_ray/pinyin.py).
+    pinyin: bool = False
+    pinyin_dict: str | None = None
 
     # --- scoring ----------------------------------------------------------
     bm25: BM25Params = field(default_factory=BM25Params)

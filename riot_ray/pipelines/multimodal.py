@@ -144,13 +144,14 @@ class MediaResizeStage:
 
 def decode_media(ds, decode: str = "fake", concurrency: int = 2, batch_size: int = 16):
     """Actor-pool decode: callable CLASS + concurrency => one decoder per
-    actor, small batches for large payloads."""
+    actor, small batches for large payloads.  (1, N) autoscaling pool: a
+    fixed int pool deadlocks when the cluster has fewer free CPUs than N."""
     return ds.map_batches(
         MediaDecodeStage,
         fn_constructor_kwargs={"decode": decode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -161,5 +162,5 @@ def resize_media(ds, target_w: int = 16, target_h: int = 16, concurrency: int = 
         fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -52,6 +52,8 @@ class TokenizeStage:
             # explicit DocIndex.TokenLen overrides are applied in the per-doc
             # path only — the vectorized path derives token_len from counts
             and opts.token_len_col is None
+            # pinyin expansion is per-doc only (segment.go:231-241)
+            and not getattr(opts, "pinyin", False)
             and hasattr(self.tok, "batch_term_counts")
         )
         if vector_ok:

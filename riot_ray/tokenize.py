@@ -151,6 +151,36 @@ class DictSegmenter:
         out.reverse()
         return out
 
+    def cut(self, text: str) -> list[str]:
+        """gse ``Cut`` analog (used by Engine.Segment,
+        /root/reference/engine.go:479-497, and PinYin): like :meth:`segment`
+        but ALSO emits whitespace runs as tokens and preserves case — gse's
+        Cut returns every piece of the input, segmentation applied to the
+        non-latin runs."""
+        out: list[str] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            ch = text[i]
+            if ch.isspace():
+                j = i
+                while j < n and text[j].isspace():
+                    j += 1
+                out.append(text[i:j])
+                i = j
+                continue
+            m = self._LATIN.match(text, i)
+            if m:
+                out.append(m.group())
+                i = m.end()
+                continue
+            j = i
+            while j < n and not text[j].isspace() and not self._LATIN.match(text, j):
+                j += 1
+            out.extend(self._dp_run(text[i:j]))
+            i = j
+        return out
+
     def segment(self, text: str) -> list[tuple[str, int]]:
         """(token_text_lowercased, byte_start) for every segment of text."""
         out: list[tuple[str, int]] = []
@@ -195,6 +225,14 @@ class Tokenizer:
         self.segmenter = None
         if opts.mode == "dict":
             self.segmenter = DictSegmenter(opts.dict_path, opts.dict_entries)
+        self.pinyin = None
+        if getattr(opts, "pinyin", False):
+            from .pinyin import PinyinExpander
+
+            self.pinyin = PinyinExpander(
+                mapping_path=opts.pinyin_dict, stop=self.stop,
+                segmenter=self.segmenter,
+            )
 
     # ------------------------------------------------------------------ #
     # query side
@@ -288,6 +326,12 @@ class Tokenizer:
                         freq_override[text] = float(t["frequency"])
             # numTokens counts entries: /root/reference/segment.go:123
             num_tokens += len(ext_tokens)
+
+        if self.pinyin is not None:
+            # /root/reference/segment.go:231-241: expansion runs AFTER the
+            # content/external merge; each token overwrites locations with
+            # its expansion-array position; numTokens += full count
+            num_tokens += self.pinyin.merge_into(tokens_map, content or "")
 
         if labels:
             # /root/reference/segment.go:264-279: only when absent

@@ -339,6 +339,19 @@ def _q_dedup_minhash(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.2)
 
 
+def _q_dedup_minhash_exact(sf_dir: str):
+    """MinHash-LSH candidates + EXACT jaccard verify — the approximate
+    operator made oracle-checkable: with rows-per-band=2 banding, recall at
+    the threshold is ~1 at oracle scales, so the output equals plain exact
+    jaccard (the same SQL as dedup_ngram_jaccard) while the candidate stage
+    stays sub-quadratic."""
+    from riot_ray.pipelines import minhash_lsh_exact_pairs
+
+    return minhash_lsh_exact_pairs(
+        _docs(sf_dir), n=3, threshold=0.2, bands=64, max_group=1_000_000
+    )
+
+
 def _q_dedup_simhash(sf_dir: str):
     from riot_ray.pipelines import simhash_pairs
 
@@ -417,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_exact": _q_dedup_minhash_exact,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -718,4 +732,9 @@ def oracle_sql() -> dict[str, str]:
                ROUND({best}, 6) AS lang_conf
         FROM sc
         """
+    # MinHash-LSH candidates + exact-jaccard verify: with rows-per-band = 2
+    # (num_perm=128 / bands=64) candidate recall at threshold 0.2 is ~1 at
+    # oracle scale, so the output equals plain exact n-gram jaccard — the
+    # same SQL is a valid oracle (verified pair-for-pair at sf0.01).
+    out["dedup_minhash_exact"] = out["dedup_ngram_jaccard"]
     return out

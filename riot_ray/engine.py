@@ -431,11 +431,12 @@ class ReplicatedSearcher:
     def __init__(self, index_dir: str, replicas: int = 2, hydrate: bool = False,
                  num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
         Replica = _make_replica()
+        replicas = max(1, min(replicas, _cpu_actor_cap(num_cpus_per_actor)))
         self.actors = [
             Replica.options(num_cpus=num_cpus_per_actor).remote(
                 index_dir, hydrate, tokenizer_factory
             )
-            for _ in range(max(1, replicas))
+            for _ in range(replicas)
         ]
         self._rr = 0
 
@@ -600,6 +601,22 @@ def _make_shard_worker():
     return ShardWorker
 
 
+def _cpu_actor_cap(num_cpus_per_actor: float) -> int:
+    """Max actors the CURRENT cluster can host — creating more than this
+    leaves permanently-pending actors whose method calls block forever (the
+    same failure mode as a fixed Ray Data actor pool larger than the
+    cluster)."""
+    import ray
+
+    try:
+        cpus = ray.cluster_resources().get("CPU") if ray.is_initialized() else None
+    except Exception:
+        cpus = None
+    if not cpus:
+        return 1 << 30  # unknown: don't cap (ray.init may still be pending)
+    return max(1, int(float(cpus) / max(float(num_cpus_per_actor), 1e-9)))
+
+
 class ActorSearcher(_SearcherBase):
     def __init__(self, index_dir: str, num_actors: int = 4, hydrate: bool = False,
                  num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
@@ -608,7 +625,8 @@ class ActorSearcher(_SearcherBase):
 
         ShardWorker = _make_shard_worker()
         ids = self.shard_ids
-        num_actors = max(1, min(num_actors, len(ids) or 1))
+        num_actors = max(1, min(num_actors, len(ids) or 1,
+                                _cpu_actor_cap(num_cpus_per_actor)))
         slices = [ids[i::num_actors] for i in range(num_actors)]
         tomb = self._tomb if self._tomb.size else None
         self.actors = [

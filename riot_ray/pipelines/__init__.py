@@ -11,6 +11,7 @@ from .dedup import (
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
+    minhash_lsh_exact_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -27,6 +28,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_filter",
     "ngram_jaccard_pairs",
+    "minhash_lsh_exact_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_dup_pairs",

@@ -221,6 +221,27 @@ def test_minhash_lsh_finds_known_dups(ray_session):
     assert exact_pairs <= got_pairs
 
 
+def test_minhash_lsh_exact_matches_plain_jaccard(ray_session):
+    """LSH candidates + exact verify == brute-force exact jaccard on a
+    corpus where rows-per-band=2 banding has ~total recall."""
+    import ray.data as rd
+    from riot_ray.pipelines import minhash_lsh_exact_pairs, ngram_jaccard_pairs
+
+    ds = rd.from_arrow(_dup_corpus())
+    exact = (
+        ngram_jaccard_pairs(ds, threshold=0.3)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    got = (
+        minhash_lsh_exact_pairs(ds, threshold=0.3, bands=64)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exact)
+    assert (got["id_a"].to_numpy() == exact["id_a"].to_numpy()).all()
+    assert (got["id_b"].to_numpy() == exact["id_b"].to_numpy()).all()
+    assert np.allclose(got["jaccard"], exact["jaccard"], atol=1e-9)
+
+
 def test_simhash_finds_exact_and_near(ray_session):
     import ray.data as rd
     from riot_ray.pipelines import simhash_pairs

@@ -77,16 +77,64 @@ def _join_parts(requested: int | None) -> int:
     return max(2, min(cpus, 64))
 
 
-def _unique_pairs(cands):
-    """Dedup candidate pairs (a pair can surface from several bands/blocks/
-    buckets) with one small groupby shuffle; returns (id_a, id_b)."""
-    from ray.data.aggregate import Count
+class _PairReduce:
+    """Group fn for :func:`_combine_pairs`: one hash partition of pair rows,
+    vectorized unique/sum by (id_a, id_b) via lexsort + reduceat."""
+
+    def __init__(self, sum_col: str | None, out_name: str | None):
+        self.sum_col = sum_col
+        self.out_name = out_name
+        self.__name__ = "PairReduce"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        a = group["id_a"].to_numpy(zero_copy_only=False)
+        b = group["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        newp = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] if len(a) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(newp)
+        cols = {"id_a": pa.array(a[starts], pa.int64()),
+                "id_b": pa.array(b[starts], pa.int64())}
+        if self.sum_col is not None:
+            v = group[self.sum_col].to_numpy(zero_copy_only=False)[order]
+            sums = np.add.reduceat(v, starts) if len(starts) else np.empty(0, v.dtype)
+            cols[self.out_name] = pa.array(sums.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+
+def _combine_pairs(cands, num_partitions: int, sum_col: str | None = None,
+                   out_name: str | None = None):
+    """groupby (id_a, id_b) -> unique pairs [+ Sum(sum_col) as out_name],
+    as a hash-partitioned vectorized ``map_groups``.
+
+    Ray's native multi-column ``Aggregate`` compares composite keys
+    row-wise and collapses to one reduce task when the upstream emitted few
+    blocks — measured 50 s of a 58 s sf0.1 ngram-dedup run on 1.25 M pair
+    rows.  Hashing the pair to an int32 partition and reducing each
+    partition with lexsort+reduceat does the same combine in well under a
+    second, and every partition reduces independently at scale."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return batch.append_column(
+            "__part", pa.array((mix % np.uint64(num_partitions)).astype(np.int32),
+                               pa.int32())
+        )
 
     return (
-        cands.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_nsrc"))
-        .select_columns(["id_a", "id_b"])
+        cands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_PairReduce(sum_col, out_name), batch_format="pyarrow")
     )
+
+
+def _unique_pairs(cands, num_partitions: int | None = None):
+    """Dedup candidate pairs (a pair can surface from several bands/blocks/
+    buckets); returns (id_a, id_b)."""
+    return _combine_pairs(cands, num_partitions or _join_parts(None))
 
 
 class _JoinAssemble:
@@ -453,7 +501,7 @@ def ngram_jaccard_pairs(
     pair scoring is a pure vectorized map."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     num_partitions = _join_parts(join_partitions)
 
@@ -501,14 +549,13 @@ def ngram_jaccard_pairs(
             "bucket", pa.array((sh % 32).astype(np.int32), pa.int32())
         )
 
-    inter = (
+    inter = _combine_pairs(
         shingles.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
             _PairEmit(id_col, max_group, key_col="shingle"), batch_format="pyarrow"
-        )
-        .groupby(["id_a", "id_b"])
-        .aggregate(Sum("n", alias_name="inter"))
+        ),
+        num_partitions, sum_col="n", out_name="inter",
     ).materialize()
     if inter.count() == 0:
         return rd.from_arrow(_empty_pairs(("jaccard", pa.float64())))

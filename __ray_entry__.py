@@ -409,6 +409,36 @@ def _q_multimodal(sf_dir: str):
     return out.select_columns(["media_id", "mime", "width", "height", "n_frames", "payload_digest"])
 
 
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_window_tumbling(sf_dir: str):
+    from riot_ray.pipelines import tumbling_window_agg
+
+    return tumbling_window_agg(_events(sf_dir), width_s=3600)
+
+
+def _q_window_sliding(sf_dir: str):
+    from riot_ray.pipelines import sliding_window_agg
+
+    return sliding_window_agg(_events(sf_dir), width_s=3600, slide_s=900)
+
+
+def _q_sessionize(sf_dir: str):
+    from riot_ray.pipelines import sessionize
+
+    return sessionize(_events(sf_dir), gap_s=1800)
+
+
+def _q_window_topk(sf_dir: str):
+    from riot_ray.pipelines import top_keys_per_window
+
+    return top_keys_per_window(_events(sf_dir), width_s=3600, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core inverted-index engine (SURVEY.md §2: S1-S3, M1-M12, A1-A4, J1-J3, O1-O3)
@@ -440,6 +470,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
+        # event-time window operators (events table)
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "sessionize": _q_sessionize,
+        "window_topk": _q_window_topk,
     }
 
 
@@ -731,6 +766,49 @@ def oracle_sql() -> dict[str, str]:
                {case} AS lang_pred,
                ROUND({best}, 6) AS lang_conf
         FROM sc
+        """
+    out["window_tumbling"] = """
+        SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+               event_type, count(*)::BIGINT AS n_events,
+               ROUND(sum(value), 6) AS sum_value,
+               ROUND(sum(value) / count(*), 6) AS mean_value
+        FROM events GROUP BY 1, 2
+        """
+    out["window_sliding"] = """
+        SELECT epoch_us(e.ts) // 900000000 * 900 - g.i * 900 AS window_start,
+               e.event_type, count(*)::BIGINT AS n_events,
+               ROUND(sum(e.value), 6) AS sum_value,
+               ROUND(sum(e.value) / count(*), 6) AS mean_value
+        FROM events e CROSS JOIN range(4) g(i)
+        GROUP BY 1, 2
+        """
+    out["sessionize"] = """
+        WITH o AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS t,
+                 LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+          FROM events),
+        m AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
+                             THEN 1 ELSE 0 END AS new FROM o),
+        s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM m)
+        SELECT user_id, session_id::BIGINT AS session_id,
+               min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
+               count(*)::BIGINT AS n_events, ROUND(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, session_id
+        """
+    out["window_topk"] = """
+        WITH agg AS (
+          SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start, event_type,
+                 ROUND(sum(value), 6) AS sum_value
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER
+                 (PARTITION BY window_start
+                  ORDER BY sum_value DESC, event_type) AS rank
+              FROM agg)
+        SELECT window_start, event_type, sum_value, rank::BIGINT AS rank
+        FROM r WHERE rank <= 3
         """
     # MinHash-LSH candidates + exact-jaccard verify: with rows-per-band = 2
     # (num_perm=128 / bands=64) candidate recall at threshold 0.2 is ~1 at

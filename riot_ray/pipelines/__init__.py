@@ -1,7 +1,8 @@
 """Training-data pipeline extensions beyond riot's own operator set:
 dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
 similarity search (brute-force + LSH), text analysis (lang-id, quality,
-token stats, winnowing fingerprints), and multimodal binary-column stages.
+token stats, winnowing fingerprints), multimodal binary-column stages, and
+event-time window operators (tumbling/sliding aggregates, sessionization).
 """
 
 from .analysis import fingerprint, lang_id, quality_score, token_stats
@@ -18,8 +19,18 @@ from .dedup import (
 )
 from .multimodal import decode_media, make_fake_media, resize_media
 from .simsearch import knn_brute, knn_lsh
+from .windows import (
+    sessionize,
+    sliding_window_agg,
+    top_keys_per_window,
+    tumbling_window_agg,
+)
 
 __all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "sessionize",
+    "top_keys_per_window",
     "token_stats",
     "quality_score",
     "lang_id",

@@ -1,0 +1,214 @@
+"""Event-time window operators over a timestamped event table.
+
+Beyond-reference extensions (the reference engine has no event-stream
+operators; these are the windowed aggregates / sessionization a large-scale
+training-data or analytics pipeline needs, expressed Ray-Data-first):
+
+* :func:`tumbling_window_agg` — fixed windows, map-side combined: the
+  shuffle carries one partial row per (batch, window, key), never raw
+  events, so the exchange stays tiny at any event volume.
+* :func:`sliding_window_agg` — overlapping windows via a vectorized
+  flat-map into ``width/slide`` buckets per event, then the same
+  combined aggregation.
+* :func:`sessionize` — gap-based sessions per user.  The one operator
+  here that must co-locate raw events: ``groupby(user)`` shuffles each
+  user's timeline to one task.  Partitioning assumption (documented
+  contract): a single user's event history fits in a worker's heap —
+  true for human-scale activity; a pathological key would need
+  time-range pre-chunking which this operator does not do.
+* :func:`top_keys_per_window` — per-window top-k keys by aggregate
+  value; ranks the already-aggregated (window, key) partials, so the
+  heavy data never moves twice.
+
+All outputs use int64 epoch columns (seconds for window starts,
+microseconds for session bounds) and half-away-from-zero 6dp rounding so
+every operator is DuckDB-oracle-checkable by value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .analysis import round6
+
+_US = 1_000_000
+
+
+def _epoch_us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    col = batch[ts_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _partial(batch: pa.Table, ws: np.ndarray, key: pa.Array, value: np.ndarray) -> pa.Table:
+    """Combine one batch's (window, key) rows map-side: n + sum partials."""
+    t = pa.table({"window_start": pa.array(ws, pa.int64()), "k": key,
+                  "v": pa.array(value, pa.float64())})
+    g = t.group_by(["window_start", "k"]).aggregate([("v", "sum"), ("v", "count")])
+    return pa.table({
+        "window_start": g["window_start"],
+        "k": g["k"],
+        "sum_value": g["v_sum"],
+        "n_events": g["v_count"].cast(pa.int64()),
+    })
+
+
+def _finish(agg, key_col: str):
+    """Reduce partials -> final (window_start, key, n_events, sum_value,
+    mean_value) with oracle-grade rounding."""
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": batch["window_start"],
+            key_col: batch["k"],
+            "n_events": pa.array(n, pa.int64()),
+            "sum_value": pa.array(round6(s), pa.float64()),
+            "mean_value": pa.array(round6(s / np.maximum(n, 1)), pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        agg.groupby(["window_start", "k"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"),
+                   Sum("n_events", alias_name="n_events"))
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
+def tumbling_window_agg(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width_s: int = 3600,
+):
+    """Fixed event-time windows: (window_start, key) -> count/sum/mean.
+
+    window_start = floor(epoch_seconds / width) * width (int64 seconds).
+    Shuffle bytes are bounded by (#batches x #windows-per-batch x #keys),
+    independent of event count — the map-side combine is the whole point.
+    """
+    w_us = width_s * _US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch, ts_col)
+        ws = t // w_us * width_s
+        key = batch[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return _partial(batch, ws, key,
+                        batch[value_col].to_numpy(zero_copy_only=False))
+
+    return _finish(ds.map_batches(partial, batch_format="pyarrow"), key_col)
+
+
+def sliding_window_agg(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width_s: int = 3600,
+    slide_s: int = 900,
+):
+    """Overlapping windows [ws, ws+width), ws aligned to ``slide_s``.
+
+    Each event lands in exactly ``width/slide`` windows — emitted by one
+    vectorized ``np.repeat`` flat-map (no Python loop), then combined
+    map-side like the tumbling case.  ``width_s`` must be a multiple of
+    ``slide_s``.
+    """
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    slide_us = slide_s * _US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch, ts_col)
+        ws_max = t // slide_us * slide_s
+        ws = (ws_max[:, None] - np.arange(k, dtype=np.int64) * slide_s).ravel()
+        key = batch[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        key = key.take(pa.array(np.repeat(np.arange(len(t)), k)))
+        val = np.repeat(batch[value_col].to_numpy(zero_copy_only=False), k)
+        return _partial(batch, ws, key, val)
+
+    return _finish(ds.map_batches(partial, batch_format="pyarrow"), key_col)
+
+
+def sessionize(
+    ds,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_s: int = 1800,
+):
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap_s`` (strictly greater).
+
+    Output: (user_id, session_id 1-based per user, start_us, end_us,
+    n_events, sum_value).  Events are ordered by (ts, event_id) within a
+    user so ties are deterministic on both the Ray and SQL sides.
+    """
+    gap_us = gap_s * _US
+
+    def per_user(group: pa.Table) -> pa.Table:
+        t = _epoch_us(group, ts_col)
+        eid = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t))
+        t = t[order]
+        val = group[value_col].to_numpy(zero_copy_only=False)[order]
+        new = np.r_[True, (t[1:] - t[:-1]) > gap_us]
+        sid = np.cumsum(new)  # 1-based
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(t)]
+        n = ends - starts
+        sums = np.add.reduceat(val, starts) if len(starts) else np.empty(0)
+        user = group[user_col][0].as_py() if len(group) else None
+        m = len(starts)
+        return pa.table({
+            "user_id": pa.array([user] * m, pa.int64()),
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "start_us": pa.array(t[starts], pa.int64()),
+            "end_us": pa.array(t[ends - 1], pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "sum_value": pa.array(round6(sums), pa.float64()),
+        })
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def top_keys_per_window(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width_s: int = 3600,
+    k: int = 3,
+):
+    """Per tumbling window, the top-k keys by summed value (rank 1-based;
+    ties broken by key ascending on the ROUNDED sum so Ray and SQL agree).
+
+    Runs entirely over the already-combined (window, key) aggregate —
+    the per-window group a ``map_groups`` task sees is at most #keys rows.
+    """
+    agg = tumbling_window_agg(ds, ts_col, key_col, value_col, width_s)
+
+    def topk(group: pa.Table) -> pa.Table:
+        s = group["sum_value"].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -s))[:k]
+        return pa.table({
+            "window_start": group["window_start"].take(pa.array(order)),
+            key_col: group[key_col].take(pa.array(order)),
+            "sum_value": group["sum_value"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return agg.groupby("window_start").map_groups(topk, batch_format="pyarrow")

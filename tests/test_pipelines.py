@@ -26,6 +26,7 @@ def _duck(sql):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
     return con.execute(sql).fetch_arrow_table()
 
 
@@ -582,3 +583,134 @@ def test_embedding_dup_lsh_near_dup_regime(ray_session):
     pairs = {tuple(x) for x in got[["id_a", "id_b"]].to_numpy()}
     assert {(i, i + 32) for i in range(32)} <= pairs
     assert (got["cosine"] >= 0.95).all()
+
+
+# ---------------------------------------------------------------------------- #
+# event-time windows (events table)
+# ---------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/events.parquet")
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_tumbling_window_matches_sql(events_ds):
+    from riot_ray.pipelines import tumbling_window_agg
+
+    got = _sorted(
+        tumbling_window_agg(events_ds, width_s=3600).to_pandas(),
+        ["window_start", "event_type"],
+    )
+    exp = _sorted(
+        _duck(
+            """
+            SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+                   event_type, count(*)::BIGINT AS n_events,
+                   ROUND(sum(value), 6) AS sum_value,
+                   ROUND(sum(value) / count(*), 6) AS mean_value
+            FROM events GROUP BY 1, 2
+            """
+        ).to_pandas(),
+        ["window_start", "event_type"],
+    )
+    assert len(got) == len(exp)
+    for c in ["window_start", "n_events"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert (got["event_type"] == exp["event_type"]).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+    assert np.allclose(got["mean_value"], exp["mean_value"], atol=1e-9)
+
+
+def test_sliding_window_matches_sql(events_ds):
+    from riot_ray.pipelines import sliding_window_agg
+
+    got = _sorted(
+        sliding_window_agg(events_ds, width_s=3600, slide_s=900).to_pandas(),
+        ["window_start", "event_type"],
+    )
+    exp = _sorted(
+        _duck(
+            """
+            SELECT epoch_us(e.ts) // 900000000 * 900 - g.i * 900 AS window_start,
+                   e.event_type, count(*)::BIGINT AS n_events,
+                   ROUND(sum(e.value), 6) AS sum_value,
+                   ROUND(sum(e.value) / count(*), 6) AS mean_value
+            FROM events e CROSS JOIN range(4) g(i)
+            GROUP BY 1, 2
+            """
+        ).to_pandas(),
+        ["window_start", "event_type"],
+    )
+    assert len(got) == len(exp)
+    assert (got["window_start"].to_numpy() == exp["window_start"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+    # every event appears in exactly width/slide = 4 windows
+    assert got["n_events"].sum() == 4 * events_ds.count()
+
+
+def test_sessionize_matches_sql(events_ds):
+    from riot_ray.pipelines import sessionize
+
+    got = _sorted(
+        sessionize(events_ds, gap_s=1800).to_pandas(), ["user_id", "session_id"]
+    )
+    exp = _sorted(
+        _duck(
+            """
+            WITH o AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS t,
+                     LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+              FROM events),
+            m AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
+                                 THEN 1 ELSE 0 END AS new FROM o),
+            s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM m)
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us,
+                   count(*)::BIGINT AS n_events, ROUND(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_id
+            """
+        ).to_pandas(),
+        ["user_id", "session_id"],
+    )
+    assert len(got) == len(exp)
+    for c in ["user_id", "session_id", "start_us", "end_us", "n_events"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+def test_top_keys_per_window_matches_sql(events_ds):
+    from riot_ray.pipelines import top_keys_per_window
+
+    got = _sorted(
+        top_keys_per_window(events_ds, width_s=3600, k=3).to_pandas(),
+        ["window_start", "rank"],
+    )
+    exp = _sorted(
+        _duck(
+            """
+            WITH agg AS (
+              SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start, event_type,
+                     ROUND(sum(value), 6) AS sum_value
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER
+                     (PARTITION BY window_start
+                      ORDER BY sum_value DESC, event_type) AS rank
+                  FROM agg)
+            SELECT window_start, event_type, sum_value, rank::BIGINT AS rank
+            FROM r WHERE rank <= 3
+            """
+        ).to_pandas(),
+        ["window_start", "rank"],
+    )
+    assert len(got) == len(exp)
+    assert (got["event_type"] == exp["event_type"]).all()
+    assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)

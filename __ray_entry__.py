@@ -439,6 +439,13 @@ def _q_window_topk(sf_dir: str):
     return top_keys_per_window(_events(sf_dir), width_s=3600, k=3)
 
 
+def _q_json_extract(sf_dir: str):
+    from riot_ray.pipelines import extract_json_int
+
+    return extract_json_int(_events(sf_dir), json_col="props", key="k",
+                            out_col="k", keep_cols=("event_id",))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core inverted-index engine (SURVEY.md §2: S1-S3, M1-M12, A1-A4, J1-J3, O1-O3)
@@ -475,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": _q_window_sliding,
         "sessionize": _q_sessionize,
         "window_topk": _q_window_topk,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -809,6 +817,11 @@ def oracle_sql() -> dict[str, str]:
               FROM agg)
         SELECT window_start, event_type, sum_value, rank::BIGINT AS rank
         FROM r WHERE rank <= 3
+        """
+    out["json_extract"] = r"""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+        FROM events
         """
     # MinHash-LSH candidates + exact-jaccard verify: with rows-per-band = 2
     # (num_perm=128 / bands=64) candidate recall at threshold 0.2 is ~1 at

@@ -187,6 +187,17 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     minhash_lsh_pairs(docs, threshold=0.2).count()
     q["dedup_minhash"] = round(time.time() - t0, 3)
 
+    from riot_ray.pipelines import sessionize, tumbling_window_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = time.time()
+    tumbling_window_agg(ev, width_s=3600).count()
+    q["window_tumbling"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sessionize(ev, gap_s=1800).count()
+    q["sessionize"] = round(time.time() - t0, 3)
+
     emb = rd.read_parquet(emb_path)
     qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
     sel = qt.slice(0, 16)

@@ -5,7 +5,13 @@ token stats, winnowing fingerprints), multimodal binary-column stages, and
 event-time window operators (tumbling/sliding aggregates, sessionization).
 """
 
-from .analysis import fingerprint, lang_id, quality_score, token_stats
+from .analysis import (
+    extract_json_int,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
 from .dedup import (
     dedup_clusters,
     dedup_filter,
@@ -27,6 +33,7 @@ from .windows import (
 )
 
 __all__ = [
+    "extract_json_int",
     "tumbling_window_agg",
     "sliding_window_agg",
     "sessionize",

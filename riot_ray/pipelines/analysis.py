@@ -272,3 +272,34 @@ def fingerprint(ds, text_col: str = "text", k: int = 5, window: int = 8):
     return ds.map_batches(
         lambda b: fingerprint_batch(b, text_col, k, window), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------- #
+# JSON field extraction (semi-structured props columns)
+# --------------------------------------------------------------------------- #
+def extract_json_int(
+    ds,
+    json_col: str = "props",
+    key: str = "k",
+    out_col: str = "k",
+    keep_cols: tuple = ("event_id",),
+):
+    """Pull an integer field out of a JSON-string column, fully vectorized
+    (Arrow ``extract_regex`` — no per-row json.loads).  Missing/non-integer
+    fields yield null, matching SQL ``json_extract`` semantics.  Output:
+    ``keep_cols + (out_col:int64,)``."""
+    import pyarrow.compute as pc
+
+    pattern = rf'"{key}"\s*:\s*(?P<v>-?\d+)'
+
+    def ex(batch: pa.Table) -> pa.Table:
+        col = batch[json_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, pattern)
+        v = pc.struct_field(m, "v").cast(pa.int64())
+        cols = {c: batch[c] for c in keep_cols}
+        cols[out_col] = v
+        return pa.table(cols)
+
+    return ds.map_batches(ex, batch_format="pyarrow")

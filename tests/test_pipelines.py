@@ -714,3 +714,33 @@ def test_top_keys_per_window_matches_sql(events_ds):
     assert (got["event_type"] == exp["event_type"]).all()
     assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()
     assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+def test_extract_json_int_matches_sql(events_ds):
+    from riot_ray.pipelines import extract_json_int
+
+    got = _sorted(
+        extract_json_int(events_ds, "props", "k", "k").to_pandas(), ["event_id"]
+    )
+    exp = _sorted(
+        _duck(
+            r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+            FROM events
+            """
+        ).to_pandas(),
+        ["event_id"],
+    )
+    assert len(got) == len(exp)
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    # malformed / missing fields -> null
+    import ray.data as rd
+
+    toy = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "props": pa.array(['{"k": -7}', '{"other": 1}', "not json"]),
+    }))
+    t = _sorted(extract_json_int(toy, "props", "k", "k").to_pandas(), ["event_id"])
+    assert t["k"].iloc[0] == -7
+    assert t["k"].isna().iloc[1] and t["k"].isna().iloc[2]

@@ -158,7 +158,15 @@ def sessionize(
     """
     gap_us = gap_s * _US
 
+    _schema = pa.schema([
+        ("user_id", pa.int64()), ("session_id", pa.int64()),
+        ("start_us", pa.int64()), ("end_us", pa.int64()),
+        ("n_events", pa.int64()), ("sum_value", pa.float64()),
+    ])
+
     def per_user(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # schema-probe batch
+            return _schema.empty_table()
         t = _epoch_us(group, ts_col)
         eid = group[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t))
@@ -201,6 +209,11 @@ def top_keys_per_window(
     agg = tumbling_window_agg(ds, ts_col, key_col, value_col, width_s)
 
     def topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # schema-probe batch
+            return pa.schema([
+                ("window_start", pa.int64()), (key_col, pa.string()),
+                ("sum_value", pa.float64()), ("rank", pa.int64()),
+            ]).empty_table()
         s = group["sum_value"].to_numpy(zero_copy_only=False)
         keys = group[key_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((keys, -s))[:k]

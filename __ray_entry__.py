@@ -439,6 +439,13 @@ def _q_window_topk(sf_dir: str):
     return top_keys_per_window(_events(sf_dir), width_s=3600, k=3)
 
 
+def _q_asof_attribution(sf_dir: str):
+    from riot_ray.pipelines import asof_attribution
+
+    return asof_attribution(_events(sf_dir), source_type="click",
+                            target_type="purchase")
+
+
 def _q_json_extract(sf_dir: str):
     from riot_ray.pipelines import extract_json_int
 
@@ -482,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": _q_window_sliding,
         "sessionize": _q_sessionize,
         "window_topk": _q_window_topk,
+        "asof_attribution": _q_asof_attribution,
         "json_extract": _q_json_extract,
     }
 
@@ -817,6 +825,22 @@ def oracle_sql() -> dict[str, str]:
               FROM agg)
         SELECT window_start, event_type, sum_value, rank::BIGINT AS rank
         FROM r WHERE rank <= 3
+        """
+    out["asof_attribution"] = """
+        WITH o AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                 CASE WHEN event_type = 'click' THEN event_id END AS src_id,
+                 CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS src_t
+          FROM events),
+        f AS (SELECT *,
+                last_value(src_id IGNORE NULLS) OVER w AS attr_id,
+                last_value(src_t IGNORE NULLS) OVER w AS attr_t
+              FROM o
+              WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, attr_id AS src_event_id,
+               (t - attr_t)::BIGINT AS lag_us
+        FROM f WHERE event_type = 'purchase'
         """
     out["json_extract"] = r"""
         SELECT event_id,

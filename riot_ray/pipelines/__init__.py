@@ -26,6 +26,7 @@ from .dedup import (
 from .multimodal import decode_media, make_fake_media, resize_media
 from .simsearch import knn_brute, knn_lsh
 from .windows import (
+    asof_attribution,
     sessionize,
     sliding_window_agg,
     top_keys_per_window,
@@ -34,6 +35,7 @@ from .windows import (
 
 __all__ = [
     "extract_json_int",
+    "asof_attribution",
     "tumbling_window_agg",
     "sliding_window_agg",
     "sessionize",

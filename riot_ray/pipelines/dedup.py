@@ -476,6 +476,83 @@ class _PairEmit:
         )
 
 
+class _PairAndSizeEmit:
+    """One bucket group of the inverted shingle index (bucket = shingle %
+    NB, so a shingle's FULL posting run is local to its group).  Emits, in
+    ONE pass:
+
+    * co-occurrence pair rows ``(id_a, id_b, n)`` — like :class:`_PairEmit`
+      (runs over ``max_group`` docs dropped, map-side multiplicity combine);
+    * per-doc surviving-shingle counts as rows ``(doc, -1, n)`` — the
+      ``|A|``/``|B|`` sizes over the SAME capped universe.
+
+    This replaces the separate df-count groupby + blocklist broadcast +
+    per-doc sizes groupby of the naive plan: at 600k docs those were two
+    extra full sorts of a ~10^8-row shingle table (measured: most of a
+    478 s run).  One tagged output stream, split by ``id_b >= 0``."""
+
+    def __init__(self, id_col: str, max_group: int, key_col: str = "shingle"):
+        self.id_col = id_col
+        self.max_group = max_group
+        self.key_col = key_col
+        self.__name__ = "PairAndSizeEmit"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        key = group[self.key_col].to_numpy(zero_copy_only=False)
+        ids = group[self.id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        n = len(key)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        keep = np.r_[True, (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])]
+        key, ids = key[keep], ids[keep]
+        n = len(key)
+        newrun = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(newrun)
+        lens = np.diff(np.r_[starts, n])
+        survive = lens <= self.max_group
+
+        # per-doc sizes over surviving runs (df-1 singletons INCLUDED —
+        # they belong to the jaccard universe)
+        row_ok = np.repeat(survive, lens)
+        sdocs, scnt = np.unique(ids[row_ok], return_counts=True)
+        size_rows = (
+            pa.table({"id_a": pa.array(sdocs, pa.int64()),
+                      "id_b": pa.array(np.full(len(sdocs), -1), pa.int64()),
+                      "n": pa.array(scnt.astype(np.int64), pa.int64())})
+            if len(sdocs) else empty
+        )
+
+        ok = survive & (lens >= 2)
+        pstarts, plens = starts[ok], lens[ok]
+        if not len(pstarts):
+            return size_rows
+        out_a, out_b = [], []
+        for l in np.unique(plens):
+            runs_l = pstarts[plens == l]
+            ia, ib = np.triu_indices(int(l), k=1)
+            out_a.append((runs_l[:, None] + ia[None, :]).ravel())
+            out_b.append((runs_l[:, None] + ib[None, :]).ravel())
+        a = ids[np.concatenate(out_a)]
+        b = ids[np.concatenate(out_b)]
+        porder = np.lexsort((b, a))
+        a, b = a[porder], b[porder]
+        newp = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        ps = np.flatnonzero(newp)
+        cnt = np.diff(np.r_[ps, len(a)])
+        pair_rows = pa.table(
+            {"id_a": pa.array(a[ps], pa.int64()),
+             "id_b": pa.array(b[ps], pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+        return pa.concat_tables([pair_rows, size_rows])
+
+
 def ngram_jaccard_pairs(
     ds,
     text_col: str = "text",
@@ -495,13 +572,13 @@ def ngram_jaccard_pairs(
     intersection of surfaced pairs).  With no shingle over the cap the
     result is plain exact jaccard (the SQL-oracle case).
 
-    Scale shape: the hot-shingle blocklist is the ONLY driver-side collect
-    (bounded: total shingles / max_group entries at most); per-doc shingle
-    counts are attached to the pair table by a distributed hash join, and
-    pair scoring is a pure vectorized map."""
-    import ray
+    Scale shape: ONE shuffle of the shingle table (bucket = shingle % 32
+    co-locates each shingle's full posting run), inside which the df cap,
+    the pair counts AND the per-doc sizes are all computed — no blocklist,
+    no driver-side collect, no second/third sort of the shingle table.
+    Sizes attach to the pair table by the size-gated join, and pair
+    scoring is a pure vectorized map."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     num_partitions = _join_parts(join_partitions)
 
@@ -509,38 +586,7 @@ def ngram_jaccard_pairs(
         lambda b: shingle_batch(b, text_col, id_col, n),
         batch_format="pyarrow",
         batch_size=2048,
-    ).materialize()  # reused below: materialize once
-
-    # hot-shingle filter: df per shingle, drop df > max_group everywhere.
-    # The >cap filter is a vectorized expression push-down; only the
-    # (tiny, bounded) surviving blocklist ever reaches the driver.
-    sh_df = shingles.groupby("shingle").aggregate(Count(alias_name="df"))
-
-    def hot_only(b: pa.Table) -> pa.Table:
-        # vectorized Arrow mask (Ray's expression filter is row-based here)
-        return b.filter(pc.greater(b["df"], max_group)).select(["shingle"])
-
-    hot_tables = ray.get(
-        sh_df.map_batches(hot_only, batch_format="pyarrow").to_arrow_refs()
     )
-    hot = np.sort(
-        np.concatenate(
-            [t["shingle"].to_numpy(zero_copy_only=False) for t in hot_tables]
-        ).astype(np.int64)
-    ) if any(t.num_rows for t in hot_tables) else np.empty(0, np.int64)
-    if hot.size:
-        hot_ref = ray.put(hot)
-
-        def drop_hot(batch: pa.Table) -> pa.Table:
-            h = ray.get(hot_ref)
-            sh = batch["shingle"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(~np.isin(sh, h, assume_unique=False)))
-
-        shingles = shingles.map_batches(drop_hot, batch_format="pyarrow").materialize()
-
-    sizes = shingles.groupby(id_col).aggregate(
-        Count(alias_name="n_shingles")
-    ).materialize()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         sh = batch["shingle"].to_numpy(zero_copy_only=False)
@@ -549,16 +595,41 @@ def ngram_jaccard_pairs(
             "bucket", pa.array((sh % 32).astype(np.int32), pa.int32())
         )
 
-    inter = _combine_pairs(
+    # one pass: pair rows (id_b >= 0) + per-doc size partials (id_b == -1)
+    tagged = (
         shingles.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
-            _PairEmit(id_col, max_group, key_col="shingle"), batch_format="pyarrow"
-        ),
+            _PairAndSizeEmit(id_col, max_group, key_col="shingle"),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def only_pairs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["id_b"], 0))
+
+    def only_sizes(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["id_b"], 0))
+
+    inter = _combine_pairs(
+        tagged.map_batches(only_pairs, batch_format="pyarrow"),
         num_partitions, sum_col="n", out_name="inter",
     ).materialize()
     if inter.count() == 0:
         return rd.from_arrow(_empty_pairs(("jaccard", pa.float64())))
+
+    def finish_sizes(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["id_a"], "n_shingles": b["n_shingles"]})
+
+    sizes = (
+        _combine_pairs(
+            tagged.map_batches(only_sizes, batch_format="pyarrow"),
+            num_partitions, sum_col="n", out_name="n_shingles",
+        )
+        .map_batches(finish_sizes, batch_format="pyarrow")
+        .materialize()
+    )
 
     # per-doc shingle counts attached to both pair sides — broadcast under
     # the 64 MB gate (two int64s per doc => broadcast up to ~4e6 docs), a

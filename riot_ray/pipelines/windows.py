@@ -225,3 +225,63 @@ def top_keys_per_window(
         })
 
     return agg.groupby("window_start").map_groups(topk, batch_format="pyarrow")
+
+
+def asof_attribution(
+    ds,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    source_type: str = "click",
+    target_type: str = "purchase",
+):
+    """Per-user AS-OF join (attribution): for every ``target_type`` event,
+    the user's most recent STRICTLY-PRECEDING ``source_type`` event and the
+    elapsed microseconds — the classic click->purchase attribution.
+
+    Ray Data has no native as-of join; this is the documented composition:
+    ``groupby(user)`` co-locates each user's timeline, and inside the group
+    a vectorized forward-fill (``np.maximum.accumulate`` over source row
+    indices) resolves every target in O(n) — no per-row loop, no windowed
+    self-join blowup.  Same partitioning assumption as :func:`sessionize`.
+
+    Output: (event_id of the target, user_id, src_event_id nullable,
+    lag_us nullable).  Ordering ties broken by (ts, event_id) on both the
+    Ray and SQL sides.
+    """
+    _schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("src_event_id", pa.int64()), ("lag_us", pa.int64()),
+    ])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # schema-probe batch
+            return _schema.empty_table()
+        t = _epoch_us(group, ts_col)
+        eid = group[id_col].to_numpy(zero_copy_only=False)
+        typ = group[type_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t))
+        t, eid, typ = t[order], eid[order], typ[order]
+        n = len(t)
+        idx = np.arange(n)
+        # forward-fill index of the last source row at-or-before each row;
+        # a row is never both source and target, so "at-or-before" equals
+        # "strictly preceding" for every target row
+        src_at = np.where(typ == source_type, idx, -1)
+        last_src = np.maximum.accumulate(src_at)
+        tgt = np.flatnonzero(typ == target_type)
+        hit = last_src[tgt]
+        valid = hit >= 0
+        src_id = np.where(valid, eid[np.maximum(hit, 0)], 0)
+        lag = np.where(valid, t[tgt] - t[np.maximum(hit, 0)], 0)
+        user = group[user_col][0].as_py()
+        return pa.table({
+            "event_id": pa.array(eid[tgt], pa.int64()),
+            "user_id": pa.array(np.full(len(tgt), user), pa.int64()),
+            "src_event_id": pa.array(
+                np.ma.masked_array(src_id, mask=~valid).astype(np.int64)),
+            "lag_us": pa.array(np.ma.masked_array(lag, mask=~valid).astype(np.int64)),
+        })
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")

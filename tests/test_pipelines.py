@@ -744,3 +744,39 @@ def test_extract_json_int_matches_sql(events_ds):
     t = _sorted(extract_json_int(toy, "props", "k", "k").to_pandas(), ["event_id"])
     assert t["k"].iloc[0] == -7
     assert t["k"].isna().iloc[1] and t["k"].isna().iloc[2]
+
+
+def test_asof_attribution_matches_sql(events_ds):
+    from riot_ray.pipelines import asof_attribution
+
+    got = _sorted(asof_attribution(events_ds).to_pandas(), ["event_id"])
+    exp = _sorted(
+        _duck(
+            """
+            WITH o AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                     CASE WHEN event_type = 'click' THEN event_id END AS src_id,
+                     CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS src_t
+              FROM events),
+            f AS (SELECT *,
+                    last_value(src_id IGNORE NULLS) OVER w AS attr_id,
+                    last_value(src_t IGNORE NULLS) OVER w AS attr_t
+                  FROM o
+                  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT event_id, user_id, attr_id AS src_event_id,
+                   (t - attr_t)::BIGINT AS lag_us
+            FROM f WHERE event_type = 'purchase'
+            """
+        ).to_pandas(),
+        ["event_id"],
+    )
+    assert len(got) == len(exp)
+    for c in ["event_id", "user_id"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    gn, en = got["src_event_id"].isna(), exp["src_event_id"].isna()
+    assert (gn == en).all()
+    assert (got.loc[~gn, "src_event_id"].to_numpy()
+            == exp.loc[~en, "src_event_id"].to_numpy()).all()
+    assert (got.loc[~gn, "lag_us"].to_numpy()
+            == exp.loc[~en, "lag_us"].to_numpy()).all()

@@ -380,6 +380,17 @@ def _q_knn_lsh(sf_dir: str):
     return t.select(["query_id", "vec_id", "rank"])
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF (k-means inverted lists, nprobe < n_lists) — approximate by
+    design; recall and the full-probe==brute identity are pinned in
+    tests/test_pipelines.py."""
+    from riot_ray.pipelines import knn_ivf
+
+    Q, qids = _query_vectors(sf_dir)
+    t = knn_ivf(_emb(sf_dir), Q, qids, k=K, n_lists=16, nprobe=6)
+    return t.select(["query_id", "vec_id", "rank"])
+
+
 def _q_search_proximity(sf_dir: str):
     """LocsIndex search: proximity + snippet locations (non-SQL)."""
     from riot_ray.engine import LocalSearcher
@@ -480,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "knn_cosine_topk": _q_knn,
         "knn_lsh_topk": _q_knn_lsh,
+        "knn_ivf_topk": _q_knn_ivf,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,

@@ -207,6 +207,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     knn_brute(emb, Q, qids, k=10)
     q["knn_brute"] = round(time.time() - t0, 3)
 
+    from riot_ray.pipelines import knn_ivf
+
+    t0 = time.time()
+    knn_ivf(emb, Q, qids, k=10, n_lists=16, nprobe=6)
+    q["knn_ivf"] = round(time.time() - t0, 3)
+
     value = round(sum(q[k] for k in ("index_build", "search_total", "token_stats",
                                      "quality", "dedup_ngram_jaccard",
                                      "dedup_minhash", "knn_brute")), 3)

@@ -24,7 +24,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .multimodal import decode_media, make_fake_media, resize_media
-from .simsearch import knn_brute, knn_lsh
+from .simsearch import knn_brute, knn_ivf, knn_lsh
 from .windows import (
     asof_attribution,
     sessionize,
@@ -54,6 +54,7 @@ __all__ = [
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "knn_brute",
+    "knn_ivf",
     "knn_lsh",
     "decode_media",
     "resize_media",

@@ -7,8 +7,14 @@
 * ``knn_lsh`` — the scale path: random-hyperplane LSH signs bucket both the
   corpus and the queries; only buckets a query probes (its own + multiprobe
   single-bit flips) are scanned.  Approximate — tests pin recall vs brute.
+* ``knn_ivf`` — the other classic scale path: a spherical k-means coarse
+  quantizer (trained once on a bounded sample, centroids broadcast via
+  ``ray.put``) partitions the corpus into ``n_lists`` inverted lists; a
+  query scores only rows whose list is among its ``nprobe`` nearest
+  centroids.  ``nprobe == n_lists`` degenerates to exact brute force
+  (tested); smaller nprobe trades recall for a 1/nprobe scan fraction.
 
-Both return (query_id, vec_id, cosine, rank) with rank 1..k per query,
+All return (query_id, vec_id, cosine, rank) with rank 1..k per query,
 cosine rounded to 6dp, ties broken by vec_id ascending (deterministic).
 """
 
@@ -90,6 +96,118 @@ def knn_brute(
         tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
         tbl["cosine_raw"].to_numpy(zero_copy_only=False),
         k,
+    )
+
+
+def _spherical_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over unit-norm rows: assignment by
+    max dot product, centroids re-normalized each iteration.  Empty lists
+    keep their previous centroid.  Runs on the (bounded) training sample
+    only — never the full corpus."""
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        norms = np.linalg.norm(sums, axis=1)
+        live = norms > 0
+        C[live] = sums[live] / norms[live, None]
+    return C
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 4096,
+    seed: int = 42,
+    train_iters: int = 10,
+):
+    """IVF approximate top-k (the Faiss-style inverted-file scheme, cosine
+    metric).  Train: spherical k-means on the first ``sample_n`` corpus
+    rows (driver-side — bounded, never the full corpus).  Search: each
+    query probes its ``nprobe`` nearest centroids; a corpus row is scored
+    for a query only when the row's list is probed.  The corpus streams
+    once through ``map_batches`` (centroids + probe sets broadcast once via
+    ``ray.put``); only tiny per-batch top-k partials centralize.
+
+    At cluster scale, write the corpus list-partitioned
+    (``ds.add_column(list_id) .. write_parquet(partition_cols=["list_id"])``)
+    so probes prune at the READ instead of post-assignment — this operator
+    is the scan kernel either way.  Same output contract as
+    :func:`knn_brute`; ``nprobe >= n_lists`` reproduces it exactly."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    sample = ds.select_columns([vec_col]).limit(sample_n).take_all()
+    X = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
+    C = _spherical_kmeans(X, n_lists, seed, train_iters)
+    n_lists = len(C)  # may shrink on tiny corpora
+    nprobe = min(nprobe, n_lists)
+    # probe_mask[qi, list] = this query scans that inverted list
+    qsims = Q @ C.T  # (nq, n_lists)
+    probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qids), n_lists), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    bref = ray.put((qids, Q, C, probe_mask))
+
+    def local(batch: pa.Table) -> pa.Table:
+        g_qids, g_Q, g_C, g_mask = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        lists = np.argmax(V @ g_C.T, axis=1)  # coarse assignment per row
+        cand_mask = g_mask[:, lists]  # (nq, batch)
+        if not cand_mask.any():
+            return _empty_partials()
+        sims = g_Q @ V.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(g_qids):
+            cand = np.flatnonzero(cand_mask[qi])
+            if cand.size == 0:
+                continue
+            s = sims[qi, cand]
+            kk = min(k, cand.size)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_v.append(ids[cand[part]])
+            out_s.append(s[part])
+        if not out_q:
+            return _empty_partials()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_raw": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()
+    tbl = pa.concat_tables(ray.get(partials))
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
+        )
+    return _topk_table(
+        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
+        k,
+    )
+
+
+def _empty_partials() -> pa.Table:
+    return pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "cosine_raw": pa.array([], pa.float64())}
     )
 
 

@@ -328,6 +328,42 @@ def test_knn_lsh_recall(emb_ds):
         assert (q, q) in ap
 
 
+def test_knn_ivf_full_probe_is_exact(emb_ds):
+    from riot_ray.pipelines import knn_brute, knn_ivf
+
+    qt = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' WHERE vec_id < 4 ORDER BY vec_id"
+    ).fetch_arrow_table()
+    Q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    brute = knn_brute(emb_ds, Q, qids, k=8).to_pandas()
+    full = knn_ivf(emb_ds, Q, qids, k=8, n_lists=8, nprobe=8).to_pandas()
+    # probing every list degenerates to exact brute force: identical table
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (b["vec_id"].to_numpy() == f["vec_id"].to_numpy()).all()
+    assert np.allclose(b["cosine"], f["cosine"], atol=1e-9)
+
+
+def test_knn_ivf_recall(emb_ds):
+    from riot_ray.pipelines import knn_brute, knn_ivf
+
+    qt = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetch_arrow_table()
+    Q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    brute = knn_brute(emb_ds, Q, qids, k=10).to_pandas()
+    approx = knn_ivf(emb_ds, Q, qids, k=10, n_lists=16, nprobe=6).to_pandas()
+    bp = {tuple(x) for x in brute[["query_id", "vec_id"]].to_numpy()}
+    ap = {tuple(x) for x in approx[["query_id", "vec_id"]].to_numpy()}
+    recall = len(bp & ap) / len(bp)
+    assert recall >= 0.5, recall
+    # a query's own vector lands in its own probed list (cos 1 to itself)
+    for q in qids:
+        assert (q, q) in ap
+
+
 # ---------------------------------------------------------------------------- #
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd

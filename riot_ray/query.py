@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 
 from .codecs import decode_varbyte
 from .config import DOCIDS_INDEX, LOCS_INDEX, EngineOpts, shard_of_part
-from .types import Logic, RankOpts, ScoredHit, SearchReq, SearchResp, hit_sort_key
+from .types import Logic, RankOpts, ScoredHit, SearchReq, SearchResp, sort_hits
 
 
 # --------------------------------------------------------------------------- #
@@ -613,7 +613,7 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, keep: int
             sh.content = sh.fields.pop(shard.opts.content_col, None)
         out.append(sh)
     num = len(out)
-    out.sort(key=hit_sort_key(), reverse=rank.reverse_order)
+    sort_hits(out, reverse=rank.reverse_order)
     if keep > 0:
         out = out[:keep]
     return out, num
@@ -621,7 +621,7 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, keep: int
 
 def merge_ranked(per_shard: list, rank: RankOpts):
     allhits = [h for hits in per_shard for h in hits]
-    allhits.sort(key=hit_sort_key(), reverse=rank.reverse_order)
+    sort_hits(allhits, reverse=rank.reverse_order)
     # global slice — /root/reference/engine.go:527-538
     start = min(rank.output_offset, len(allhits))
     end = len(allhits) if rank.max_outputs == 0 else min(start + rank.max_outputs, len(allhits))

@@ -353,6 +353,12 @@ def _q_dedup_minhash_exact(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
+    """All pairs within Hamming distance 6 of their 64-bit tf-weighted
+    simhash.  Deterministic AND complete at oracle scale: the 7-block
+    pigeonhole blocking guarantees every qualifying pair is a candidate
+    (max_group never binds at sf<=0.01), and the token hash is the first 8
+    md5 bytes — so the full signature + pair set is recomputable in DuckDB
+    SQL (see oracle_sql)."""
     from riot_ray.pipelines import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir), max_hamming=6)
@@ -389,6 +395,28 @@ def _q_knn_ivf(sf_dir: str):
     Q, qids = _query_vectors(sf_dir)
     t = knn_ivf(_emb(sf_dir), Q, qids, k=K, n_lists=16, nprobe=6)
     return t.select(["query_id", "vec_id", "rank"])
+
+
+def _q_knn_ivf_full(sf_dir: str):
+    """IVF with nprobe = n_lists (every list probed) — exercises the full
+    k-means/inverted-list machinery while remaining exactly equal to brute
+    cosine top-k, so it shares knn_cosine_topk's SQL oracle."""
+    from riot_ray.pipelines import knn_ivf
+
+    Q, qids = _query_vectors(sf_dir)
+    t = knn_ivf(_emb(sf_dir), Q, qids, k=K, n_lists=16, nprobe=16)
+    return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
+
+
+def _q_multimodal_meta(sf_dir: str):
+    """Binary media column plumbing made oracle-checkable: documents wrapped
+    as fake payloads with md5-derived dims, decoded by the actor-pool stage;
+    every output column is recomputable in SQL from the text."""
+    from riot_ray.pipelines import decode_media, media_from_docs
+
+    ds = media_from_docs(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = decode_media(ds, concurrency=4, batch_size=64)
+    return out.select_columns(["doc_id", "width", "height", "n_frames", "n_bytes"])
 
 
 def _q_search_proximity(sf_dir: str):
@@ -492,10 +520,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": _q_knn,
         "knn_lsh_topk": _q_knn_lsh,
         "knn_ivf_topk": _q_knn_ivf,
+        "knn_ivf_full": _q_knn_ivf_full,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_meta": _q_multimodal_meta,
         # event-time window operators (events table)
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -734,10 +764,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) <= {K}
             """,
-        # dedup_minhash / dedup_simhash / dedup_embedding_lsh / knn_lsh_topk
-        # / search_proximity / multimodal_decode are approximate or
+        # dedup_minhash / dedup_embedding_lsh / knn_lsh_topk / knn_ivf_topk
+        # / search_proximity / multimodal_decode+resize are approximate or
         # non-SQL-expressible -> rows-only check by design (recall/golden
-        # pins live in pytest).
+        # pins live in pytest; each has an oracled exact counterpart:
+        # dedup_minhash_exact, dedup_embedding, knn_cosine_topk,
+        # knn_ivf_full, multimodal_meta).
     }
     out["bm25_topk_wand"] = out["bm25_topk"]  # WAND must match exhaustive
 
@@ -864,4 +896,46 @@ def oracle_sql() -> dict[str, str]:
     # oracle scale, so the output equals plain exact n-gram jaccard — the
     # same SQL is a valid oracle (verified pair-for-pair at sf0.01).
     out["dedup_minhash_exact"] = out["dedup_ngram_jaccard"]
+
+    # simhash: the 64-bit tf-weighted signature is fully recomputable in SQL
+    # (token hash = first 8 md5 bytes, same as _token_hashes; bit b set iff
+    # 2*sum_of_bit_b_over_occurrences > n_occurrences), and the 7-block
+    # pigeonhole blocking in simhash_pairs is COMPLETE for hamming <= 6, so
+    # the pipeline output equals the brute hamming-<=6 pair set.
+    out["dedup_simhash"] = f"""
+        WITH {_TOKS},
+        occ AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 16))::UBIGINT AS h
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.i AS bit,
+                 SUM(((h >> b.i) & 1)::BIGINT) AS ones, COUNT(*) AS total
+          FROM occ CROSS JOIN range(64) b(i)
+          GROUP BY doc_id, b.i),
+        sig0 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN ones * 2 > total
+                          THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS s
+          FROM bits GROUP BY doc_id),
+        sig AS (
+          SELECT d.doc_id, COALESCE(sig0.s, 0::UBIGINT)::UBIGINT AS s
+          FROM documents d LEFT JOIN sig0 USING (doc_id))
+        SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+               bit_count(xor(a.s, b.s))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 6
+        """
+
+    # IVF with every list probed scans the whole corpus => exactly brute
+    out["knn_ivf_full"] = out["knn_cosine_topk"]
+
+    # multimodal metadata: dims are md5-derived, body is the utf-8 text
+    out["multimodal_meta"] = """
+        SELECT doc_id,
+               (('0x' || substr(md5(text), 1, 4))::INT % 57 + 8) AS width,
+               (('0x' || substr(md5(text), 5, 4))::INT % 57 + 8) AS height,
+               1 AS n_frames,
+               strlen(text)::BIGINT AS n_bytes
+        FROM documents
+        """
     return out

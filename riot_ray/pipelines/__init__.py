@@ -23,7 +23,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .multimodal import decode_media, make_fake_media, resize_media
+from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
 from .simsearch import knn_brute, knn_ivf, knn_lsh
 from .windows import (
     asof_attribution,
@@ -59,4 +59,5 @@ __all__ = [
     "decode_media",
     "resize_media",
     "make_fake_media",
+    "media_from_docs",
 ]

@@ -57,6 +57,37 @@ def make_fake_media(n: int, seed: int = 42, kind: str = "image") -> pa.Table:
     )
 
 
+def media_from_docs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Wrap a text corpus as fake media payloads with md5-derived dimensions —
+    the deterministic bridge that makes the binary-column plumbing
+    SQL-oracle-checkable: width/height come from md5(text) hex slices
+    (DuckDB: ``('0x' || substr(md5(text), 1, 4))::INT % 57 + 8``) and the
+    body is the utf-8 text itself, so a DuckDB oracle can recompute every
+    decoded metadata column without parsing binary."""
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        payloads = []
+        for t in texts:
+            d = hashlib.md5(t.encode()).hexdigest()
+            w = int(d[:4], 16) % 57 + 8
+            h = int(d[4:8], 16) % 57 + 8
+            mime = "image/fake"
+            head = MAGIC + struct.pack("<B", len(mime)) + mime.encode() + struct.pack(
+                "<iii", w, h, 1
+            )
+            payloads.append(head + t.encode())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "mime": pa.array(["image/fake"] * len(texts), pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(wrap, batch_format="pyarrow")
+
+
 def parse_fake_header(buf: bytes):
     if buf[:4] != MAGIC:
         raise ValueError("not a fake-media payload")
@@ -98,7 +129,7 @@ class MediaDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        widths, heights, frames, feats, digests = [], [], [], [], []
+        widths, heights, frames, feats, digests, nbytes = [], [], [], [], [], []
         for buf in payloads:
             mime, w, h, fr, body = parse_fake_header(buf)
             widths.append(w)
@@ -106,10 +137,12 @@ class MediaDecodeStage:
             frames.append(fr)
             feats.append(self._feature(body))
             digests.append(hashlib.blake2b(buf, digest_size=16).hexdigest())
+            nbytes.append(len(body))
         out = batch.select([c for c in batch.column_names if c != "payload"])
         out = out.append_column("width", pa.array(widths, pa.int32()))
         out = out.append_column("height", pa.array(heights, pa.int32()))
         out = out.append_column("n_frames", pa.array(frames, pa.int32()))
+        out = out.append_column("n_bytes", pa.array(nbytes, pa.int64()))
         out = out.append_column(
             "feature",
             pa.array([f.tolist() for f in feats], pa.list_(pa.float32(), self.feature_dim)),

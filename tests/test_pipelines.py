@@ -388,6 +388,76 @@ def test_multimodal_plumbing(ray_session):
         MediaDecodeStage(decode="real")
 
 
+def test_media_from_docs_sql_parity(docs_ds):
+    """media_from_docs + decode round-trips every metadata column to the
+    md5-derived values a SQL oracle recomputes (the multimodal_meta contract)."""
+    from riot_ray.pipelines import decode_media, media_from_docs
+
+    got = (
+        decode_media(media_from_docs(docs_ds.select_columns(["doc_id", "text"])),
+                     concurrency=2, batch_size=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _duck(
+            """
+            SELECT doc_id,
+                   (('0x' || substr(md5(text), 1, 4))::INT % 57 + 8) AS width,
+                   (('0x' || substr(md5(text), 5, 4))::INT % 57 + 8) AS height,
+                   strlen(text)::BIGINT AS n_bytes
+            FROM documents ORDER BY doc_id
+            """
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    for c in ("width", "height", "n_bytes"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["n_frames"] == 1).all()
+
+
+def test_simhash_pairs_sql_parity(docs_ds):
+    """simhash signatures + the hamming-<=6 pair set are exactly recomputable
+    in DuckDB (md5 token hash; pigeonhole blocking is complete at this hd)."""
+    from riot_ray.pipelines import simhash_pairs
+
+    got = simhash_pairs(docs_ds, max_hamming=6).to_pandas()
+    got_pairs = set(zip(got.id_a, got.id_b, got.hamming))
+    exp = _duck(
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+          FROM documents),
+        occ AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 16))::UBIGINT AS h
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.i AS bit,
+                 SUM(((h >> b.i) & 1)::BIGINT) AS ones, COUNT(*) AS total
+          FROM occ CROSS JOIN range(64) b(i)
+          GROUP BY doc_id, b.i),
+        sig0 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN ones * 2 > total
+                          THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS s
+          FROM bits GROUP BY doc_id),
+        sig AS (
+          SELECT d.doc_id, COALESCE(sig0.s, 0::UBIGINT)::UBIGINT AS s
+          FROM documents d LEFT JOIN sig0 USING (doc_id))
+        SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+               bit_count(xor(a.s, b.s))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 6
+        """
+    ).to_pandas()
+    exp_pairs = set(zip(exp.id_a, exp.id_b, exp.hamming))
+    assert got_pairs == exp_pairs
+
+
 def test_ngram_jaccard_hot_shingle_filter(ray_session):
     """Shingles above max_group are removed from the UNIVERSE (sizes and
     pair counts together) so surfaced pairs keep exact jaccard over the

@@ -258,6 +258,25 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition quality filters (Rae et al. 2021): duplicate
+    lines, top 2-/3-gram char fraction, duplicate-5-gram occurrence
+    fraction — all with SQL-checkable definitions."""
+    from riot_ray.pipelines import repetition_stats
+
+    return repetition_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_hot_ngrams(sf_dir: str):
+    """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
+    docs (map-side per-doc dedup, one bucket shuffle)."""
+    from riot_ray.pipelines import hot_ngrams
+
+    ds = hot_ngrams(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                    n=3, min_docs=4)
+    return ds.select_columns(["gram", "n_docs"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from riot_ray.pipelines import exact_dedup
 
@@ -508,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extensions
         "token_stats": _q_token_stats,
         "quality": _q_quality,
+        "repetition_stats": _q_repetition,
+        "hot_ngrams": _q_hot_ngrams,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_clusters": _q_dedup_clusters,
@@ -928,6 +949,74 @@ def oracle_sql() -> dict[str, str]:
 
     # IVF with every list probed scans the whole corpus => exactly brute
     out["knn_ivf_full"] = out["knn_cosine_topk"]
+
+    # repetition filters: lines via string_split(chr(10)); n-grams via the
+    # same token model as _TOKS; top-gram ties broken (count desc, gram asc)
+    out["repetition_stats"] = f"""
+        WITH {_TOKS},
+        lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+          FROM documents),
+        lagg AS (
+          SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
+          FROM lines GROUP BY doc_id),
+        tchars AS (
+          SELECT doc_id,
+                 COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars
+          FROM toks),
+        g2 AS (
+          SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                 for i in range(1, len(t))]) AS g
+          FROM toks WHERE len(t) >= 2),
+        g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        top2 AS (SELECT doc_id, g, c, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2c),
+        g3 AS (
+          SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)]) AS g
+          FROM toks WHERE len(t) >= 3),
+        g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        top3 AS (SELECT doc_id, g, c, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g3c),
+        g5 AS (
+          SELECT doc_id,
+                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4]
+                         for i in range(1, len(t) - 3)]) AS g
+          FROM toks WHERE len(t) >= 5),
+        g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        d5 AS (
+          SELECT doc_id, sum(c) AS total,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          FROM g5c GROUP BY doc_id)
+        SELECT d.doc_id,
+               lagg.n_lines::BIGINT AS n_lines,
+               ROUND((lagg.n_lines - lagg.n_distinct)
+                     / GREATEST(lagg.n_lines, 1)::DOUBLE, 6) AS dup_line_frac,
+               ROUND(COALESCE(top2.c * (length(top2.g) - 1), 0)
+                     / GREATEST(tchars.tok_chars, 1)::DOUBLE, 6) AS top_bigram_frac,
+               ROUND(COALESCE(top3.c * (length(top3.g) - 2), 0)
+                     / GREATEST(tchars.tok_chars, 1)::DOUBLE, 6) AS top_trigram_frac,
+               ROUND(COALESCE(d5.dup, 0)
+                     / GREATEST(COALESCE(d5.total, 0), 1)::DOUBLE, 6) AS dup_5gram_frac
+        FROM documents d
+        JOIN lagg USING (doc_id)
+        JOIN tchars USING (doc_id)
+        LEFT JOIN top2 ON top2.doc_id = d.doc_id AND top2.rn = 1
+        LEFT JOIN top3 ON top3.doc_id = d.doc_id AND top3.rn = 1
+        LEFT JOIN d5 ON d5.doc_id = d.doc_id
+        """
+
+    out["hot_ngrams"] = f"""
+        WITH {_TOKS},
+        g3 AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)]) AS g
+            FROM toks WHERE len(t) >= 3))
+        SELECT g AS gram, count(*)::BIGINT AS n_docs
+        FROM g3 GROUP BY g HAVING count(*) >= 4
+        """
 
     # multimodal metadata: dims are md5-derived, body is the utf-8 text
     out["multimodal_meta"] = """

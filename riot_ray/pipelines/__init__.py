@@ -8,8 +8,10 @@ event-time window operators (tumbling/sliding aggregates, sessionization).
 from .analysis import (
     extract_json_int,
     fingerprint,
+    hot_ngrams,
     lang_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from .dedup import (
@@ -42,6 +44,8 @@ __all__ = [
     "top_keys_per_window",
     "token_stats",
     "quality_score",
+    "repetition_stats",
+    "hot_ngrams",
     "lang_id",
     "fingerprint",
     "exact_dedup",

@@ -303,3 +303,172 @@ def extract_json_int(
         return pa.table(cols)
 
     return ds.map_batches(ex, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# repetition / boilerplate quality filters (Gopher-style; Rae et al. 2021)
+# --------------------------------------------------------------------------- #
+def _ngram_strings(flat: pa.Array, parents: np.ndarray, n: int):
+    """(gram strings as pa.Array, gram parent doc indices) for within-doc
+    token n-grams — vectorized: n shifted slices joined with ' ', rows kept
+    only where all n tokens share the parent doc."""
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    mask = parents[: m] == parents[n - 1 :]
+    parts = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    keep = pa.array(mask)
+    return grams.filter(keep), parents[:m][mask]
+
+
+def _pair_counts(strs: pa.Array, parents: np.ndarray):
+    """Per-(doc, string) occurrence counts.  Returns (docs, codes, counts,
+    dictionary) where dictionary[codes] are the unique strings."""
+    denc = pc.dictionary_encode(strs)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_uniq = max(len(denc.dictionary), 1)
+    key = parents * n_uniq + codes
+    uk, counts = np.unique(key, return_counts=True)
+    return uk // n_uniq, uk % n_uniq, counts, denc.dictionary
+
+
+def _top_gram_frac(flat, tparents, n, n_rows, tok_chars):
+    """Char fraction of each doc's most frequent n-gram (ties: lexicographic
+    smallest gram — matches SQL ``ORDER BY c DESC, g``): count * gram_token_chars
+    / doc token chars."""
+    grams, gparents = _ngram_strings(flat, tparents, n)
+    out = np.zeros(n_rows, np.float64)
+    if len(grams) == 0:
+        return out
+    docs, codes, counts, dictionary = _pair_counts(grams, gparents)
+    gram_strs = np.asarray(dictionary.to_pylist(), dtype=str)[codes]
+    # chars in the gram's tokens = len(gram) - (n-1) separators
+    glens = np.char.str_len(gram_strs) - (n - 1)
+    order = np.lexsort((gram_strs, -counts, docs))
+    first = np.unique(docs[order], return_index=True)[1]
+    top = order[first]
+    out[docs[top]] = counts[top] * glens[top] / np.maximum(tok_chars[docs[top]], 1)
+    return out
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-doc repetition metrics (the Gopher quality-filter family):
+
+    * ``n_lines`` / ``dup_line_frac`` — newline-split duplicate-line fraction
+    * ``top_bigram_frac`` / ``top_trigram_frac`` — char fraction of the most
+      frequent token 2-/3-gram (ties broken to the lexicographically
+      smallest gram, matching the SQL oracle)
+    * ``dup_5gram_frac`` — fraction of 5-gram occurrences whose gram occurs
+      more than once in the doc
+
+    All SQL-oracle-checkable (same token model as token_stats)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = batch.num_rows
+
+    # ---- line metrics (DuckDB string_split(text, chr(10)) keeps empties)
+    lines = pc.split_pattern(texts, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lflat = pc.list_flatten(lines)
+    lparents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n_lines = np.bincount(lparents, minlength=n_rows)
+    ldocs, _, _, _ = _pair_counts(lflat, lparents)
+    n_distinct = np.bincount(ldocs, minlength=n_rows)
+    dup_line_frac = (n_lines - n_distinct) / np.maximum(n_lines, 1)
+
+    # ---- token n-gram metrics
+    flat, tparents = _flatten_tokens(texts)
+    tlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    tok_chars = np.bincount(tparents, weights=tlens, minlength=n_rows)
+    top2 = _top_gram_frac(flat, tparents, 2, n_rows, tok_chars)
+    top3 = _top_gram_frac(flat, tparents, 3, n_rows, tok_chars)
+
+    grams5, gparents5 = _ngram_strings(flat, tparents, 5)
+    dup5 = np.zeros(n_rows, np.float64)
+    if len(grams5):
+        docs5, _, counts5, _ = _pair_counts(grams5, gparents5)
+        total5 = np.bincount(gparents5, minlength=n_rows)
+        dupocc = np.bincount(docs5, weights=np.where(counts5 > 1, counts5, 0),
+                             minlength=n_rows)
+        dup5 = dupocc / np.maximum(total5, 1)
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(round6(dup_line_frac), pa.float64()),
+            "top_bigram_frac": pa.array(round6(top2), pa.float64()),
+            "top_trigram_frac": pa.array(round6(top3), pa.float64()),
+            "dup_5gram_frac": pa.array(round6(dup5), pa.float64()),
+        }
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+def hot_ngrams(ds, n: int = 3, min_docs: int = 10, text_col: str = "text",
+               id_col: str = "doc_id", num_buckets: int = 32):
+    """Corpus-level boilerplate phrase detection: token n-grams appearing in
+    >= ``min_docs`` DISTINCT documents -> (gram, n_docs).
+
+    Scale shape: the map side emits each (doc, gram) pair ONCE (within-doc
+    dedup before the shuffle, so the reduce input is bounded by distinct
+    grams x docs, not occurrences), keyed by a hash bucket; each bucket
+    partition counts docs per gram vectorized.  One sort-shuffle on the
+    bucket key — the same fused plan the ngram-jaccard dedup uses."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, tparents = _flatten_tokens(texts)
+        grams, gparents = _ngram_strings(flat, tparents, n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        docs, codes, _, dictionary = _pair_counts(grams, gparents)
+        gram_strs = pa.array(dictionary.to_pylist(), pa.string()).take(
+            pa.array(codes, pa.int64()))
+        h = _token_hashes(gram_strs)
+        return pa.table(
+            {
+                "gram": gram_strs,
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32),
+                                   pa.int32()),
+            }
+        )
+
+    def count_group(part: pa.Table) -> pa.Table:
+        strs = part["gram"]
+        if isinstance(strs, pa.ChunkedArray):
+            strs = strs.combine_chunks()
+        denc = pc.dictionary_encode(strs)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes, minlength=len(denc.dictionary))
+        keep = counts >= min_docs
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "gram": denc.dictionary.take(pa.array(idx, pa.int64())),
+                "n_docs": pa.array(counts[idx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pyarrow")
+    )

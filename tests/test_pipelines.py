@@ -458,6 +458,117 @@ def test_simhash_pairs_sql_parity(docs_ds):
     assert got_pairs == exp_pairs
 
 
+def test_repetition_stats_matches_sql(docs_ds):
+    from riot_ray.pipelines import repetition_stats
+
+    got = (
+        repetition_stats(docs_ds.select_columns(["doc_id", "text"]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = _duck(
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+          FROM documents),
+        lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents),
+        lagg AS (
+          SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
+          FROM lines GROUP BY doc_id),
+        tchars AS (
+          SELECT doc_id,
+                 COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars
+          FROM toks),
+        g2 AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                      for i in range(1, len(t))]) AS g
+               FROM toks WHERE len(t) >= 2),
+        g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        top2 AS (SELECT doc_id, g, c, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2c),
+        g5 AS (SELECT doc_id,
+                      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                              t[i+3] || ' ' || t[i+4]
+                              for i in range(1, len(t) - 3)]) AS g
+               FROM toks WHERE len(t) >= 5),
+        g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        d5 AS (SELECT doc_id, sum(c) AS total,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+               FROM g5c GROUP BY doc_id)
+        SELECT d.doc_id,
+               lagg.n_lines::BIGINT AS n_lines,
+               ROUND((lagg.n_lines - lagg.n_distinct)
+                     / GREATEST(lagg.n_lines, 1)::DOUBLE, 6) AS dup_line_frac,
+               ROUND(COALESCE(top2.c * (length(top2.g) - 1), 0)
+                     / GREATEST(tchars.tok_chars, 1)::DOUBLE, 6) AS top_bigram_frac,
+               ROUND(COALESCE(d5.dup, 0)
+                     / GREATEST(COALESCE(d5.total, 0), 1)::DOUBLE, 6) AS dup_5gram_frac
+        FROM documents d
+        JOIN lagg USING (doc_id) JOIN tchars USING (doc_id)
+        LEFT JOIN top2 ON top2.doc_id = d.doc_id AND top2.rn = 1
+        LEFT JOIN d5 ON d5.doc_id = d.doc_id
+        ORDER BY doc_id
+        """
+    ).to_pandas().reset_index(drop=True)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    for c in ("n_lines", "dup_line_frac", "top_bigram_frac", "dup_5gram_frac"):
+        assert np.allclose(got[c].to_numpy(), exp[c].to_numpy(), atol=1e-9), c
+
+
+def test_repetition_stats_multiline_goldens(ray_session):
+    """Hand-computed line + n-gram metrics on a corpus WITH newlines (the
+    sf tables are single-line, so the line path needs its own fixture)."""
+    import ray.data as rd
+    from riot_ray.pipelines import repetition_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "aa bb\naa bb\ncc dd",       # 3 lines, 1 dup -> 1/3
+                    "x y z",                      # 1 line, no dups
+                    "p q\n\n\np q",               # 4 lines: "p q" x2 + "" x2 -> 2/4
+                ]
+            ),
+        }
+    )
+    got = (
+        repetition_stats(rd.from_arrow(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_lines"].tolist() == [3, 1, 4]
+    assert np.allclose(got["dup_line_frac"], [1 / 3, 0.0, 0.5], atol=1e-6)
+    # doc 0: top bigram "aa bb" count 2, chars 4; tok_chars = 12
+    assert abs(got["top_bigram_frac"][0] - round(2 * 4 / 12, 6)) < 1e-9
+
+
+def test_hot_ngrams_matches_sql(docs_ds):
+    from riot_ray.pipelines import hot_ngrams
+
+    got = (
+        hot_ngrams(docs_ds.select_columns(["doc_id", "text"]), n=3, min_docs=3)
+        .to_pandas().sort_values("gram").reset_index(drop=True)
+    )
+    exp = _duck(
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+          FROM documents),
+        g3 AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)]) AS g
+            FROM toks WHERE len(t) >= 3))
+        SELECT g AS gram, count(*)::BIGINT AS n_docs
+        FROM g3 GROUP BY g HAVING count(*) >= 3 ORDER BY gram
+        """
+    ).to_pandas().reset_index(drop=True)
+    assert got["gram"].tolist() == exp["gram"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+
+
 def test_ngram_jaccard_hot_shingle_filter(ray_session):
     """Shingles above max_group are removed from the UNIVERSE (sizes and
     pair counts together) so surfaced pairs keep exact jaccard over the

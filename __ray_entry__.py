@@ -277,6 +277,26 @@ def _q_hot_ngrams(sf_dir: str):
     return ds.select_columns(["gram", "n_docs"])
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli sample (content-stable id-hash filter) —
+    reproducible at any cluster size; pure map-side, no shuffle."""
+    from riot_ray.pipelines import hash_sample
+
+    ds = hash_sample(_docs(sf_dir).select_columns(["doc_id", "source"]),
+                     frac=0.25, seed=7)
+    return ds.select_columns(["doc_id", "source"])
+
+
+def _q_stratified_cap(sf_dir: str):
+    """Per-source cap (smallest id-hashes win): equalizes over-represented
+    sources via bounded map-side partials + a broadcast winner filter."""
+    from riot_ray.pipelines import stratified_cap
+
+    ds = stratified_cap(_docs(sf_dir).select_columns(["doc_id", "source"]),
+                        key_col="source", max_per_key=15, seed=7)
+    return ds.select_columns(["doc_id", "source"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from riot_ray.pipelines import exact_dedup
 
@@ -529,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "repetition_stats": _q_repetition,
         "hot_ngrams": _q_hot_ngrams,
+        "hash_sample": _q_hash_sample,
+        "stratified_cap": _q_stratified_cap,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_clusters": _q_dedup_clusters,
@@ -1005,6 +1027,22 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN top2 ON top2.doc_id = d.doc_id AND top2.rn = 1
         LEFT JOIN top3 ON top3.doc_id = d.doc_id AND top3.rn = 1
         LEFT JOIN d5 ON d5.doc_id = d.doc_id
+        """
+
+    # deterministic sampling: id-hash = first 8 md5 bytes of "{id}#{seed}"
+    # (the same DuckDB-reproducible scheme as _token_hashes)
+    _cut = int(0.25 * float(2**64))  # same float path as hash_sample
+    out["hash_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
+              < {_cut}::UBIGINT
+        """
+    out["stratified_cap"] = """
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT,
+                     doc_id) <= 15
         """
 
     out["hot_ngrams"] = f"""

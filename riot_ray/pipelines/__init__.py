@@ -25,6 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from .sampling import hash_sample, stratified_cap
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
 from .simsearch import knn_brute, knn_ivf, knn_lsh
 from .windows import (
@@ -46,6 +47,8 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "hot_ngrams",
+    "hash_sample",
+    "stratified_cap",
     "lang_id",
     "fingerprint",
     "exact_dedup",

@@ -1,0 +1,120 @@
+"""Deterministic sampling operators for training-data curation.
+
+Both operators key off a stable 64-bit hash (first 8 md5 bytes of
+``"{id}#{seed}"`` — the same DuckDB-reproducible scheme as
+``analysis._token_hashes``) so results are reproducible across runs,
+cluster sizes, and partitionings, and SQL-oracle-checkable:
+
+* ``hash_sample`` — Bernoulli sampling as a pure per-batch filter: keep a
+  row iff ``h64 < frac * 2^64``.  No shuffle, no state; at 100 TB this is
+  the only sampling shape that doesn't move data.
+* ``stratified_cap`` — at most ``max_per_key`` rows per key (e.g. per
+  source/domain), chosen as the rows with the smallest hashes.  Scale
+  shape: map-side partial top-N per key per batch (bounded), one small
+  groupby over the partials, then the winner-id set broadcast back as a
+  filter — the full corpus never shuffles, only (#keys x max_per_key x
+  #batches) partial rows do.  The winner set must fit the object store
+  (#keys x max_per_key ids); that is the operator's documented partitioning
+  assumption — cap selection at billions of keys should switch to a
+  hash-join filter instead of a broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+TWO64 = float(2**64)
+
+
+def _id_hashes(ids: np.ndarray, seed: int) -> np.ndarray:
+    """u64 = first 8 md5 bytes of "{id}#{seed}", big-endian — DuckDB:
+    ``('0x' || substr(md5(id::VARCHAR || '#<seed>'), 1, 16))::UBIGINT``."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"{i}#{seed}".encode()).hexdigest()[:16], 16)
+            for i in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def hash_sample(ds, frac: float, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic Bernoulli sample: keep rows whose id-hash falls below
+    ``frac`` of the 64-bit space.  Content-stable: the same id survives in
+    every run and at every cluster size."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(frac)
+    cut = np.uint64(min(int(frac * TWO64), 2**64 - 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _id_hashes(ids, seed)
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_cap(
+    ds,
+    key_col: str = "source",
+    max_per_key: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Keep at most ``max_per_key`` rows per key — the rows with the
+    smallest id-hashes (ties impossible: md5 of distinct ids).  Equalizes
+    over-represented sources/domains without a full shuffle."""
+    import ray
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        """Per-batch, per-key N smallest (hash, id) — bounded output."""
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _id_hashes(ids, seed)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kenc = keys.dictionary_encode()
+        if isinstance(kenc, pa.ChunkedArray):
+            kenc = kenc.combine_chunks()
+        codes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, codes))
+        # rank within key run
+        c_sorted = codes[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(c_sorted)) + 1]
+        rank = np.arange(len(order)) - np.repeat(starts, np.diff(np.r_[starts, len(order)]))
+        sel = order[rank < max_per_key]
+        return pa.table(
+            {
+                "key": keys.take(pa.array(sel, pa.int64())),
+                "id": pa.array(ids[sel], batch[id_col].type),
+                "h": pa.array(h[sel], pa.uint64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topn, batch_format="pyarrow")
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")[:max_per_key]
+        return pa.table({"id": group["id"].take(pa.array(order, pa.int64()))})
+
+    winners = (
+        partials.groupby("key").map_groups(final_topn, batch_format="pyarrow")
+    )
+    ids = winners.to_pandas()["id"].to_numpy()
+    keep_ref = ray.put(np.sort(ids))
+
+    def filter_rows(batch: pa.Table) -> pa.Table:
+        keep_sorted = ray.get(keep_ref)
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(keep_sorted) == 0:
+            return batch.filter(pa.array(np.zeros(len(ids_b), bool)))
+        pos = np.minimum(np.searchsorted(keep_sorted, ids_b), len(keep_sorted) - 1)
+        mask = keep_sorted[pos] == ids_b
+        return batch.filter(pa.array(np.asarray(mask, bool)))
+
+    return ds.map_batches(filter_rows, batch_format="pyarrow")

@@ -569,6 +569,56 @@ def test_hot_ngrams_matches_sql(docs_ds):
     assert got["n_docs"].tolist() == exp["n_docs"].tolist()
 
 
+def test_hash_sample_matches_sql(docs_ds):
+    from riot_ray.pipelines import hash_sample
+
+    got = (
+        hash_sample(docs_ds.select_columns(["doc_id", "source"]), frac=0.25, seed=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cut = int(0.25 * float(2**64))
+    exp = _duck(
+        f"""
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
+              < {cut}::UBIGINT
+        ORDER BY doc_id
+        """
+    ).to_pandas().reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # sample fraction lands near frac
+    n_docs = docs_ds.count()
+    assert 0.1 < len(got) / n_docs < 0.4
+
+
+def test_stratified_cap_matches_sql(docs_ds):
+    from riot_ray.pipelines import stratified_cap
+
+    got = (
+        stratified_cap(docs_ds.select_columns(["doc_id", "source"]),
+                       key_col="source", max_per_key=20, seed=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = _duck(
+        """
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT,
+                     doc_id) <= 20
+        ORDER BY doc_id
+        """
+    ).to_pandas().reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got.groupby("source").size().max() <= 20
+    # keys smaller than the cap keep every row
+    full = docs_ds.to_pandas().groupby("source").size()
+    kept = got.groupby("source").size()
+    for k, n in full.items():
+        if n <= 20:
+            assert kept.get(k, 0) == n, k
+
+
 def test_ngram_jaccard_hot_shingle_filter(ray_session):
     """Shingles above max_group are removed from the UNIVERSE (sizes and
     pair counts together) so surfaced pairs keep exact jaccard over the

@@ -297,6 +297,18 @@ def _q_stratified_cap(sf_dir: str):
     return ds.select_columns(["doc_id", "source"])
 
 
+def _q_token_budget(sf_dir: str):
+    """Exact corpus token-budget cut in id-hash order ("first N tokens"):
+    bucket-histogram pass + single-crossing-bucket resolution — no global
+    sort, no driver-side per-doc state beyond one bucket."""
+    from riot_ray.pipelines import token_budget_sample
+
+    ds = token_budget_sample(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), budget=4000, seed=7
+    )
+    return ds.select_columns(["doc_id"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from riot_ray.pipelines import exact_dedup
 
@@ -551,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
+        "token_budget_sample": _q_token_budget,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_clusters": _q_dedup_clusters,
@@ -1043,6 +1056,20 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY source
             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT,
                      doc_id) <= 15
+        """
+
+    out["token_budget_sample"] = f"""
+        WITH {_TOKS},
+        m AS (
+          SELECT doc_id, len(t)::BIGINT AS n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT AS h
+          FROM toks),
+        c AS (
+          SELECT doc_id,
+                 SUM(n) OVER (ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM m)
+        SELECT doc_id FROM c WHERE cum <= 4000
         """
 
     out["hot_ngrams"] = f"""

@@ -25,7 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .sampling import hash_sample, stratified_cap
+from .sampling import hash_sample, stratified_cap, token_budget_sample
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
 from .simsearch import knn_brute, knn_ivf, knn_lsh
 from .windows import (
@@ -49,6 +49,7 @@ __all__ = [
     "hot_ngrams",
     "hash_sample",
     "stratified_cap",
+    "token_budget_sample",
     "lang_id",
     "fingerprint",
     "exact_dedup",

@@ -8,6 +8,10 @@ cluster sizes, and partitionings, and SQL-oracle-checkable:
 * ``hash_sample`` — Bernoulli sampling as a pure per-batch filter: keep a
   row iff ``h64 < frac * 2^64``.  No shuffle, no state; at 100 TB this is
   the only sampling shape that doesn't move data.
+* ``token_budget_sample`` — keep docs in hash order until a corpus-level
+  token budget is reached ("give me exactly N tokens"), computed exactly
+  without a global sort: per-bucket token sums on the hash's top bits, the
+  driver resolves only the single crossing bucket.
 * ``stratified_cap`` — at most ``max_per_key`` rows per key (e.g. per
   source/domain), chosen as the rows with the smallest hashes.  Scale
   shape: map-side partial top-N per key per batch (bounded), one small
@@ -116,5 +120,100 @@ def stratified_cap(
         pos = np.minimum(np.searchsorted(keep_sorted, ids_b), len(keep_sorted) - 1)
         mask = keep_sorted[pos] == ids_b
         return batch.filter(pa.array(np.asarray(mask, bool)))
+
+    return ds.map_batches(filter_rows, batch_format="pyarrow")
+
+
+def token_budget_sample(
+    ds,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    bucket_bits: int = 16,
+):
+    """Keep documents in id-hash order until the cumulative word-token count
+    reaches ``budget`` — "give me exactly N tokens of this corpus",
+    deterministic and cluster-size-independent.  A doc is kept iff the
+    cumulative token count up to AND INCLUDING it (ordered by (hash, id))
+    is <= budget; SQL: ``SUM(n) OVER (ORDER BY h, doc_id) <= budget``.
+
+    Exact WITHOUT a global sort: buckets = the hash's TOP ``bucket_bits``
+    bits, so bucket order == hash order.  Pass 1 aggregates per-bucket
+    token sums (<= 2^bucket_bits tiny rows); the driver prefix-sums them to
+    find the single crossing bucket, then resolves only THAT bucket's docs
+    (corpus/2^bucket_bits rows) exactly.  Pass 2 filters: bucket below the
+    crossing one -> keep, crossing bucket -> keep the resolved winner ids.
+    Token model = analysis.token_stats "n_tokens" (SQL-checkable)."""
+    import ray
+
+    from .analysis import _flatten_tokens
+
+    shift = np.uint64(64 - bucket_bits)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, parents = _flatten_tokens(texts)
+        n = np.bincount(parents, minlength=len(ids)).astype(np.int64)
+        h = _id_hashes(ids, seed)
+        return pa.table(
+            {
+                "id": pa.array(ids, batch[id_col].type),
+                "h": pa.array(h, pa.uint64()),
+                "n": pa.array(n, pa.int64()),
+                "bucket": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n": pa.array(sums, pa.int64())})
+
+    # one row per doc (id, hash, token count, bucket) — materialized so the
+    # histogram pass and the crossing-bucket fetch don't re-tokenize the
+    # corpus; ~32 B/doc, spills to the object store if needed
+    meta = ds.map_batches(doc_rows, batch_format="pyarrow").materialize()
+
+    parts = meta.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby("bucket")["n"].sum().sort_index()
+    cum = hist.cumsum()
+    over = cum[cum > budget]
+    if len(over) == 0:
+        return ds  # budget covers the whole corpus
+    cross = int(over.index[0])
+    cum_before = int(cum.loc[cross] - hist.loc[cross])
+
+    # resolve the crossing bucket exactly (corpus / 2^bucket_bits rows)
+    def pick_cross(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b == cross))
+
+    bdf = (
+        meta.map_batches(pick_cross, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["h", "id"])
+    )
+    within = cum_before + bdf["n"].cumsum()
+    winners = np.sort(bdf.loc[within <= budget, "id"].to_numpy())
+    winners_ref = ray.put(winners)
+
+    def filter_rows(batch: pa.Table) -> pa.Table:
+        win = ray.get(winners_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _id_hashes(ids, seed)
+        b = (h >> shift).astype(np.int64)
+        mask = b < cross
+        in_cross = b == cross
+        if in_cross.any() and len(win):
+            pos = np.minimum(np.searchsorted(win, ids[in_cross]), len(win) - 1)
+            mask[in_cross] = win[pos] == ids[in_cross]
+        return batch.filter(pa.array(mask))
 
     return ds.map_batches(filter_rows, batch_format="pyarrow")

@@ -619,6 +619,49 @@ def test_stratified_cap_matches_sql(docs_ds):
             assert kept.get(k, 0) == n, k
 
 
+def test_token_budget_sample_matches_sql(docs_ds):
+    from riot_ray.pipelines import token_budget_sample
+
+    total = _duck(
+        """
+        SELECT sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')))::BIGINT AS n
+        FROM documents
+        """
+    ).to_pandas()["n"][0]
+    budget = int(total) // 3
+    got = sorted(
+        token_budget_sample(docs_ds.select_columns(["doc_id", "text"]),
+                            budget=budget, seed=7)
+        .to_pandas()["doc_id"].tolist()
+    )
+    exp = sorted(
+        _duck(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> '') AS t
+              FROM documents),
+            m AS (
+              SELECT doc_id, len(t)::BIGINT AS n,
+                     ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT AS h
+              FROM toks),
+            c AS (SELECT doc_id,
+                         SUM(n) OVER (ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM m)
+            SELECT doc_id FROM c WHERE cum <= {budget}
+            """
+        ).to_pandas()["doc_id"].tolist()
+    )
+    assert got == exp
+    assert 0 < len(got) < docs_ds.count()
+    # budget covering everything keeps everything
+    all_ds = token_budget_sample(docs_ds.select_columns(["doc_id", "text"]),
+                                 budget=int(total) + 1, seed=7)
+    assert all_ds.count() == docs_ds.count()
+
+
 def test_ngram_jaccard_hot_shingle_filter(ray_session):
     """Shingles above max_group are removed from the UNIVERSE (sizes and
     pair counts together) so surfaced pairs keep exact jaccard over the

@@ -309,6 +309,35 @@ def _q_token_budget(sf_dir: str):
     return ds.select_columns(["doc_id"])
 
 
+def _q_enrich_events(sf_dir: str):
+    """Dimension-table enrichment: events joined to the customer table via
+    one ray.put broadcast + vectorized per-batch lookup (no shuffle)."""
+    import pyarrow.parquet as pq
+
+    from riot_ray.pipelines import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    ds = broadcast_join(_events(sf_dir), cust, "user_id", "c_custkey",
+                        payload={"c_name": "c_name", "c_mktsegment": "c_mktsegment"})
+    return ds.select_columns(["event_id", "user_id", "c_name", "c_mktsegment"])
+
+
+def _q_enrich_events_hashjoin(sf_dir: str):
+    """Same join via the distributed sort-shuffle hash join (the
+    both-sides-large path) — must equal the broadcast result."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import hash_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    ds = hash_join(_events(sf_dir).select_columns(["event_id", "user_id"]),
+                   cust, "user_id", "c_custkey",
+                   payload={"c_name": "c_name", "c_mktsegment": "c_mktsegment"})
+    return ds.select_columns(["event_id", "user_id", "c_name", "c_mktsegment"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from riot_ray.pipelines import exact_dedup
 
@@ -564,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
         "token_budget_sample": _q_token_budget,
+        "enrich_events": _q_enrich_events,
+        "enrich_events_hashjoin": _q_enrich_events_hashjoin,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_clusters": _q_dedup_clusters,
@@ -1071,6 +1102,12 @@ def oracle_sql() -> dict[str, str]:
           FROM m)
         SELECT doc_id FROM c WHERE cum <= 4000
         """
+
+    out["enrich_events"] = """
+        SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """
+    out["enrich_events_hashjoin"] = out["enrich_events"]
 
     out["hot_ngrams"] = f"""
         WITH {_TOKS},

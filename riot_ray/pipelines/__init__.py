@@ -25,6 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from .joins import broadcast_join, hash_join
 from .sampling import hash_sample, stratified_cap, token_budget_sample
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
 from .simsearch import knn_brute, knn_ivf, knn_lsh
@@ -50,6 +51,8 @@ __all__ = [
     "hash_sample",
     "stratified_cap",
     "token_budget_sample",
+    "broadcast_join",
+    "hash_join",
     "lang_id",
     "fingerprint",
     "exact_dedup",

@@ -662,6 +662,68 @@ def test_token_budget_sample_matches_sql(docs_ds):
     assert all_ds.count() == docs_ds.count()
 
 
+def test_broadcast_join_matches_sql(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from riot_ray.pipelines import broadcast_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    got = (
+        broadcast_join(ev, cust, "user_id", "c_custkey")
+        .select_columns(["event_id", "user_id", "c_name"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    exp = _duck(
+        f"""
+        SELECT e.event_id, e.user_id, c.c_name
+        FROM events e
+        JOIN read_parquet('{SF}/customer.parquet') c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+        """
+    ).to_pandas().reset_index(drop=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["c_name"].tolist() == exp["c_name"].tolist()
+
+
+def test_hash_join_equals_broadcast(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from riot_ray.pipelines import broadcast_join, hash_join
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").select_columns(
+        ["event_id", "user_id"])
+    cust_t = pq.read_table(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust_ds = rd.read_parquet(f"{SF}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    a = (broadcast_join(ev, cust_t, "user_id", "c_custkey")
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    b = (hash_join(ev, cust_ds, "user_id", "c_custkey")
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert a["event_id"].tolist() == b["event_id"].tolist()
+    assert a["c_mktsegment"].tolist() == b["c_mktsegment"].tolist()
+
+
+def test_broadcast_join_left_nulls(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import broadcast_join
+
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64())}))
+    dim = pa.table({"k": pa.array([2, 4], pa.int64()),
+                    "v": pa.array(["b", "d"])})
+    out = (broadcast_join(big, dim, "k", "k", how="left")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["v"].tolist() == [None, "b", None, "d"]
+    inner = (broadcast_join(big, dim, "k", "k", how="inner")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    assert inner["k"].tolist() == [2, 4]
+
+
 def test_ngram_jaccard_hot_shingle_filter(ray_session):
     """Shingles above max_group are removed from the UNIVERSE (sizes and
     pair counts together) so surfaced pairs keep exact jaccard over the

@@ -25,6 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from .checkpoint import checkpointed_write, read_checkpointed
 from .joins import broadcast_join, hash_join
 from .sampling import hash_sample, stratified_cap, token_budget_sample
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
@@ -53,6 +54,8 @@ __all__ = [
     "token_budget_sample",
     "broadcast_join",
     "hash_join",
+    "checkpointed_write",
+    "read_checkpointed",
     "lang_id",
     "fingerprint",
     "exact_dedup",

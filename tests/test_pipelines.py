@@ -724,6 +724,55 @@ def test_broadcast_join_left_nulls(ray_session):
     assert inner["k"].tolist() == [2, 4]
 
 
+def test_checkpointed_write_resume(ray_session, tmp_path):
+    import glob
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from riot_ray.pipelines import checkpointed_write, read_checkpointed
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet").select_columns(
+        ["doc_id", "source"])
+    out = str(tmp_path / "ckpt")
+    s1 = checkpointed_write(docs, out, fingerprint="fp1",
+                            partition_col="doc_id", num_partitions=8)
+    assert s1["parts_written"] == 8 and s1["parts_skipped"] == 0
+    assert s1["n_rows"] == docs.count()
+    back = read_checkpointed(out).to_pandas()
+    assert sorted(back["doc_id"]) == sorted(docs.to_pandas()["doc_id"])
+
+    # same fingerprint -> every part skipped, output identical
+    s2 = checkpointed_write(docs, out, fingerprint="fp1",
+                            partition_col="doc_id", num_partitions=8)
+    assert s2["parts_written"] == 0 and s2["parts_skipped"] == 8
+
+    # simulate a crash: delete one committed part, plant a stale tmp dir
+    victim = sorted(glob.glob(os.path.join(out, "part=0000[0-9]")))[0]
+    stale = victim + ".tmp-deadbeef"
+    shutil.copytree(victim, stale)
+    shutil.rmtree(victim)
+    assert read_checkpointed(out).count() < docs.count()  # tmp not readable
+    s3 = checkpointed_write(docs, out, fingerprint="fp1",
+                            partition_col="doc_id", num_partitions=8)
+    assert s3["parts_written"] == 1 and s3["parts_skipped"] == 7
+    assert read_checkpointed(out).count() == docs.count()
+
+    # changed fingerprint -> full rewrite
+    s4 = checkpointed_write(docs, out, fingerprint="fp2",
+                            partition_col="doc_id", num_partitions=8)
+    assert s4["parts_written"] == 8
+    committed = sorted(
+        glob.glob(os.path.join(out, "part=" + "[0-9]" * 5, "manifest.json")))
+    assert len(committed) == 8
+    for mp in committed:
+        assert json.load(open(mp))["fingerprint"] == "fp2"
+    # the planted stale tmp dir was swept when its partition rewrote
+    assert glob.glob(os.path.join(out, "*.tmp-deadbeef")) == []
+
+
 def test_ngram_jaccard_hot_shingle_filter(ray_session):
     """Shingles above max_group are removed from the UNIVERSE (sizes and
     pair counts together) so surfaced pairs keep exact jaccard over the

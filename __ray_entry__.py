@@ -441,7 +441,11 @@ def _q_dedup_simhash(sf_dir: str):
     SQL (see oracle_sql)."""
     from riot_ray.pipelines import simhash_pairs
 
-    return simhash_pairs(_docs(sf_dir), max_hamming=6)
+    # cap high enough to never trigger at oracle scales: _PairEmit drops
+    # whole blocking groups above max_group, which would silently diverge
+    # from the brute-force SQL (same precedent as _q_dedup_ngram; the
+    # scale-safe default stays for pipeline users)
+    return simhash_pairs(_docs(sf_dir), max_hamming=6, max_group=1_000_000)
 
 
 def _q_lang_id(sf_dir: str):

@@ -365,10 +365,13 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     * ``dup_5gram_frac`` — fraction of 5-gram occurrences whose gram occurs
       more than once in the doc
 
-    All SQL-oracle-checkable (same token model as token_stats)."""
+    All SQL-oracle-checkable (same token model as token_stats; null text is
+    treated as "" — a SQL oracle that must match null-bearing corpora needs
+    COALESCE(text, ''))."""
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
     n_rows = batch.num_rows
 
     # ---- line metrics (DuckDB string_split(text, chr(10)) keeps empties)
@@ -438,8 +441,7 @@ def hot_ngrams(ds, n: int = 3, min_docs: int = 10, text_col: str = "text",
             return pa.table({"gram": pa.array([], pa.string()),
                              "bucket": pa.array([], pa.int32())})
         docs, codes, _, dictionary = _pair_counts(grams, gparents)
-        gram_strs = pa.array(dictionary.to_pylist(), pa.string()).take(
-            pa.array(codes, pa.int64()))
+        gram_strs = dictionary.take(pa.array(codes, pa.int64()))
         h = _token_hashes(gram_strs)
         return pa.table(
             {

@@ -34,9 +34,12 @@ MANIFEST = "manifest.json"
 class _PartWriter:
     """Group fn: one hash partition -> part=K/data.parquet + manifest."""
 
-    def __init__(self, out_dir: str, fingerprint: str):
+    def __init__(self, out_dir: str, fingerprint: str, num_partitions: int,
+                 seed: int):
         self.out_dir = out_dir
         self.fingerprint = fingerprint
+        self.num_partitions = num_partitions
+        self.seed = seed
         self.__name__ = "PartWriter"
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -48,7 +51,14 @@ class _PartWriter:
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
-            if m.get("fingerprint") == self.fingerprint:
+            # a skip is only valid if the PARTITIONING matches too — the
+            # same input hashed over a different partition count or seed
+            # assigns different rows to this part id
+            if (
+                m.get("fingerprint") == self.fingerprint
+                and m.get("num_partitions") == self.num_partitions
+                and m.get("seed") == self.seed
+            ):
                 return self._row(part, m["n_rows"], m["bytes"], True, t0)
         # sweep stale tmp dirs a crashed run left for THIS partition
         import glob as _glob
@@ -65,6 +75,8 @@ class _PartWriter:
                 {
                     "part": part,
                     "fingerprint": self.fingerprint,
+                    "num_partitions": self.num_partitions,
+                    "seed": self.seed,
                     "n_rows": data.num_rows,
                     "bytes": nbytes,
                 },
@@ -101,6 +113,11 @@ def checkpointed_write(
     commit + manifest.  ``fingerprint`` identifies the INPUT (source path +
     mtime, an options hash, ...) — same fingerprint skips committed parts,
     different one rewrites.  Returns a summary dict."""
+    if not 1 <= num_partitions <= 99_999:
+        raise ValueError(
+            f"num_partitions={num_partitions}: the part=NNNNN layout is "
+            "5-digit; shard the OUTPUT DIRECTORY before the partition count"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -114,9 +131,35 @@ def checkpointed_write(
     rows = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(_PartWriter(out_dir, fingerprint), batch_format="pyarrow")
+        .map_groups(_PartWriter(out_dir, fingerprint, num_partitions, seed),
+                    batch_format="pyarrow")
         .to_pandas()
     )
+
+    # sweep FOREIGN committed partitions: a previous run with a different
+    # fingerprint or partition count leaves part dirs this run never
+    # touched; without the sweep read_checkpointed would mix its rows into
+    # the new output (exactly-once violation).  Kept dirs must carry this
+    # run's fingerprint AND a part id below this run's partition count.
+    import glob
+    import shutil
+
+    for pdir in glob.glob(os.path.join(out_dir, "part=" + "[0-9]" * 5)):
+        mpath = os.path.join(pdir, MANIFEST)
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+            foreign = (
+                m.get("fingerprint") != fingerprint
+                or m.get("num_partitions") != num_partitions
+                or m.get("seed") != seed
+                or int(m.get("part", -1)) >= num_partitions
+            )
+        except (OSError, ValueError):
+            foreign = True  # unreadable manifest: not a committed partition
+        if foreign:
+            shutil.rmtree(pdir, ignore_errors=True)
+
     return {
         "parts_written": int((~rows["skipped"]).sum()),
         "parts_skipped": int(rows["skipped"].sum()),

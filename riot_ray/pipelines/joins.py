@@ -71,14 +71,11 @@ def broadcast_join(
     ref = ray.put((keys_sorted, cols))
 
     def join_batch(batch: pa.Table) -> pa.Table:
+        from .sampling import lookup_sorted
+
         keys_s, payload_cols = ray.get(ref)
         lk = batch[left_on].to_numpy(zero_copy_only=False)
-        if len(keys_s) == 0:
-            pos = np.zeros(len(lk), np.int64)
-            hit = np.zeros(len(lk), bool)
-        else:
-            pos = np.minimum(np.searchsorted(keys_s, lk), len(keys_s) - 1)
-            hit = keys_s[pos] == lk
+        pos, hit = lookup_sorted(keys_s, lk)
         if how == "inner":
             sel = np.flatnonzero(hit)
             out = batch.filter(pa.array(hit))
@@ -86,14 +83,13 @@ def broadcast_join(
             for name, col in payload_cols.items():
                 out = out.append_column(name, col.take(idx))
             return out
-        # left: null payload where missed
+        # left: null payload where missed (take indices use None, not a
+        # clamped 0, so an EMPTY dimension table yields all-null columns
+        # instead of an out-of-bounds take)
         out = batch
-        miss = pa.array(~hit)
+        idx = pa.array(pos, pa.int64(), mask=~hit)  # null index -> null value
         for name, col in payload_cols.items():
-            taken = col.take(pa.array(np.where(hit, pos, 0), pa.int64()))
-            out = out.append_column(
-                name, pa.compute.if_else(miss, pa.scalar(None, col.type), taken)
-            )
+            out = out.append_column(name, col.take(idx))
         return out
 
     return big.map_batches(join_batch, batch_format="pyarrow")
@@ -106,15 +102,28 @@ def hash_join(
     right_on: str,
     payload: dict[str, str] | None = None,
     num_partitions: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Distributed inner hash-join for two large Datasets (right unique on
     its key).  One sort-shuffle over the tagged union of both sides; only
-    (key, payload) columns of the right side move."""
+    (key, payload) columns of the right side move.
+
+    Pass ``left_schema``/``right_schema`` when the datasets are lazy
+    transformed pipelines — ``Dataset.schema()`` on an unexecuted plan runs
+    it once just to peek a row; each schema here is probed AT MOST once and
+    forwarded so the underlying join never re-probes."""
     from .dedup import _hash_join, _join_parts
 
-    if payload is None:
+    if right_schema is None:
         rs = right.schema()
-        payload = {c: c for c in rs.names if c != right_on}
+        right_schema = pa.schema(list(zip(rs.names, rs.types)))
+    if payload is None:
+        payload = {c: c for c in right_schema.names if c != right_on}
+    if left_schema is None:
+        ls = left.schema()
+        left_schema = pa.schema(list(zip(ls.names, ls.types)))
     return _hash_join(
-        left, right, left_on, right_on, payload, _join_parts(num_partitions)
+        left, right, left_on, right_on, payload, _join_parts(num_partitions),
+        left_schema=left_schema, right_schema=right_schema,
     )

@@ -69,6 +69,7 @@ def media_from_docs(ds, text_col: str = "text", id_col: str = "doc_id"):
         texts = batch[text_col].to_pylist()
         payloads = []
         for t in texts:
+            t = t or ""  # null text -> empty body (md5 of "" is defined)
             d = hashlib.md5(t.encode()).hexdigest()
             w = int(d[:4], 16) % 57 + 8
             h = int(d[4:8], 16) % 57 + 8

@@ -33,6 +33,16 @@ import pyarrow as pa
 TWO64 = float(2**64)
 
 
+def lookup_sorted(sorted_arr: np.ndarray, x: np.ndarray):
+    """(positions, hit mask) of ``x`` in a sorted unique array — the one
+    shared implementation of the clamped-searchsorted membership idiom
+    (empty-array safe; misses point at position 0 with hit=False)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(x), np.int64), np.zeros(len(x), bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, x), len(sorted_arr) - 1)
+    return pos, sorted_arr[pos] == x
+
+
 def _id_hashes(ids: np.ndarray, seed: int) -> np.ndarray:
     """u64 = first 8 md5 bytes of "{id}#{seed}", big-endian — DuckDB:
     ``('0x' || substr(md5(id::VARCHAR || '#<seed>'), 1, 16))::UBIGINT``."""
@@ -115,10 +125,7 @@ def stratified_cap(
     def filter_rows(batch: pa.Table) -> pa.Table:
         keep_sorted = ray.get(keep_ref)
         ids_b = batch[id_col].to_numpy(zero_copy_only=False)
-        if len(keep_sorted) == 0:
-            return batch.filter(pa.array(np.zeros(len(ids_b), bool)))
-        pos = np.minimum(np.searchsorted(keep_sorted, ids_b), len(keep_sorted) - 1)
-        mask = keep_sorted[pos] == ids_b
+        _, mask = lookup_sorted(keep_sorted, ids_b)
         return batch.filter(pa.array(np.asarray(mask, bool)))
 
     return ds.map_batches(filter_rows, batch_format="pyarrow")
@@ -211,9 +218,9 @@ def token_budget_sample(
         b = (h >> shift).astype(np.int64)
         mask = b < cross
         in_cross = b == cross
-        if in_cross.any() and len(win):
-            pos = np.minimum(np.searchsorted(win, ids[in_cross]), len(win) - 1)
-            mask[in_cross] = win[pos] == ids[in_cross]
+        if in_cross.any():
+            _, hit = lookup_sorted(win, ids[in_cross])
+            mask[in_cross] = hit
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(filter_rows, batch_format="pyarrow")

@@ -723,6 +723,13 @@ def test_broadcast_join_left_nulls(ray_session):
              .to_pandas().sort_values("k").reset_index(drop=True))
     assert inner["k"].tolist() == [2, 4]
 
+    # EMPTY dimension table: left keeps everything with null payload,
+    # inner drops everything — neither crashes
+    empty = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    l = broadcast_join(big, empty, "k", "k", how="left").to_pandas()
+    assert len(l) == 4 and l["v"].isna().all()
+    assert broadcast_join(big, empty, "k", "k", how="inner").count() == 0
+
 
 def test_checkpointed_write_resume(ray_session, tmp_path):
     import glob
@@ -771,6 +778,21 @@ def test_checkpointed_write_resume(ray_session, tmp_path):
         assert json.load(open(mp))["fingerprint"] == "fp2"
     # the planted stale tmp dir was swept when its partition rewrote
     assert glob.glob(os.path.join(out, "*.tmp-deadbeef")) == []
+
+    # same fingerprint, DIFFERENT partition count: everything rewrites
+    # (row->part assignment changed) and old part dirs are swept — no
+    # duplicate rows on read
+    s5 = checkpointed_write(docs, out, fingerprint="fp2",
+                            partition_col="doc_id", num_partitions=4)
+    assert s5["parts_written"] == 4 and s5["parts_skipped"] == 0
+    assert read_checkpointed(out).count() == docs.count()
+    assert len(glob.glob(os.path.join(out, "part=" + "[0-9]" * 5))) == 4
+
+    # shrinking back up also leaves exactly-once output
+    s6 = checkpointed_write(docs, out, fingerprint="fp2",
+                            partition_col="doc_id", num_partitions=16)
+    assert s6["parts_written"] > 0 and s6["parts_skipped"] == 0
+    assert read_checkpointed(out).count() == docs.count()
 
 
 def test_ngram_jaccard_hot_shingle_filter(ray_session):

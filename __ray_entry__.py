@@ -492,6 +492,27 @@ def _q_knn_ivf_full(sf_dir: str):
     return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
 
 
+def _q_knn_ivf_persisted(sf_dir: str):
+    """Persisted list-partitioned IVF index (read-pruned scans), queried
+    with every list probed — must equal brute cosine top-k, so it shares
+    knn_cosine_topk's SQL oracle.  The index build resumes via the
+    checkpoint writer (same source => parts skipped)."""
+    from riot_ray.pipelines import build_ivf_index, knn_ivf_query
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    idx = os.path.join(
+        _CACHE_ROOT,
+        f"ivf-{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{hashlib.sha256(fp.encode()).hexdigest()[:12]}",
+    )
+    build_ivf_index(_emb(sf_dir), idx, fingerprint=fp, n_lists=16, seed=42)
+    Q, qids = _query_vectors(sf_dir)
+    t = knn_ivf_query(idx, Q, qids, k=K, nprobe=16)
+    return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Binary media column plumbing made oracle-checkable: documents wrapped
     as fake payloads with md5-derived dims, decoded by the actor-pool stage;
@@ -612,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_topk": _q_knn_lsh,
         "knn_ivf_topk": _q_knn_ivf,
         "knn_ivf_full": _q_knn_ivf_full,
+        "knn_ivf_persisted": _q_knn_ivf_persisted,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,
@@ -1019,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
 
     # IVF with every list probed scans the whole corpus => exactly brute
     out["knn_ivf_full"] = out["knn_cosine_topk"]
+    out["knn_ivf_persisted"] = out["knn_cosine_topk"]
 
     # repetition filters: lines via string_split(chr(10)); n-grams via the
     # same token model as _TOKS; top-gram ties broken (count desc, gram asc)

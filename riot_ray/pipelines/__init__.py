@@ -29,7 +29,7 @@ from .checkpoint import checkpointed_write, read_checkpointed
 from .joins import broadcast_join, hash_join
 from .sampling import hash_sample, stratified_cap, token_budget_sample
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
-from .simsearch import knn_brute, knn_ivf, knn_lsh
+from .simsearch import build_ivf_index, knn_brute, knn_ivf, knn_ivf_query, knn_lsh
 from .windows import (
     asof_attribution,
     sessionize,
@@ -69,6 +69,8 @@ __all__ = [
     "embedding_dup_pairs_lsh",
     "knn_brute",
     "knn_ivf",
+    "build_ivf_index",
+    "knn_ivf_query",
     "knn_lsh",
     "decode_media",
     "resize_media",

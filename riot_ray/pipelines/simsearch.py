@@ -20,6 +20,8 @@ cosine rounded to 6dp, ties broken by vec_id ascending (deterministic).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -306,6 +308,170 @@ def knn_lsh(
         )
 
     partials = ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()
+    tbl = pa.concat_tables(ray.get(partials))
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
+        )
+    return _topk_table(
+        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
+        k,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# persisted IVF index (read-pruned scans)
+# --------------------------------------------------------------------------- #
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    fingerprint: str = "",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    sample_n: int = 4096,
+    seed: int = 42,
+    train_iters: int = 10,
+) -> dict:
+    """Persist the IVF layout knn_ivf's docstring prescribes for cluster
+    scale: the corpus written LIST-PARTITIONED (one ``part=K`` dir per
+    inverted list, atomic tmp+rename commit via the checkpoint writer) plus
+    ``meta.json`` holding the trained centroids.  Queries then read ONLY
+    their probed lists — pruning at the READ, not post-scan.
+
+    Same trainer as :func:`knn_ivf` (spherical k-means on a bounded
+    driver-side sample), so an in-memory and a persisted index built with
+    the same (ds, seed, sample_n) agree exactly."""
+    import json as _json
+
+    import ray
+
+    from .checkpoint import _PartWriter
+
+    sample = ds.select_columns([vec_col]).limit(sample_n).take_all()
+    X = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
+    C = _spherical_kmeans(X, n_lists, seed, train_iters)
+    n_lists = len(C)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g_C = ray.get(cref)
+        V = _normalize(
+            np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        lists = np.argmax(V @ g_C.T, axis=1).astype(np.int32)
+        out = batch.append_column("list_id", pa.array(lists, pa.int32()))
+        return out.append_column("__part", pa.array(lists, pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_PartWriter(out_dir, fingerprint, n_lists, seed),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "n_lists": int(n_lists),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "fingerprint": fingerprint,
+        "centroids": C.tolist(),
+    }
+    tmp = os.path.join(out_dir, f"meta.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return {
+        "n_lists": int(n_lists),
+        "n_rows": int(rows["n_rows"].sum()),
+        "out_dir": out_dir,
+    }
+
+
+def knn_ivf_query(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+):
+    """Query a persisted IVF index: only the union of the queries' probed
+    list partitions is READ (the other partitions' bytes never leave
+    storage — this is the point of the layout).  ``nprobe >= n_lists``
+    reproduces brute force exactly."""
+    import glob
+    import json as _json
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    n_lists, vec_col, id_col = meta["n_lists"], meta["vec_col"], meta["id_col"]
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    nprobe = min(nprobe, n_lists)
+    qsims = Q @ C.T
+    probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qids), n_lists), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    needed = sorted(int(l) for l in np.unique(probe))
+
+    files = [
+        f
+        for l in needed
+        for f in glob.glob(os.path.join(index_dir, f"part={l:05d}", "data.parquet"))
+    ]
+    if not files:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
+        )
+    bref = ray.put((qids, Q, probe_mask))
+
+    def local(batch: pa.Table) -> pa.Table:
+        g_qids, g_Q, g_mask = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _normalize(
+            np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        cand_mask = g_mask[:, lists]
+        if not cand_mask.any():
+            return _empty_partials()
+        sims = g_Q @ V.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(g_qids):
+            cand = np.flatnonzero(cand_mask[qi])
+            if cand.size == 0:
+                continue
+            s = sims[qi, cand]
+            kk = min(k, cand.size)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_v.append(ids[cand[part]])
+            out_s.append(s[part])
+        if not out_q:
+            return _empty_partials()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_raw": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(files, columns=[id_col, vec_col, "list_id"])
+        .map_batches(local, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
     tbl = pa.concat_tables(ray.get(partials))
     if tbl.num_rows == 0:
         return pa.table(

@@ -365,6 +365,52 @@ def test_knn_ivf_recall(emb_ds):
 
 
 # ---------------------------------------------------------------------------- #
+def test_ivf_persisted_index(emb_ds, tmp_path):
+    """build_ivf_index + knn_ivf_query: full probe == brute, partial probe
+    == the in-memory knn_ivf (same trainer/seed), and unprobed partitions
+    are genuinely never read (delete one -> partial query unaffected)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from riot_ray.pipelines import build_ivf_index, knn_brute, knn_ivf, knn_ivf_query
+
+    rows = emb_ds.take(5)
+    Q = np.stack([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+
+    idx = str(tmp_path / "ivf")
+    st = build_ivf_index(emb_ds, idx, fingerprint="t", n_lists=8, seed=42)
+    assert st["n_rows"] == emb_ds.count()
+
+    full = knn_ivf_query(idx, Q, qids, k=8, nprobe=8).to_pandas()
+    brute = knn_brute(emb_ds, Q, qids, k=8).to_pandas()
+    assert full[["query_id", "vec_id", "rank"]].values.tolist() == \
+        brute[["query_id", "vec_id", "rank"]].values.tolist()
+
+    part = knn_ivf_query(idx, Q, qids, k=8, nprobe=3).to_pandas()
+    mem = knn_ivf(emb_ds, Q, qids, k=8, n_lists=8, nprobe=3, seed=42).to_pandas()
+    assert part[["query_id", "vec_id"]].values.tolist() == \
+        mem[["query_id", "vec_id"]].values.tolist()
+
+    # read pruning: removing a partition NO query probes at nprobe=3 must
+    # not change the result (its bytes were never read)
+    probed = set()
+    import json
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    C = np.asarray(meta["centroids"])
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    for qi in range(len(qids)):
+        probed |= set(np.argsort(-(qn[qi] @ C.T))[:3].tolist())
+    unprobed = [l for l in range(meta["n_lists"]) if l not in probed]
+    if unprobed:
+        shutil.rmtree(os.path.join(idx, f"part={unprobed[0]:05d}"))
+        again = knn_ivf_query(idx, Q, qids, k=8, nprobe=3).to_pandas()
+        assert again[["query_id", "vec_id"]].values.tolist() == \
+            part[["query_id", "vec_id"]].values.tolist()
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from riot_ray.pipelines import decode_media, make_fake_media, resize_media

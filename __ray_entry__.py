@@ -277,6 +277,16 @@ def _q_hot_ngrams(sf_dir: str):
     return ds.select_columns(["gram", "n_docs"])
 
 
+def _q_hll_tokens(sf_dir: str):
+    """HyperLogLog distinct-token estimate (p=12).  The md5 value hash and
+    exact integer bit-length make the ESTIMATE bit-reproducible in SQL —
+    an approximate sketch with an exact-match oracle."""
+    from riot_ray.pipelines import hll_count
+
+    return hll_count(_docs(sf_dir).select_columns(["text"]), col="text",
+                     p=12, seed=7, tokens=True)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic Bernoulli sample (content-stable id-hash filter) —
     reproducible at any cluster size; pure map-side, no shuffle."""
@@ -618,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
         "token_budget_sample": _q_token_budget,
+        "hll_distinct_tokens": _q_hll_tokens,
         "enrich_events": _q_enrich_events,
         "enrich_events_hashjoin": _q_enrich_events_hashjoin,
         "dedup_exact": _q_dedup_exact,
@@ -1128,6 +1139,32 @@ def oracle_sql() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING) AS cum
           FROM m)
         SELECT doc_id FROM c WHERE cum <= 4000
+        """
+
+    # HyperLogLog: the full sketch (md5 hash -> bucket/rho registers ->
+    # bias-corrected estimate + linear counting) recomputed in SQL; exact
+    # integer bit-length via bin()/ltrim, so the estimate matches bit-wise
+    out["hll_distinct_tokens"] = f"""
+        WITH {_TOKS},
+        flat AS (SELECT unnest(t) AS v FROM toks),
+        h AS (SELECT ('0x' || substr(md5(v || '#7'), 1, 16))::UBIGINT AS h
+              FROM flat),
+        b AS (SELECT (h >> 52)::BIGINT AS bucket,
+                     h & ((1::UBIGINT << 52) - 1::UBIGINT) AS w FROM h),
+        r AS (SELECT bucket,
+                     CASE WHEN w = 0 THEN 53
+                          ELSE 52 - length(ltrim(bin(w), '0')) + 1 END AS rho
+              FROM b),
+        mx AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+        agg AS (SELECT sum(power(2.0, -rho)) + (4096 - count(*)) AS s,
+                       count(*) AS nb FROM mx),
+        est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 / s AS e,
+                       nb FROM agg)
+        SELECT CASE WHEN e <= 2.5 * 4096 AND nb < 4096
+                    THEN CAST(FLOOR(4096 * ln(4096.0 / (4096 - nb)) + 0.5) AS BIGINT)
+                    ELSE CAST(FLOOR(e + 0.5) AS BIGINT) END AS estimate,
+               12::BIGINT AS p
+        FROM est
         """
 
     out["enrich_events"] = """

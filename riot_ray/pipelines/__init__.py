@@ -8,6 +8,7 @@ event-time window operators (tumbling/sliding aggregates, sessionization).
 from .analysis import (
     extract_json_int,
     fingerprint,
+    hll_count,
     hot_ngrams,
     lang_id,
     quality_score,
@@ -49,6 +50,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "hot_ngrams",
+    "hll_count",
     "hash_sample",
     "stratified_cap",
     "token_budget_sample",

@@ -474,3 +474,85 @@ def hot_ngrams(ds, n: int = 3, min_docs: int = 10, text_col: str = "text",
         .groupby("bucket")
         .map_groups(count_group, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------- #
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007)
+# --------------------------------------------------------------------------- #
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float, no rounding)."""
+    bl = np.zeros(len(w), np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        w[big] >>= np.uint64(shift)
+    bl[w > 0] += 1
+    return bl
+
+
+def hll_count(ds, col: str = "doc_id", p: int = 12, seed: int = 0,
+              tokens: bool = False):
+    """Approximate COUNT(DISTINCT col) via a HyperLogLog sketch.
+
+    Scale shape: each batch reduces to <= 2^p (bucket, max rho) rows; a
+    single tiny groupby-max merges them; only 2^p registers ever reach the
+    driver — the classic sketch answer to distinct-counting 10^12 values.
+
+    The value hash is the md5 scheme (``"{v}#{seed}"`` -> first 8 md5
+    bytes) and rho uses exact integer bit-length, so the ESTIMATE ITSELF is
+    bit-reproducible in DuckDB SQL (bin()/ltrim for the bit length) — an
+    approximate operator with an exact-match oracle.  Standard
+    bias-corrected formula + small-range linear counting; 64-bit hashes
+    make the large-range correction unnecessary.
+
+    ``tokens=True`` sketches the distinct word tokens of a text column
+    instead of the column values (duplicates never change register maxima,
+    so no pre-dedup is needed on either side)."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    wbits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if tokens:
+            flat, _ = _flatten_tokens(
+                batch[col].combine_chunks()
+                if isinstance(batch[col], pa.ChunkedArray) else batch[col])
+            vals = flat.to_numpy(zero_copy_only=False)
+        else:
+            vals = batch[col].to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        from .sampling import _id_hashes
+
+        h = _id_hashes(vals, seed)
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & np.uint64((1 << wbits) - 1)
+        rho = np.where(w == 0, wbits + 1, wbits - _bit_length_u64(w) + 1)
+        # per-batch register max (bounded output)
+        order = np.lexsort((-rho, bucket))
+        first = np.unique(bucket[order], return_index=True)[1]
+        sel = order[first]
+        return pa.table({"bucket": pa.array(bucket[sel], pa.int64()),
+                         "rho": pa.array(rho[sel], pa.int64())})
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    nb = len(regs)
+    s = float(np.sum(np.power(2.0, -regs["rho"].to_numpy()))) + (m - nb)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and nb < m:
+        est = m * np.log(m / (m - nb))
+    return pa.table(
+        {
+            "estimate": pa.array([int(np.floor(est + 0.5))], pa.int64()),
+            "p": pa.array([p], pa.int64()),
+        }
+    )

@@ -615,6 +615,30 @@ def test_hot_ngrams_matches_sql(docs_ds):
     assert got["n_docs"].tolist() == exp["n_docs"].tolist()
 
 
+def test_hll_sql_parity(docs_ds):
+    """The HLL estimate itself (not just its inputs) matches the DuckDB
+    re-derivation bit-for-bit at sf0.001."""
+    import __ray_entry__ as em
+
+    got = em.queries()["hll_distinct_tokens"](SF).to_pandas()
+    exp = _duck(em.oracle_sql()["hll_distinct_tokens"]).to_pandas()
+    assert got["estimate"].tolist() == exp["estimate"].tolist()
+
+
+def test_hll_accuracy_large_universe(ray_session):
+    """p=12 => ~1.6% standard error; pin 5% on a 20k-distinct universe
+    (each value duplicated — duplicates must not move the estimate)."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import hll_count
+
+    n = 20_000
+    vals = [f"value-{i:06d}" for i in range(n)] * 2
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+    est = hll_count(ds, col="v", p=12, seed=3)["estimate"][0].as_py()
+    assert abs(est / n - 1.0) < 0.05, est
+
+
 def test_hash_sample_matches_sql(docs_ds):
     from riot_ray.pipelines import hash_sample
 

@@ -136,11 +136,25 @@ def checkpointed_write(
         .to_pandas()
     )
 
-    # sweep FOREIGN committed partitions: a previous run with a different
-    # fingerprint or partition count leaves part dirs this run never
-    # touched; without the sweep read_checkpointed would mix its rows into
-    # the new output (exactly-once violation).  Kept dirs must carry this
-    # run's fingerprint AND a part id below this run's partition count.
+    sweep_foreign_parts(out_dir, fingerprint, num_partitions, seed)
+
+    return {
+        "parts_written": int((~rows["skipped"]).sum()),
+        "parts_skipped": int(rows["skipped"].sum()),
+        "n_rows": int(rows["n_rows"].sum()),
+        "bytes": int(rows["bytes"].sum()),
+        "out_dir": out_dir,
+    }
+
+
+def sweep_foreign_parts(out_dir: str, fingerprint: str, num_partitions: int,
+                        seed: int) -> None:
+    """Remove FOREIGN committed partitions: a previous run with a different
+    fingerprint, partition count, or seed leaves part dirs the current run
+    never touched; without the sweep a reader would mix their rows into the
+    new output (exactly-once violation).  Kept dirs must carry the current
+    run's fingerprint/partitioning AND a part id below its partition
+    count.  Shared by checkpointed_write and build_ivf_index."""
     import glob
     import shutil
 
@@ -159,14 +173,6 @@ def checkpointed_write(
             foreign = True  # unreadable manifest: not a committed partition
         if foreign:
             shutil.rmtree(pdir, ignore_errors=True)
-
-    return {
-        "parts_written": int((~rows["skipped"]).sum()),
-        "parts_skipped": int(rows["skipped"].sum()),
-        "n_rows": int(rows["n_rows"].sum()),
-        "bytes": int(rows["bytes"].sum()),
-        "out_dir": out_dir,
-    }
 
 
 def read_checkpointed(out_dir: str):

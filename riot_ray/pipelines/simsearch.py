@@ -374,6 +374,12 @@ def build_ivf_index(
                     batch_format="pyarrow")
         .to_pandas()
     )
+    from .checkpoint import sweep_foreign_parts
+
+    # a rebuild over a CHANGED corpus can leave a list empty this run; its
+    # stale partition from the previous corpus must not be readable
+    sweep_foreign_parts(out_dir, fingerprint, n_lists, seed)
+
     meta = {
         "n_lists": int(n_lists),
         "vec_col": vec_col,

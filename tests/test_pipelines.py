@@ -411,6 +411,28 @@ def test_ivf_persisted_index(emb_ds, tmp_path):
             part[["query_id", "vec_id"]].values.tolist()
 
 
+def test_ivf_rebuild_sweeps_stale_lists(emb_ds, tmp_path):
+    """Rebuilding the same index dir from a smaller corpus must never serve
+    vectors from the previous corpus, even for lists the new corpus leaves
+    empty (foreign-partition sweep)."""
+    import numpy as np
+
+    from riot_ray.pipelines import build_ivf_index, knn_ivf_query
+
+    idx = str(tmp_path / "ivf2")
+    build_ivf_index(emb_ds, idx, fingerprint="big", n_lists=8, seed=42)
+
+    small = emb_ds.limit(20)
+    small_ids = set(r["vec_id"] for r in small.take_all())
+    build_ivf_index(small, idx, fingerprint="small", n_lists=8, seed=42)
+
+    rows = emb_ds.take(3)
+    Q = np.stack([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    out = knn_ivf_query(idx, Q, qids, k=10, nprobe=8).to_pandas()
+    assert set(out["vec_id"]) <= small_ids
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from riot_ray.pipelines import decode_media, make_fake_media, resize_media

@@ -348,6 +348,29 @@ def _q_enrich_events_hashjoin(sf_dir: str):
     return ds.select_columns(["event_id", "user_id", "c_name", "c_mktsegment"])
 
 
+def _q_contamination(sf_dir: str):
+    """Train/test decontamination: corpus docs whose trigram CONTAINMENT of
+    a benchmark doc (a reproducible 25% id-hash sample standing in for the
+    test set) reaches 0.5.  Benchmark side broadcast as a CSR gram index;
+    the corpus streams — no shuffle."""
+    import pyarrow.parquet as pq
+
+    from riot_ray.pipelines import contamination
+
+    bench_cut = int(0.25 * float(2**64))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return contamination(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        bench=t.filter(pa.array([
+            int(hashlib.md5(f"{i}#13".encode()).hexdigest()[:16], 16) < bench_cut
+            for i in ids
+        ])),
+        n=3, threshold=0.5,
+    )
+
+
 def _q_dedup_exact(sf_dir: str):
     from riot_ray.pipelines import exact_dedup
 
@@ -629,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_cap": _q_stratified_cap,
         "token_budget_sample": _q_token_budget,
         "hll_distinct_tokens": _q_hll_tokens,
+        "contamination": _q_contamination,
         "enrich_events": _q_enrich_events,
         "enrich_events_hashjoin": _q_enrich_events_hashjoin,
         "dedup_exact": _q_dedup_exact,
@@ -1165,6 +1189,31 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(FLOOR(e + 0.5) AS BIGINT) END AS estimate,
                12::BIGINT AS p
         FROM est
+        """
+
+    _bcut = int(0.25 * float(2**64))
+    out["contamination"] = f"""
+        WITH {_TOKS},
+        g AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)]) AS g
+            FROM toks WHERE len(t) >= 3)),
+        bench AS (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#13'), 1, 16))::UBIGINT
+                < {_bcut}::UBIGINT),
+        bg AS (SELECT doc_id AS b_id, g FROM g
+               WHERE doc_id IN (SELECT doc_id FROM bench)),
+        bs AS (SELECT b_id, count(*) AS nb FROM bg GROUP BY b_id),
+        inter AS (
+          SELECT a.doc_id, bg.b_id, count(*) AS c
+          FROM g a JOIN bg ON a.g = bg.g AND a.doc_id != bg.b_id
+          GROUP BY 1, 2)
+        SELECT doc_id, b_id AS bench_id,
+               ROUND(c / bs.nb::DOUBLE, 6) AS overlap_frac
+        FROM inter JOIN bs USING (b_id)
+        WHERE c / bs.nb::DOUBLE >= 0.5
         """
 
     out["enrich_events"] = """

@@ -16,6 +16,7 @@ from .analysis import (
     token_stats,
 )
 from .dedup import (
+    contamination,
     dedup_clusters,
     dedup_filter,
     embedding_dup_pairs,
@@ -64,6 +65,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_filter",
     "ngram_jaccard_pairs",
+    "contamination",
     "minhash_lsh_exact_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -1350,3 +1350,106 @@ def embedding_dup_pairs_lsh(
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# benchmark decontamination (train/test n-gram overlap)
+# --------------------------------------------------------------------------- #
+def contamination(
+    ds,
+    bench: pa.Table,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+):
+    """Find corpus docs contaminated by a benchmark/test set: rows
+    ``(doc_id, bench_id, overlap_frac)`` where overlap_frac = |distinct
+    n-grams(doc) ∩ n-grams(bench doc)| / |n-grams(bench doc)| — the
+    CONTAINMENT of the benchmark doc, the standard train/test-leak check —
+    is >= ``threshold`` (and doc != bench doc).
+
+    Scale shape: the benchmark side is small by nature (a test set), so its
+    gram->doc index ships once as a CSR broadcast (sorted 64-bit gram
+    hashes + offsets); the corpus STREAMS through one vectorized
+    ``map_batches`` scan — no shuffle, no pair blow-up beyond actual hits.
+    Use a distributed shingle join (the ngram_jaccard plan) if the
+    "benchmark" ever stops fitting a broadcast."""
+    import ray
+
+    from .analysis import _ngram_strings, _pair_counts, round6
+
+    b_text = bench_text_col or text_col
+    b_id = bench_id_col or id_col
+
+    texts = bench[b_text]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents = _flatten_tokens(texts)
+    grams, gparents = _ngram_strings(flat, parents, n)
+    bids_all = bench[b_id].to_numpy(zero_copy_only=False)
+    if len(grams) == 0:
+        empty = _empty_pairs(("overlap_frac", pa.float64()))
+        empty = empty.rename_columns([id_col, "bench_id", "overlap_frac"])
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    bdocs_row, codes, _, dictionary = _pair_counts(grams, gparents)
+    # one row per distinct (bench doc, gram); CSR over SORTED gram hash
+    ghash = _token_hashes(dictionary)[codes]
+    bsizes = np.bincount(bdocs_row, minlength=len(bids_all)).astype(np.int64)
+    order = np.argsort(ghash, kind="stable")
+    gh_sorted = ghash[order]
+    bdoc_sorted = bdocs_row[order].astype(np.int64)
+    uniq_h, starts = np.unique(gh_sorted, return_index=True)
+    ends = np.r_[starts[1:], len(gh_sorted)]
+    bref = ray.put((uniq_h, starts, ends, bdoc_sorted, bsizes, bids_all))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        g_uniq, g_st, g_en, g_bdoc, g_bsz, g_bids = ray.get(bref)
+        a_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        fl, par = _flatten_tokens(t)
+        gr, gp = _ngram_strings(fl, par, n)
+        out_schema = {
+            id_col: pa.array([], pa.int64()),
+            "bench_id": pa.array([], pa.int64()),
+            "overlap_frac": pa.array([], pa.float64()),
+        }
+        if len(gr) == 0:
+            return pa.table(out_schema)
+        arow, acode, _, adict = _pair_counts(gr, gp)
+        ah = _token_hashes(adict)[acode]
+        pos = np.minimum(np.searchsorted(g_uniq, ah), len(g_uniq) - 1)
+        hit = g_uniq[pos] == ah
+        if not hit.any():
+            return pa.table(out_schema)
+        arow_h, pos_h = arow[hit], pos[hit]
+        # expand each hit gram to every bench doc containing it (CSR gather)
+        cnt = g_en[pos_h] - g_st[pos_h]
+        total = int(cnt.sum())
+        gidx = np.repeat(g_st[pos_h], cnt) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        pair_a = np.repeat(arow_h, cnt)
+        pair_b = g_bdoc[gidx]
+        key = pair_a * np.int64(len(g_bsz)) + pair_b
+        uk, shared = np.unique(key, return_counts=True)
+        ua = (uk // len(g_bsz)).astype(np.int64)
+        ub = (uk % len(g_bsz)).astype(np.int64)
+        frac = shared / np.maximum(g_bsz[ub], 1)
+        keep = (frac >= threshold) & (a_ids[ua] != g_bids[ub])
+        return pa.table(
+            {
+                id_col: pa.array(a_ids[ua[keep]], pa.int64()),
+                "bench_id": pa.array(g_bids[ub[keep]], pa.int64()),
+                "overlap_frac": pa.array(round6(frac[keep]), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

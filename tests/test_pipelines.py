@@ -637,6 +637,60 @@ def test_hot_ngrams_matches_sql(docs_ds):
     assert got["n_docs"].tolist() == exp["n_docs"].tolist()
 
 
+def test_contamination_matches_sql(docs_ds):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    got = (em.queries()["contamination"](SF).to_pandas()
+           .sort_values(["doc_id", "bench_id"]).reset_index(drop=True))
+    exp = (_duck(em.oracle_sql()["contamination"]).to_pandas()
+           .sort_values(["doc_id", "bench_id"]).reset_index(drop=True))
+    assert got[["doc_id", "bench_id"]].values.tolist() == \
+        exp[["doc_id", "bench_id"]].values.tolist()
+    assert np.allclose(got["overlap_frac"], exp["overlap_frac"], atol=1e-9)
+
+
+def test_contamination_planted(ray_session):
+    """A corpus doc embedding a benchmark doc verbatim has containment 1;
+    unrelated docs never surface."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import contamination
+
+    bench = pa.table(
+        {
+            "doc_id": pa.array([100, 101], pa.int64()),
+            "text": pa.array(
+                ["secret eval question about rare penguins swimming north",
+                 "another held out prompt nobody should train on ever"]
+            ),
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # doc 1 contains bench 100 verbatim inside more text
+                    "intro words secret eval question about rare penguins "
+                    "swimming north closing words",
+                    "completely unrelated content about databases and joins",
+                    # doc 3 shares half of bench 101's trigrams
+                    "another held out prompt nobody writes",
+                ]
+            ),
+        }
+    )
+    out = (contamination(rd.from_arrow(corpus), bench, n=3, threshold=0.5)
+           .to_pandas().sort_values(["doc_id", "bench_id"]))
+    hits = set(zip(out.doc_id, out.bench_id))
+    assert (1, 100) in hits
+    assert not any(a == 2 for a, _ in hits)
+    row = out[(out.doc_id == 1) & (out.bench_id == 100)]
+    assert float(row["overlap_frac"].iloc[0]) == 1.0
+
+
 def test_hll_sql_parity(docs_ds):
     """The HLL estimate itself (not just its inputs) matches the DuckDB
     re-derivation bit-for-bit at sf0.001."""

@@ -277,6 +277,16 @@ def _q_hot_ngrams(sf_dir: str):
     return ds.select_columns(["gram", "n_docs"])
 
 
+def _q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of doc lengths (no global sort: min/max
+    pass + value histogram + crossing-bucket fetch) — DuckDB quantile_disc
+    semantics, so the oracle is exact."""
+    from riot_ray.pipelines import exact_quantiles
+
+    ds = _docs(sf_dir).select_columns(["n_chars"])
+    return exact_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_hll_tokens(sf_dir: str):
     """HyperLogLog distinct-token estimate (p=12).  The md5 value hash and
     exact integer bit-length make the ESTIMATE bit-reproducible in SQL —
@@ -652,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_cap": _q_stratified_cap,
         "token_budget_sample": _q_token_budget,
         "hll_distinct_tokens": _q_hll_tokens,
+        "quantiles_nchars": _q_quantiles,
         "contamination": _q_contamination,
         "enrich_events": _q_enrich_events,
         "enrich_events_hashjoin": _q_enrich_events_hashjoin,
@@ -1190,6 +1201,12 @@ def oracle_sql() -> dict[str, str]:
                12::BIGINT AS p
         FROM est
         """
+
+    out["quantiles_nchars"] = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(n_chars, {q})::BIGINT AS value "
+        "FROM documents"
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+    )
 
     _bcut = int(0.25 * float(2**64))
     out["contamination"] = f"""

@@ -6,6 +6,7 @@ event-time window operators (tumbling/sliding aggregates, sessionization).
 """
 
 from .analysis import (
+    exact_quantiles,
     extract_json_int,
     fingerprint,
     hll_count,
@@ -52,6 +53,7 @@ __all__ = [
     "repetition_stats",
     "hot_ngrams",
     "hll_count",
+    "exact_quantiles",
     "hash_sample",
     "stratified_cap",
     "token_budget_sample",

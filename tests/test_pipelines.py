@@ -691,6 +691,49 @@ def test_contamination_planted(ray_session):
     assert float(row["overlap_frac"].iloc[0]) == 1.0
 
 
+def test_exact_quantiles_wide_range(ray_session):
+    """Fetch path (bucket width > 1): wide-range ints with a heavy cluster;
+    every quantile matches DuckDB quantile_disc exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from riot_ray.pipelines import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        rng.integers(0, 2**40, size=30_000),
+        np.full(5_000, 123_456_789_000),  # heavy repeated value
+    ])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = exact_quantiles(ds, "x", qs=(0.1, 0.5, 0.9, 0.999)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals, pa.int64())}))
+    for q in (0.1, 0.5, 0.9, 0.999):
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert int(got.loc[got["q"] == q, "value"].iloc[0]) == want, q
+
+
+def test_exact_quantiles_narrow_and_constant(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from riot_ray.pipelines import exact_quantiles
+
+    # width-1 fast path (small integer range)
+    vals = np.repeat(np.arange(50), 7)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = exact_quantiles(ds, "x", qs=(0.25, 0.5, 0.75)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals, pa.int64())}))
+    for q in (0.25, 0.5, 0.75):
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert int(got.loc[got["q"] == q, "value"].iloc[0]) == want, q
+    # constant column short-circuits
+    const = rd.from_arrow(pa.table({"x": pa.array([7] * 100, pa.int64())}))
+    g = exact_quantiles(const, "x", qs=(0.5,)).to_pandas()
+    assert g["value"].tolist() == [7]
+
+
 def test_hll_sql_parity(docs_ds):
     """The HLL estimate itself (not just its inputs) matches the DuckDB
     re-derivation bit-for-bit at sf0.001."""

@@ -367,16 +367,15 @@ def _q_contamination(sf_dir: str):
 
     from riot_ray.pipelines import contamination
 
-    bench_cut = int(0.25 * float(2**64))
+    from riot_ray.pipelines.sampling import _id_hashes
+
+    bench_cut = np.uint64(int(0.25 * float(2**64)))
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id", "text"])
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     return contamination(
         _docs(sf_dir).select_columns(["doc_id", "text"]),
-        bench=t.filter(pa.array([
-            int(hashlib.md5(f"{i}#13".encode()).hexdigest()[:16], 16) < bench_cut
-            for i in ids
-        ])),
+        bench=t.filter(pa.array(_id_hashes(ids, 13) < bench_cut)),
         n=3, threshold=0.5,
     )
 

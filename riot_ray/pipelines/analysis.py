@@ -601,11 +601,18 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
         return pa.table({"q": pa.array(list(qs), pa.float64()),
                          "value": pa.array([mn] * len(qs), pa.int64())})
 
-    width = (mx - mn) // num_buckets + 1
+    width = (mx - mn) // num_buckets + 1  # Python ints: never overflows
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        # wrap-safe difference: (v - mn) can exceed int64 range when the
+        # column spans more than 2^63; two's-complement subtraction viewed
+        # as uint64 gives the true distance (0 <= d < 2^64) exactly
+        d = (v.astype(np.int64) - np.int64(mn)).view(np.uint64)
+        return (d // np.uint64(width)).astype(np.int64)
 
     def hist(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False)
-        b = (v - mn) // width
+        b = bucket_of(v)
         ub, cnt = np.unique(b, return_counts=True)
         return pa.table({"bucket": pa.array(ub, pa.int64()),
                          "n": pa.array(cnt, pa.int64())})
@@ -628,7 +635,7 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
 
         def pick(batch: pa.Table) -> pa.Table:
             v = batch[col].to_numpy(zero_copy_only=False)
-            b = (v - mn) // width
+            b = bucket_of(v)
             from .sampling import lookup_sorted
 
             _, hit = lookup_sorted(fset, b)

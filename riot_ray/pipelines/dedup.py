@@ -1422,10 +1422,11 @@ def contamination(
         }
         if len(gr) == 0:
             return pa.table(out_schema)
+        from .sampling import lookup_sorted
+
         arow, acode, _, adict = _pair_counts(gr, gp)
         ah = _token_hashes(adict)[acode]
-        pos = np.minimum(np.searchsorted(g_uniq, ah), len(g_uniq) - 1)
-        hit = g_uniq[pos] == ah
+        pos, hit = lookup_sorted(g_uniq, ah)
         if not hit.any():
             return pa.table(out_schema)
         arow_h, pos_h = arow[hit], pos[hit]

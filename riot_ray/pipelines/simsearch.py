@@ -345,11 +345,41 @@ def build_ivf_index(
     Same trainer as :func:`knn_ivf` (spherical k-means on a bounded
     driver-side sample), so an in-memory and a persisted index built with
     the same (ds, seed, sample_n) agree exactly."""
+    import glob as _glob
     import json as _json
 
     import ray
 
-    from .checkpoint import _PartWriter
+    from .checkpoint import MANIFEST, _PartWriter
+
+    # the EFFECTIVE fingerprint folds every trainer knob in: a rebuild with
+    # different sample_n/train_iters/n_lists must invalidate the partitions
+    # (their list_id assignments came from differently-trained centroids),
+    # not just meta.json
+    eff_fp = (
+        f"{fingerprint}|ivf:nl={n_lists}:sn={sample_n}:ti={train_iters}:sd={seed}"
+    )
+
+    # early-exit: if meta and EVERY committed partition already carry this
+    # effective fingerprint, the index is current — skip the corpus pass
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                old = _json.load(f)
+            if old.get("fingerprint") == eff_fp:
+                manifests = _glob.glob(
+                    os.path.join(out_dir, "part=" + "[0-9]" * 5, MANIFEST))
+                ok = all(
+                    _json.load(open(m)).get("fingerprint") == eff_fp
+                    for m in manifests
+                )
+                if ok and manifests:
+                    return {"n_lists": old["n_lists"],
+                            "n_rows": None, "out_dir": out_dir,
+                            "skipped": True}
+        except (OSError, ValueError):
+            pass  # unreadable state: rebuild
 
     sample = ds.select_columns([vec_col]).limit(sample_n).take_all()
     X = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
@@ -370,7 +400,7 @@ def build_ivf_index(
     rows = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(_PartWriter(out_dir, fingerprint, n_lists, seed),
+        .map_groups(_PartWriter(out_dir, eff_fp, n_lists, seed),
                     batch_format="pyarrow")
         .to_pandas()
     )
@@ -378,13 +408,13 @@ def build_ivf_index(
 
     # a rebuild over a CHANGED corpus can leave a list empty this run; its
     # stale partition from the previous corpus must not be readable
-    sweep_foreign_parts(out_dir, fingerprint, n_lists, seed)
+    sweep_foreign_parts(out_dir, eff_fp, n_lists, seed)
 
     meta = {
         "n_lists": int(n_lists),
         "vec_col": vec_col,
         "id_col": id_col,
-        "fingerprint": fingerprint,
+        "fingerprint": eff_fp,
         "centroids": C.tolist(),
     }
     tmp = os.path.join(out_dir, f"meta.json.tmp-{os.getpid()}")
@@ -409,7 +439,6 @@ def knn_ivf_query(
     list partitions is READ (the other partitions' bytes never leave
     storage — this is the point of the layout).  ``nprobe >= n_lists``
     reproduces brute force exactly."""
-    import glob
     import json as _json
 
     import ray
@@ -429,11 +458,29 @@ def knn_ivf_query(
     np.put_along_axis(probe_mask, probe, True, axis=1)
     needed = sorted(int(l) for l in np.unique(probe))
 
-    files = [
-        f
-        for l in needed
-        for f in glob.glob(os.path.join(index_dir, f"part={l:05d}", "data.parquet"))
-    ]
+    files = []
+    for l in needed:
+        pdir = os.path.join(index_dir, f"part={l:05d}")
+        f = os.path.join(pdir, "data.parquet")
+        if not os.path.exists(f):
+            continue
+        # cross-check: a build that crashed between the partition commits
+        # and the atomic meta.json replace leaves centroids from one build
+        # and list assignments from another — refuse to serve that mix
+        mpath = os.path.join(pdir, "manifest.json")
+        try:
+            with open(mpath) as mf:
+                pfp = _json.load(mf).get("fingerprint")
+        except (OSError, ValueError):
+            pfp = None
+        if pfp != meta.get("fingerprint"):
+            raise ValueError(
+                f"IVF index {index_dir} is inconsistent: partition {l} has "
+                f"fingerprint {pfp!r} but meta.json has "
+                f"{meta.get('fingerprint')!r} — rebuild the index "
+                "(a prior build likely crashed before committing meta.json)"
+            )
+        files.append(f)
     if not files:
         return pa.table(
             {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),

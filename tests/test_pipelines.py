@@ -713,6 +713,27 @@ def test_exact_quantiles_wide_range(ray_session):
         assert int(got.loc[got["q"] == q, "value"].iloc[0]) == want, q
 
 
+def test_exact_quantiles_int64_span_overflow(ray_session):
+    """Columns spanning more than 2^63 (so v - mn wraps in int64) still
+    match DuckDB exactly — the bucket math uses wrap-safe uint64 distance."""
+    import duckdb
+    import ray.data as rd
+
+    from riot_ray.pipelines import exact_quantiles
+
+    vals = np.array(
+        [-(2**62) - 5, -(2**62), -1, 0, 1, 2**62, 2**62 + 5, 2**63 - 1],
+        dtype=np.int64,
+    )
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = exact_quantiles(ds, "x", qs=(0.1, 0.5, 0.9)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals, pa.int64())}))
+    for q in (0.1, 0.5, 0.9):
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert int(got.loc[got["q"] == q, "value"].iloc[0]) == want, q
+
+
 def test_exact_quantiles_narrow_and_constant(ray_session):
     import duckdb
     import ray.data as rd

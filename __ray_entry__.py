@@ -380,6 +380,30 @@ def _q_contamination(sf_dir: str):
     )
 
 
+def _q_top_per_source(sf_dir: str):
+    """Best-k rows per key by a score column (longest 5 docs per source):
+    map-side partial top-k + broadcast winner filter, corpus never
+    shuffles."""
+    from riot_ray.pipelines import top_k_per_group
+
+    ds = top_k_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        key_col="source", score_col="n_chars", k=5,
+    )
+    return ds.select_columns(["doc_id", "source", "n_chars"])
+
+
+def _q_dedup_best_survivors(sf_dir: str):
+    """Quality-aware near-dup collapse: keep the LONGEST doc per cluster
+    (n_chars as the quality stand-in) instead of the min id."""
+    from riot_ray.pipelines import dedup_filter_by, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "n_chars"])
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_group=1_000_000)
+    out = dedup_filter_by(docs, pairs, score_col="n_chars")
+    return out.select_columns(["doc_id"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from riot_ray.pipelines import exact_dedup
 
@@ -669,6 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
+        "dedup_best_survivors": _q_dedup_best_survivors,
+        "top_per_source": _q_top_per_source,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_exact": _q_dedup_minhash_exact,
         "dedup_simhash": _q_dedup_simhash,
@@ -1199,6 +1225,53 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(FLOOR(e + 0.5) AS BIGINT) END AS estimate,
                12::BIGINT AS p
         FROM est
+        """
+
+    out["top_per_source"] = """
+        SELECT doc_id, source, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
+        """
+
+    # same recursive cluster CTE as dedup_survivors, but the per-cluster
+    # winner is the longest doc (n_chars desc, doc_id asc) instead of min id
+    out["dedup_best_survivors"] = """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, g
+          FROM toks,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS u(g)
+          WHERE len(t) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE c / (sa.n + sb.n - c)::DOUBLE >= 0.2),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+        clusters AS (SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+                     FROM reach GROUP BY id),
+        ranked AS (
+          SELECT c.doc_id, row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          FROM clusters c JOIN documents d USING (doc_id)),
+        losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+        SELECT doc_id::BIGINT AS doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """
 
     out["quantiles_nchars"] = " UNION ALL ".join(

@@ -20,6 +20,7 @@ from .dedup import (
     contamination,
     dedup_clusters,
     dedup_filter,
+    dedup_filter_by,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
@@ -30,7 +31,7 @@ from .dedup import (
 )
 from .checkpoint import checkpointed_write, read_checkpointed
 from .joins import broadcast_join, hash_join
-from .sampling import hash_sample, stratified_cap, token_budget_sample
+from .sampling import hash_sample, stratified_cap, token_budget_sample, top_k_per_group
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
 from .simsearch import build_ivf_index, knn_brute, knn_ivf, knn_ivf_query, knn_lsh
 from .windows import (
@@ -57,6 +58,7 @@ __all__ = [
     "hash_sample",
     "stratified_cap",
     "token_budget_sample",
+    "top_k_per_group",
     "broadcast_join",
     "hash_join",
     "checkpointed_write",
@@ -66,6 +68,7 @@ __all__ = [
     "exact_dedup",
     "dedup_clusters",
     "dedup_filter",
+    "dedup_filter_by",
     "ngram_jaccard_pairs",
     "contamination",
     "minhash_lsh_exact_pairs",

@@ -815,6 +815,67 @@ def dedup_filter(ds, pairs_ds, id_col: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def dedup_filter_by(ds, pairs_ds, score_col: str, id_col: str = "doc_id",
+                    descending: bool = True):
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the BEST row by ``(score, id)`` instead of the min id — what a real
+    curation pipeline wants (keep the highest-quality copy).  Scale shape
+    matches :func:`dedup_filter`: clusters come from the (small) pair
+    graph; the per-cluster winner is chosen from only the clustered docs'
+    scores (fetched via one vectorized filter pass, never the corpus); the
+    loser set broadcasts once and the corpus streams through an anti-join
+    filter.  Deterministic for integer scores (ties -> smaller id)."""
+    import ray
+
+    members = dedup_clusters(pairs_ds).to_pandas()
+    if len(members) == 0:
+        return ds
+    member_ids = np.sort(members["doc_id"].to_numpy(np.int64))
+    mref = ray.put(member_ids)
+
+    def member_scores(batch: pa.Table) -> pa.Table:
+        from .sampling import lookup_sorted
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = lookup_sorted(ray.get(mref), ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[hit], pa.int64()),
+                "score": pa.array(
+                    batch[score_col].to_numpy(zero_copy_only=False)[hit]
+                    .astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    scores = ds.map_batches(member_scores, batch_format="pyarrow").to_pandas()
+    m = members.merge(scores, on="doc_id", how="left")
+    m["score"] = m["score"].fillna(-np.inf)
+    sgn = -1.0 if descending else 1.0
+    m = m.sort_values(["cluster_id", "doc_id"])
+    order = np.lexsort(
+        (m["doc_id"].to_numpy(), sgn * m["score"].to_numpy(),
+         m["cluster_id"].to_numpy())
+    )
+    first = np.unique(m["cluster_id"].to_numpy()[order], return_index=True)[1]
+    winners = set(m["doc_id"].to_numpy()[order[first]].tolist())
+    losers = np.sort(
+        np.array([d for d in m["doc_id"] if d not in winners], dtype=np.int64)
+    )
+    losers_ref = ray.put(losers)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from .sampling import lookup_sorted
+
+        drop = ray.get(losers_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = lookup_sorted(drop, ids)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------- #
 # minhash + LSH
 # --------------------------------------------------------------------------- #

@@ -224,3 +224,67 @@ def token_budget_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(filter_rows, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds,
+    key_col: str,
+    score_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    descending: bool = True,
+):
+    """Keep each key's top-``k`` rows by ``(score, id)`` — e.g. the best k
+    docs per source/domain by a quality score.  Same scale shape as
+    stratified_cap: per-batch per-key partial top-k (bounded), one small
+    groupby over the partials, winner-id set broadcast back as a filter;
+    the corpus itself never shuffles.  Ties break to the smaller id, so
+    the result is deterministic for integer scores."""
+    import ray
+
+    sgn = -1.0 if descending else 1.0
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sc = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kenc = keys.dictionary_encode()
+        if isinstance(kenc, pa.ChunkedArray):
+            kenc = kenc.combine_chunks()
+        codes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sgn * sc, codes))
+        c_sorted = codes[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(c_sorted)) + 1]
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)]))
+        sel = order[rank < k]
+        return pa.table(
+            {
+                "key": keys.take(pa.array(sel, pa.int64())),
+                "id": pa.array(ids[sel], batch[id_col].type),
+                "score": pa.array(sc[sel], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        sc = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sgn * sc))[:k]
+        return pa.table({"id": group["id"].take(pa.array(order, pa.int64()))})
+
+    winners = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+    keep_ref = ray.put(np.sort(winners.to_pandas()["id"].to_numpy()))
+
+    def filter_rows(batch: pa.Table) -> pa.Table:
+        keep_sorted = ray.get(keep_ref)
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        _, mask = lookup_sorted(keep_sorted, ids_b)
+        return batch.filter(pa.array(np.asarray(mask, bool)))
+
+    return ds.map_batches(filter_rows, batch_format="pyarrow")

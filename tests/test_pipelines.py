@@ -755,6 +755,63 @@ def test_exact_quantiles_narrow_and_constant(ray_session):
     assert g["value"].tolist() == [7]
 
 
+def test_top_k_per_group_matches_sql(docs_ds):
+    from riot_ray.pipelines import top_k_per_group
+
+    got = (
+        top_k_per_group(docs_ds.select_columns(["doc_id", "source", "n_chars"]),
+                        key_col="source", score_col="n_chars", k=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        _duck(
+            """
+            SELECT doc_id FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3
+            ORDER BY doc_id
+            """
+        ).to_pandas().reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # ascending mode picks the shortest instead
+    asc = top_k_per_group(
+        docs_ds.select_columns(["doc_id", "source", "n_chars"]),
+        key_col="source", score_col="n_chars", k=1, descending=False,
+    ).to_pandas()
+    full = docs_ds.select_columns(["doc_id", "source", "n_chars"]).to_pandas()
+    for src, grp in full.groupby("source"):
+        best = grp.sort_values(["n_chars", "doc_id"]).iloc[0]["doc_id"]
+        assert best in set(asc["doc_id"]), src
+
+
+def test_dedup_filter_by_keeps_best(ray_session):
+    """Within each near-dup cluster the highest-score doc survives (ties ->
+    smaller id); singletons always survive."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import dedup_filter_by
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "q": pa.array([10, 30, 20, 7, 7], pa.int64()),
+        }
+    )
+    # cluster A = {1,2,3} (transitive via 1-2, 2-3), cluster B = {4,5}
+    pairs = rd.from_arrow(pa.table(
+        {"id_a": pa.array([1, 2, 4], pa.int64()),
+         "id_b": pa.array([2, 3, 5], pa.int64())}))
+    out = (dedup_filter_by(rd.from_arrow(docs), pairs, score_col="q")
+           .to_pandas())
+    assert sorted(out["doc_id"]) == [2, 4]  # best of A; tie in B -> id 4
+
+    # ascending keeps the lowest score
+    out2 = (dedup_filter_by(rd.from_arrow(docs), pairs, score_col="q",
+                            descending=False).to_pandas())
+    assert sorted(out2["doc_id"]) == [1, 4]
+
+
 def test_hll_sql_parity(docs_ds):
     """The HLL estimate itself (not just its inputs) matches the DuckDB
     re-derivation bit-for-bit at sf0.001."""

@@ -425,55 +425,105 @@ def hot_ngrams(ds, n: int = 3, min_docs: int = 10, text_col: str = "text",
     """Corpus-level boilerplate phrase detection: token n-grams appearing in
     >= ``min_docs`` DISTINCT documents -> (gram, n_docs).
 
-    Scale shape: the map side emits each (doc, gram) pair ONCE (within-doc
-    dedup before the shuffle, so the reduce input is bounded by distinct
-    grams x docs, not occurrences), keyed by a hash bucket; each bucket
-    partition counts docs per gram vectorized.  One sort-shuffle on the
-    bucket key — the same fused plan the ngram-jaccard dedup uses."""
+    Two passes, both string-free through the shuffle:
 
-    def emit(batch: pa.Table) -> pa.Table:
+    1. COUNT IN THE HASH DOMAIN — each batch emits its distinct
+       (doc, gram) pairs as 8-byte rolled gram hashes (md5 per unique
+       TOKEN, rolled FNV-style per gram — the ngram-jaccard kernel); one
+       bucket groupby counts docs per hash and keeps hashes with
+       >= min_docs.  Gram STRINGS never enter this shuffle.
+    2. RESOLVE STRINGS for the (small) hot-hash set only — the hot set
+       broadcasts via ray.put; a second streaming pass builds gram strings
+       just for positions whose hash is hot and the driver dedups the tiny
+       (hash, gram) table.
+
+    At 100 TB the difference is decisive: pass 1 moves 8 bytes per
+    distinct (doc, gram) instead of the gram text (~corpus bytes x n)."""
+    import ray
+
+    from .dedup import _doc_gram_hashes
+
+    def emit_hashes(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        flat, tparents = _flatten_tokens(texts)
-        grams, gparents = _ngram_strings(flat, tparents, n)
-        if len(grams) == 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "bucket": pa.array([], pa.int32())})
-        docs, codes, _, dictionary = _pair_counts(grams, gparents)
-        gram_strs = dictionary.take(pa.array(codes, pa.int64()))
-        h = _token_hashes(gram_strs)
+        kg, _kp = _doc_gram_hashes(texts, n)
         return pa.table(
             {
-                "gram": gram_strs,
-                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32),
+                "h": pa.array(kg.view(np.int64), pa.int64()),
+                "bucket": pa.array((kg % np.uint64(num_buckets)).astype(np.int32),
                                    pa.int32()),
             }
         )
 
     def count_group(part: pa.Table) -> pa.Table:
-        strs = part["gram"]
-        if isinstance(strs, pa.ChunkedArray):
-            strs = strs.combine_chunks()
-        denc = pc.dictionary_encode(strs)
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy(zero_copy_only=False)
-        counts = np.bincount(codes, minlength=len(denc.dictionary))
+        h = part["h"].to_numpy(zero_copy_only=False)
+        uh, counts = np.unique(h, return_counts=True)
         keep = counts >= min_docs
-        idx = np.flatnonzero(keep)
         return pa.table(
             {
-                "gram": denc.dictionary.take(pa.array(idx, pa.int64())),
-                "n_docs": pa.array(counts[idx], pa.int64()),
+                "h": pa.array(uh[keep], pa.int64()),
+                "n_docs": pa.array(counts[keep], pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(emit, batch_format="pyarrow")
+    hot = (
+        ds.map_batches(emit_hashes, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(count_group, batch_format="pyarrow")
+        .to_pandas()
     )
+    if len(hot) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"gram": pa.array([], pa.string()),
+                                       "n_docs": pa.array([], pa.int64())}))
+    hot_sorted = np.sort(hot["h"].to_numpy(np.int64).view(np.uint64))
+    href = ray.put(hot_sorted)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        from .sampling import lookup_sorted
+
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, tparents = _flatten_tokens(texts)
+        h = _token_hashes(flat)
+        tot = len(h)
+        if tot < n:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        kg = np.zeros(tot - n + 1, dtype=np.uint64)
+        for i in range(n):
+            kg = (kg * np.uint64(1099511628211)) ^ h[i : tot - n + 1 + i]
+        valid = tparents[n - 1 :] == tparents[: tot - n + 1]
+        _, is_hot = lookup_sorted(ray.get(href), kg)
+        sel = np.flatnonzero(valid & is_hot)
+        if len(sel) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        # build strings ONLY for hot positions
+        parts = [flat.take(pa.array(sel + i, pa.int64())) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        kg_sel = kg[sel]
+        # batch-local dedup by hash
+        uniq_idx = np.unique(kg_sel, return_index=True)[1]
+        return pa.table(
+            {
+                "h": pa.array(kg_sel[uniq_idx].view(np.int64), pa.int64()),
+                "gram": grams.take(pa.array(uniq_idx, pa.int64())),
+            }
+        )
+
+    strs = (
+        ds.map_batches(resolve, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("h")
+    )
+    out = hot.merge(strs, on="h", how="inner")[["gram", "n_docs"]]
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
 
 # --------------------------------------------------------------------------- #

@@ -372,6 +372,29 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # --------------------------------------------------------------------------- #
 # shingles
 # --------------------------------------------------------------------------- #
+def _doc_gram_hashes(texts: pa.Array, n: int):
+    """DISTINCT (gram hash u64, doc row index) pairs per doc — the gram
+    hash is ROLLED from per-token md5 hashes (FNV-style chain), so the md5
+    cost is per unique TOKEN, not per unique gram (~100x fewer md5 calls on
+    natural text).  Shared by shingle_batch, contamination, hot_ngrams."""
+    flat, parents = _flatten_tokens(texts)
+    h = _token_hashes(flat)
+    tot = len(h)
+    if tot < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    kg = np.zeros(tot - n + 1, dtype=np.uint64)
+    for i in range(n):
+        kg = (kg * np.uint64(1099511628211)) ^ h[i : tot - n + 1 + i]
+    kp = parents[: tot - n + 1]
+    valid = parents[n - 1 :] == kp
+    kg, kp = kg[valid], kp[valid]
+    # distinct (doc, gram)
+    order = np.lexsort((kg, kp))
+    kg, kp = kg[order], kp[order]
+    keep = np.r_[True, (kp[1:] != kp[:-1]) | (kg[1:] != kg[:-1])]
+    return kg[keep], kp[keep]
+
+
 def shingle_batch(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
     """Distinct word-n-gram shingle hashes per doc: (id, shingle:int64).
 
@@ -382,25 +405,8 @@ def shingle_batch(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Tab
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    flat, parents = _flatten_tokens(texts)
-    h = _token_hashes(flat)
-    tot = len(h)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    if tot >= n:
-        kg = np.zeros(tot - n + 1, dtype=np.uint64)
-        for i in range(n):
-            kg = (kg * np.uint64(1099511628211)) ^ h[i : tot - n + 1 + i]
-        kp = parents[: tot - n + 1]
-        valid = parents[n - 1 :] == kp
-        kg, kp = kg[valid], kp[valid]
-        # distinct (doc, shingle)
-        order = np.lexsort((kg, kp))
-        kg, kp = kg[order], kp[order]
-        keep = np.r_[True, (kp[1:] != kp[:-1]) | (kg[1:] != kg[:-1])]
-        kg, kp = kg[keep], kp[keep]
-    else:
-        kg = np.empty(0, np.uint64)
-        kp = np.empty(0, np.int64)
+    kg, kp = _doc_gram_hashes(texts, n)
     return pa.table(
         {
             id_col: pa.array(ids[kp], pa.int64()),
@@ -1440,7 +1446,7 @@ def contamination(
     "benchmark" ever stops fitting a broadcast."""
     import ray
 
-    from .analysis import _ngram_strings, _pair_counts, round6
+    from .analysis import round6
 
     b_text = bench_text_col or text_col
     b_id = bench_id_col or id_col
@@ -1448,18 +1454,18 @@ def contamination(
     texts = bench[b_text]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    flat, parents = _flatten_tokens(texts)
-    grams, gparents = _ngram_strings(flat, parents, n)
     bids_all = bench[b_id].to_numpy(zero_copy_only=False)
-    if len(grams) == 0:
+    # rolled gram hashes (md5 per unique TOKEN, not per unique gram) — the
+    # same kernel the ngram-jaccard dedup uses; hash-equality stands in for
+    # string equality on both sides
+    ghash, bdocs_row = _doc_gram_hashes(texts, n)
+    if len(ghash) == 0:
         empty = _empty_pairs(("overlap_frac", pa.float64()))
         empty = empty.rename_columns([id_col, "bench_id", "overlap_frac"])
         import ray.data as rd
 
         return rd.from_arrow(empty)
-    bdocs_row, codes, _, dictionary = _pair_counts(grams, gparents)
     # one row per distinct (bench doc, gram); CSR over SORTED gram hash
-    ghash = _token_hashes(dictionary)[codes]
     bsizes = np.bincount(bdocs_row, minlength=len(bids_all)).astype(np.int64)
     order = np.argsort(ghash, kind="stable")
     gh_sorted = ghash[order]
@@ -1474,19 +1480,16 @@ def contamination(
         t = batch[text_col]
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
-        fl, par = _flatten_tokens(t)
-        gr, gp = _ngram_strings(fl, par, n)
+        ah, arow = _doc_gram_hashes(t, n)
         out_schema = {
             id_col: pa.array([], pa.int64()),
             "bench_id": pa.array([], pa.int64()),
             "overlap_frac": pa.array([], pa.float64()),
         }
-        if len(gr) == 0:
+        if len(ah) == 0:
             return pa.table(out_schema)
         from .sampling import lookup_sorted
 
-        arow, acode, _, adict = _pair_counts(gr, gp)
-        ah = _token_hashes(adict)[acode]
         pos, hit = lookup_sorted(g_uniq, ah)
         if not hit.any():
             return pa.table(out_schema)

@@ -335,22 +335,58 @@ def _pair_counts(strs: pa.Array, parents: np.ndarray):
     return uk // n_uniq, uk % n_uniq, counts, denc.dictionary
 
 
-def _top_gram_frac(flat, tparents, n, n_rows, tok_chars):
+def _gram_hash_occurrences(h: np.ndarray, tparents: np.ndarray, n: int):
+    """All within-doc n-gram OCCURRENCES as rolled hashes: (kg, doc, pos0)
+    where pos0 is the gram's first-token index into the flat token array.
+    Same FNV-style chain over per-token md5 as dedup._doc_gram_hashes."""
+    tot = len(h)
+    if tot < n:
+        e = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), e, e
+    kg = np.zeros(tot - n + 1, dtype=np.uint64)
+    for i in range(n):
+        kg = (kg * np.uint64(1099511628211)) ^ h[i : tot - n + 1 + i]
+    kp = tparents[: tot - n + 1]
+    valid = tparents[n - 1 :] == kp
+    pos0 = np.flatnonzero(valid)
+    return kg[valid], kp[valid].astype(np.int64), pos0
+
+
+def _gram_runs(kg: np.ndarray, kpar: np.ndarray, pos0: np.ndarray):
+    """Collapse (doc, gram-hash) occurrences into runs: per-run (doc, count,
+    representative pos0)."""
+    order = np.lexsort((kg, kpar))
+    ks, ds_, ps = kg[order], kpar[order], pos0[order]
+    new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ks[1:] != ks[:-1])]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, len(ks)])
+    return ds_[starts], counts, ps[starts]
+
+
+def _top_gram_frac(flat, h, tparents, n, n_rows, tok_chars):
     """Char fraction of each doc's most frequent n-gram (ties: lexicographic
-    smallest gram — matches SQL ``ORDER BY c DESC, g``): count * gram_token_chars
-    / doc token chars."""
-    grams, gparents = _ngram_strings(flat, tparents, n)
+    smallest gram — matches SQL ``ORDER BY c DESC, g``).  Counting happens
+    in the rolled-hash domain; gram STRINGS are built only for each doc's
+    max-count candidates (usually one per doc)."""
     out = np.zeros(n_rows, np.float64)
-    if len(grams) == 0:
+    kg, kpar, pos0 = _gram_hash_occurrences(h, tparents, n)
+    if len(kg) == 0:
         return out
-    docs, codes, counts, dictionary = _pair_counts(grams, gparents)
-    gram_strs = np.asarray(dictionary.to_pylist(), dtype=str)[codes]
-    # chars in the gram's tokens = len(gram) - (n-1) separators
-    glens = np.char.str_len(gram_strs) - (n - 1)
-    order = np.lexsort((gram_strs, -counts, docs))
-    first = np.unique(docs[order], return_index=True)[1]
+    run_doc, run_cnt, run_pos = _gram_runs(kg, kpar, pos0)
+    cmax = np.zeros(n_rows, np.int64)
+    np.maximum.at(cmax, run_doc, run_cnt)
+    cand = run_cnt == cmax[run_doc]
+    cd, cp = run_doc[cand], run_pos[cand]
+    # strings only for candidates
+    parts = [flat.take(pa.array(cp + i, pa.int64())) for i in range(n)]
+    strs = np.asarray(
+        pc.binary_join_element_wise(*parts, " ").to_pylist(), dtype=str
+    )
+    order = np.lexsort((strs, cd))  # per doc: lexicographically smallest
+    first = np.unique(cd[order], return_index=True)[1]
     top = order[first]
-    out[docs[top]] = counts[top] * glens[top] / np.maximum(tok_chars[docs[top]], 1)
+    glens = np.char.str_len(strs[top]) - (n - 1)
+    out[cd[top]] = cmax[cd[top]] * glens / np.maximum(tok_chars[cd[top]], 1)
     return out
 
 
@@ -385,18 +421,20 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     n_distinct = np.bincount(ldocs, minlength=n_rows)
     dup_line_frac = (n_lines - n_distinct) / np.maximum(n_lines, 1)
 
-    # ---- token n-gram metrics
+    # ---- token n-gram metrics (hash-domain counting; strings only for
+    # each doc's top-gram candidates)
     flat, tparents = _flatten_tokens(texts)
+    h = _token_hashes(flat)
     tlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     tok_chars = np.bincount(tparents, weights=tlens, minlength=n_rows)
-    top2 = _top_gram_frac(flat, tparents, 2, n_rows, tok_chars)
-    top3 = _top_gram_frac(flat, tparents, 3, n_rows, tok_chars)
+    top2 = _top_gram_frac(flat, h, tparents, 2, n_rows, tok_chars)
+    top3 = _top_gram_frac(flat, h, tparents, 3, n_rows, tok_chars)
 
-    grams5, gparents5 = _ngram_strings(flat, tparents, 5)
+    kg5, kpar5, pos5 = _gram_hash_occurrences(h, tparents, 5)
     dup5 = np.zeros(n_rows, np.float64)
-    if len(grams5):
-        docs5, _, counts5, _ = _pair_counts(grams5, gparents5)
-        total5 = np.bincount(gparents5, minlength=n_rows)
+    if len(kg5):
+        docs5, counts5, _ = _gram_runs(kg5, kpar5, pos5)
+        total5 = np.bincount(kpar5, minlength=n_rows)
         dupocc = np.bincount(docs5, weights=np.where(counts5 > 1, counts5, 0),
                              minlength=n_rows)
         dup5 = dupocc / np.maximum(total5, 1)

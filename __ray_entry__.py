@@ -267,6 +267,58 @@ def _q_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (C4 / Dolma-style regex scrub: emails, IPv4, phones).
+    The synthetic corpus carries no natural PII, so the query plants a
+    deterministic doc_id-derived email + IP + phone per doc — the oracle
+    builds the exact same string with SQL concatenation, so the hash check
+    exercises real RE2 count/replace parity on non-trivial text."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import pii_scrub
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+
+        def s(a):
+            return pa.array(a.astype("U"), pa.string())
+
+        txt = pc.binary_join_element_wise(
+            b["text"], " contact user", s(ids), "@ex", s(ids % 7),
+            ".org ip 10.", s(ids % 200), ".", s(ids % 250), ".",
+            s(ids % 100), " tel +", s(900000000 + ids), "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    enr = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+    return pii_scrub(enr)
+
+
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace-collapse + trim normalization; the query
+    plants NFD sequences and messy whitespace (same injection as the
+    oracle's SQL concat) so the check is non-trivial."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import normalize_text
+
+    def enrich(b: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            b["text"], "  x\ty cafe\u0301  ", ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    enr = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+    return normalize_text(enr)
+
+
 def _q_hot_ngrams(sf_dir: str):
     """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
     docs (map-side per-doc dedup, one bucket shuffle)."""
@@ -680,6 +732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "repetition_stats": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "normalize_text": _q_normalize_text,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1113,6 +1167,40 @@ def oracle_sql() -> dict[str, str]:
     # IVF with every list probed scans the whole corpus => exactly brute
     out["knn_ivf_full"] = out["knn_cosine_topk"]
     out["knn_ivf_persisted"] = out["knn_cosine_topk"]
+
+    # PII scrub / normalize: DuckDB is RE2 like pyarrow.compute, so the
+    # patterns are shared verbatim; both sides plant identical doc_id-derived
+    # PII (the synthetic corpus has none naturally)
+    from riot_ray.pipelines.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    _pii_enr = (
+        "SELECT doc_id, text || ' contact user' || doc_id || '@ex' || "
+        "(doc_id % 7) || '.org ip 10.' || (doc_id % 200) || '.' || "
+        "(doc_id % 250) || '.' || (doc_id % 100) || ' tel +' || "
+        "(900000000 + doc_id) AS t FROM documents"
+    )
+    out["pii_scrub"] = (
+        "WITH enr AS (" + _pii_enr + ") "
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails, "
+        f"len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4, "
+        f"len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones, "
+        "regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g') AS text_clean "
+        "FROM enr"
+    )
+    out["normalize_text"] = r"""
+        WITH enr AS (
+          SELECT doc_id,
+                 text || '  x' || chr(9) || 'y cafe' || chr(769) || '  ' AS t
+          FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g'))
+                 AS text_norm
+        FROM enr
+        """
 
     # repetition filters: lines via string_split(chr(10)); n-grams via the
     # same token model as _TOKS; top-gram ties broken (count desc, gram asc)

@@ -1,8 +1,9 @@
 """Training-data pipeline extensions beyond riot's own operator set:
 dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
 similarity search (brute-force + LSH), text analysis (lang-id, quality,
-token stats, winnowing fingerprints), multimodal binary-column stages, and
-event-time window operators (tumbling/sliding aggregates, sessionization).
+token stats, winnowing fingerprints), PII scrub + Unicode normalization,
+multimodal binary-column stages, and event-time window operators
+(tumbling/sliding aggregates, sessionization).
 """
 
 from .analysis import (
@@ -30,6 +31,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .checkpoint import checkpointed_write, read_checkpointed
+from .scrub import normalize_text, pii_scrub
 from .joins import broadcast_join, hash_join
 from .sampling import hash_sample, stratified_cap, token_budget_sample, top_k_per_group
 from .multimodal import decode_media, make_fake_media, media_from_docs, resize_media
@@ -51,6 +53,8 @@ __all__ = [
     "top_keys_per_window",
     "token_stats",
     "quality_score",
+    "pii_scrub",
+    "normalize_text",
     "repetition_stats",
     "hot_ngrams",
     "hll_count",

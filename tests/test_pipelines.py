@@ -1490,3 +1490,145 @@ def test_asof_attribution_matches_sql(events_ds):
             == exp.loc[~en, "src_event_id"].to_numpy()).all()
     assert (got.loc[~gn, "lag_us"].to_numpy()
             == exp.loc[~en, "lag_us"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------- #
+# PII scrub + text normalization (scrub.py)
+# ---------------------------------------------------------------------------- #
+def test_pii_scrub_planted(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import pii_scrub
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b+tag@ex-host.org and c@1.2.3.4 ip 10.0.255.7 "
+                    "tel +123456789012 end",
+                    "no pii here",
+                    # 999.* still matches the \d{1,3} pattern (documented);
+                    # 10.1.2.34567 must NOT match (\b fails after 3 digits)
+                    "edge 999.999.999.999 and user@ex.co, +12 short, "
+                    "10.1.2.34567 run",
+                    "two ips 1.2.3.4 5.6.7.8 and two mails x@y.de z@w.fr",
+                ]
+            ),
+        }
+    )
+    got = (
+        pii_scrub(rd.from_arrow(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_emails"].tolist() == [1, 0, 1, 2]
+    assert got["n_ipv4"].tolist() == [2, 0, 1, 2]
+    assert got["n_phones"].tolist() == [1, 0, 0, 0]
+    assert got["text_clean"][0] == (
+        "mail <EMAIL> and c@<IP> ip <IP> tel <PHONE> end"
+    )
+    assert got["text_clean"][2] == (
+        "edge <IP> and <EMAIL>, +12 short, 10.1.2.34567 run"
+    )
+    assert "text" not in got.columns
+
+
+def test_pii_scrub_matches_duckdb_on_corpus(docs_ds):
+    """RE2 parity end-to-end: same patterns, same counts, same redaction on
+    the sf corpus enriched with planted doc_id-derived PII."""
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import pii_scrub
+    from riot_ray.pipelines.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    def enrich(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.binary_join_element_wise(
+            b["text"], " u", pa.array(ids.astype("U")), "@x.io +",
+            pa.array((900000000 + ids).astype("U")), " 10.0.0.",
+            pa.array((ids % 256).astype("U")), "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    got = (
+        pii_scrub(
+            docs_ds.select_columns(["doc_id", "text"]).map_batches(
+                enrich, batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(
+        f"""
+        WITH enr AS (
+          SELECT doc_id, text || ' u' || doc_id || '@x.io +' ||
+                 (900000000 + doc_id) || ' 10.0.0.' || (doc_id % 256) AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+               len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{IPV4_RE}', '<IP>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS text_clean
+        FROM enr ORDER BY doc_id
+        """
+    ).to_pandas()
+    assert (got["n_emails"].to_numpy() == exp["n_emails"].to_numpy()).all()
+    assert (got["n_ipv4"].to_numpy() == exp["n_ipv4"].to_numpy()).all()
+    assert (got["n_phones"].to_numpy() == exp["n_phones"].to_numpy()).all()
+    assert (got["text_clean"] == exp["text_clean"]).all()
+    assert int(got["n_emails"].sum()) == len(got)  # every doc got one
+
+
+def test_normalize_text_nfc_and_whitespace(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import normalize_text
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "  a\t\tb \n c  ",
+                    "cafe\u0301 and \u212b unit",  # NFD e+combining acute, angstrom sign
+                    "already clean",
+                ]
+            ),
+        }
+    )
+    got = (
+        normalize_text(rd.from_arrow(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text_norm"][0] == "a b c"
+    assert got["text_norm"][1] == "caf\u00e9 and \u00c5 unit"
+    assert got["text_norm"][2] == "already clean"
+
+
+def test_normalize_text_matches_duckdb(docs_ds):
+    from riot_ray.pipelines import normalize_text
+
+    got = (
+        normalize_text(docs_ds.select_columns(["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(
+        r"""
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                 AS text_norm
+        FROM documents ORDER BY doc_id
+        """
+    ).to_pandas()
+    assert (got["text_norm"] == exp["text_norm"]).all()

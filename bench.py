@@ -159,6 +159,29 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     rs.shutdown()
     q["replicated_qps"] = round(len(reqs) / rep_total, 1)
 
+    # serving-TUNED replicated QPS: shard count sized to the corpus (the
+    # 16-shard build config above is a scale config — at 5k docs it costs
+    # 16x per-query fixed overhead) and one replica per free CPU.  This is
+    # the single-node capacity number comparable to the reference's
+    # in-process throughput benches (goroutines over in-RAM maps).
+    from dataclasses import replace as _dc_replace
+
+    sopts = _dc_replace(_bench_opts(num_cpus), num_shards=4)
+    sdir = "/tmp/riot_ray_bench/index_serving"
+    _build_index(src, sdir, sopts)
+    reqs6 = [
+        SearchReq(text=f"{terms[i % 10]} {terms[(i + 3) % 10]}",
+                  rank_opts=RankOpts(max_outputs=10))
+        for i in range(6000)
+    ]
+    rs = ReplicatedSearcher(sdir, replicas=max(4, num_cpus - 2))
+    rs.search_many(reqs6[:128])  # warmup (each replica loads the index)
+    t0 = time.time()
+    rs.search_many(reqs6)
+    tuned_total = time.time() - t0
+    rs.shutdown()
+    q["replicated_qps_tuned"] = round(len(reqs6) / tuned_total, 1)
+
     # 3) pipeline extensions over the same tables
     docs = rd.read_parquet(src)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")

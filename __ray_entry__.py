@@ -319,6 +319,33 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(enr)
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus-wide duplicate-line removal (keep only the first
+    occurrence of every distinct line).  The synthetic docs are single-line,
+    so the query injects line breaks every 8 tokens plus a shared
+    boilerplate footer (3 variants over 500 docs) — same SQL concat in the
+    oracle — and returns the surviving (doc_id, line_idx, line) rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import line_dedup
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(b["text"], r"((\S+ ){7}\S+) ", "\\1\n")
+        txt = pc.binary_join_element_wise(
+            txt, "\nlicense boilerplate v",
+            pa.array((ids % 3).astype("U")), "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    enr = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+    return line_dedup(enr)
+
+
 def _q_hot_ngrams(sf_dir: str):
     """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
     docs (map-side per-doc dedup, one bucket shuffle)."""
@@ -734,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
+        "line_dedup": _q_line_dedup,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1191,6 +1219,25 @@ def oracle_sql() -> dict[str, str]:
         f"'{PHONE_RE}', '<PHONE>', 'g') AS text_clean "
         "FROM enr"
     )
+    out["line_dedup"] = r"""
+        WITH enr AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+                 || chr(10) || 'license boilerplate v' || (doc_id % 3) AS t
+          FROM documents),
+        parts AS (SELECT doc_id, string_split(t, chr(10)) AS p FROM enr),
+        lines AS (
+          SELECT doc_id, unnest(p) AS line,
+                 unnest(range(len(p))) AS line_idx
+          FROM parts),
+        win AS (
+          SELECT line, min(doc_id * 1048576 + line_idx) AS pack
+          FROM lines GROUP BY line)
+        SELECT l.doc_id, l.line_idx::BIGINT AS line_idx, l.line
+        FROM lines l JOIN win w ON l.line = w.line
+        WHERE l.doc_id * 1048576 + l.line_idx = w.pack
+        """
+
     out["normalize_text"] = r"""
         WITH enr AS (
           SELECT doc_id,

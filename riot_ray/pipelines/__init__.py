@@ -25,6 +25,7 @@ from .dedup import (
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
+    line_dedup,
     minhash_lsh_exact_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -70,6 +71,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "exact_dedup",
+    "line_dedup",
     "dedup_clusters",
     "dedup_filter",
     "dedup_filter_by",

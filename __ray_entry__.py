@@ -346,6 +346,31 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(enr)
 
 
+def _q_line_dedup_clean(sf_dir: str):
+    """Cleaned documents rebuilt from the kept lines of line_dedup —
+    same enrichment as _q_line_dedup; oracle = string_agg of the kept
+    lines per doc in line order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import line_dedup_clean
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(b["text"], r"((\S+ ){7}\S+) ", "\\1\n")
+        txt = pc.binary_join_element_wise(
+            txt, "\nlicense boilerplate v",
+            pa.array((ids % 3).astype("U")), "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    enr = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+    return line_dedup_clean(enr)
+
+
 def _q_hot_ngrams(sf_dir: str):
     """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
     docs (map-side per-doc dedup, one bucket shuffle)."""
@@ -762,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "line_dedup": _q_line_dedup,
+        "line_dedup_clean": _q_line_dedup_clean,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1236,6 +1262,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.doc_id, l.line_idx::BIGINT AS line_idx, l.line
         FROM lines l JOIN win w ON l.line = w.line
         WHERE l.doc_id * 1048576 + l.line_idx = w.pack
+        """
+
+    out["line_dedup_clean"] = r"""
+        WITH enr AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+                 || chr(10) || 'license boilerplate v' || (doc_id % 3) AS t
+          FROM documents),
+        parts AS (SELECT doc_id, string_split(t, chr(10)) AS p FROM enr),
+        lines AS (
+          SELECT doc_id, unnest(p) AS line,
+                 unnest(range(len(p))) AS line_idx
+          FROM parts),
+        win AS (
+          SELECT line, min(doc_id * 1048576 + line_idx) AS pack
+          FROM lines GROUP BY line),
+        kept AS (
+          SELECT l.doc_id, l.line_idx, l.line
+          FROM lines l JOIN win w ON l.line = w.line
+          WHERE l.doc_id * 1048576 + l.line_idx = w.pack)
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
+        FROM kept GROUP BY doc_id
         """
 
     out["normalize_text"] = r"""

@@ -210,6 +210,29 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     minhash_lsh_pairs(docs, threshold=0.2).count()
     q["dedup_minhash"] = round(time.time() - t0, 3)
 
+    # corpus-wide duplicate-line removal (lines injected every 8 tokens +
+    # 3 shared boilerplate footers — same shape as the driver query)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import line_dedup
+
+    def _with_lines(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(b["text"], r"((\S+ ){7}\S+) ", "\\1\n")
+        txt = pc.binary_join_element_wise(
+            txt, "\nlicense boilerplate v", pa.array((ids % 3).astype("U")), ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    t0 = time.time()
+    line_dedup(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            _with_lines, batch_format="pyarrow"
+        )
+    ).count()
+    q["line_dedup"] = round(time.time() - t0, 3)
+
     from riot_ray.pipelines import sessionize, tumbling_window_agg
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))

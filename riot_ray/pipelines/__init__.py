@@ -26,6 +26,7 @@ from .dedup import (
     embedding_dup_pairs_lsh,
     exact_dedup,
     line_dedup,
+    line_dedup_clean,
     minhash_lsh_exact_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -72,6 +73,7 @@ __all__ = [
     "fingerprint",
     "exact_dedup",
     "line_dedup",
+    "line_dedup_clean",
     "dedup_clusters",
     "dedup_filter",
     "dedup_filter_by",

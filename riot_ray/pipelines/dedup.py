@@ -471,6 +471,59 @@ def line_dedup(
     )
 
 
+def line_dedup_clean(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    idx_bits: int = 20,
+):
+    """Cleaned documents after :func:`line_dedup`: every doc rebuilt from
+    its KEPT lines, joined with ``sep`` in original line order.  Returns
+    ``(id_col, text_clean)``; docs whose every line was a duplicate drop
+    out entirely (same as the SQL ``string_agg`` over kept lines).
+
+    Scale shape: line_dedup's one key shuffle, then ONE more shuffle of the
+    kept lines keyed on doc id; each partition rebuilds its docs with a
+    numpy lexsort + one vectorized ``pc.binary_join`` over a ListArray —
+    no per-doc Python."""
+    num_partitions = _join_parts(None)
+    kept = line_dedup(ds, text_col=text_col, id_col=id_col, sep=sep,
+                      idx_bits=idx_bits)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = (ids.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__dpart", pa.array(part, pa.int32()))
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "text_clean": pa.array([], pa.string())})
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        idx = group["line_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, ids))
+        ids_s = ids[order]
+        first = np.empty(len(order), bool)
+        first[0] = True
+        first[1:] = ids_s[1:] != ids_s[:-1]
+        offsets = np.append(np.flatnonzero(first), len(order)).astype(np.int32)
+        lines = group["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lines = lines.take(pa.array(order)).cast(pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({id_col: pa.array(ids_s[first], pa.int64()),
+                         "text_clean": joined})
+
+    return (
+        kept.map_batches(tag, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # shingles
 # --------------------------------------------------------------------------- #

@@ -1721,3 +1721,87 @@ def test_line_dedup_matches_sql(docs_ds):
     # the 2 footer variants collapsed to 2 surviving lines
     n_footers = int(got["line"].str.startswith("footer v").sum())
     assert n_footers == 2
+
+
+def test_line_dedup_clean_rebuilds_docs(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import line_dedup_clean
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha\nshared line\nunique a",
+                    "shared line\nbeta\nshared line",
+                    "unique c\nshared line",
+                    "shared line",  # every line a dup -> doc drops out
+                ]
+            ),
+        }
+    )
+    got = (
+        line_dedup_clean(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_records(index=False))) == [
+        (0, "alpha\nshared line\nunique a"),
+        (1, "beta"),
+        (2, "unique c"),
+    ]
+
+
+def test_line_dedup_clean_matches_sql(docs_ds):
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import line_dedup_clean
+
+    def enrich(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(b["text"], r"((\S+ ){7}\S+) ", "\\1\n")
+        txt = pc.binary_join_element_wise(
+            txt, "\nfooter v", pa.array((ids % 2).astype("U")), ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    got = (
+        line_dedup_clean(
+            docs_ds.select_columns(["doc_id", "text"]).map_batches(
+                enrich, batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(
+        r"""
+        WITH enr AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+                 || chr(10) || 'footer v' || (doc_id % 2) AS t
+          FROM documents),
+        parts AS (SELECT doc_id, string_split(t, chr(10)) AS p FROM enr),
+        lines AS (
+          SELECT doc_id, unnest(p) AS line,
+                 unnest(range(len(p))) AS line_idx
+          FROM parts),
+        win AS (
+          SELECT line, min(doc_id * 1048576 + line_idx) AS pack
+          FROM lines GROUP BY line),
+        kept AS (
+          SELECT l.doc_id, l.line_idx, l.line
+          FROM lines l JOIN win w ON l.line = w.line
+          WHERE l.doc_id * 1048576 + l.line_idx = w.pack)
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
+        FROM kept GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    ).to_pandas()
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["text_clean"] == exp["text_clean"]).all()

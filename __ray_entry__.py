@@ -249,6 +249,16 @@ def _q_token_stats(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens", "n_tokens_bpe"])
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram-LM scoring: per-doc mean log-probability under
+    the corpus's own unigram distribution, in integer micro-nats (exact,
+    order-independent sums — the float mean is derived from the same ints
+    on both sides)."""
+    from riot_ray.pipelines import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_quality(sf_dir: str):
     from riot_ray.pipelines import quality_score
 
@@ -783,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extensions
         "token_stats": _q_token_stats,
         "quality": _q_quality,
+        "unigram_logprob": _q_unigram_logprob,
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
@@ -953,6 +964,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n_alnum / GREATEST(n_chars, 1)::DOUBLE, 6) AS alnum_ratio,
                    ROUND(COALESCE(tok_chars, 0) / GREATEST(n_tok, 1)::DOUBLE, 6) AS mean_word_len
             FROM stats
+            """,
+        "unigram_logprob": f"""
+            WITH {_TOKS},
+            occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM occ),
+            m AS (
+              SELECT tok,
+                     CAST(FLOOR(ln(c / (SELECT n FROM tot)::DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS micro
+              FROM cnt)
+            SELECT o.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(m.micro)::BIGINT AS logprob_micro,
+                   ROUND(sum(m.micro) / 1000000.0 / count(*), 6) AS logprob_mean
+            FROM occ o JOIN m ON o.tok = m.tok
+            GROUP BY o.doc_id
             """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies

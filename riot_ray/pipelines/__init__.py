@@ -16,6 +16,8 @@ from .analysis import (
     quality_score,
     repetition_stats,
     token_stats,
+    unigram_counts,
+    unigram_logprob,
 )
 from .dedup import (
     contamination,
@@ -71,6 +73,8 @@ __all__ = [
     "read_checkpointed",
     "lang_id",
     "fingerprint",
+    "unigram_counts",
+    "unigram_logprob",
     "exact_dedup",
     "line_dedup",
     "line_dedup_clean",

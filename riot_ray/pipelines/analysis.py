@@ -275,6 +275,170 @@ def fingerprint(ds, text_col: str = "text", k: int = 5, window: int = 8):
 
 
 # --------------------------------------------------------------------------- #
+# unigram language-model scoring (CCNet-style; Wenzek et al. 2020 used a
+# Kneser-Ney LM to bucket CommonCrawl by perplexity — the unigram variant
+# here is the model a no-external-data pipeline can fit from the corpus
+# itself in one shuffle)
+# --------------------------------------------------------------------------- #
+def unigram_counts(ds, text_col: str = "text"):
+    """Global token-occurrence counts in the hash domain: one Dataset of
+    ``(kh int64, cnt int64)``, unique on kh.  Map side shrinks each batch
+    to its unique tokens before the shuffle (np.unique partial counts), so
+    the exchange carries vocabulary-sized rows, never the token stream."""
+    from .dedup import _join_parts
+
+    num_partitions = _join_parts(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        flat, _parents = _flatten_tokens(texts)
+        kh = _token_hashes(flat).view(np.int64)
+        uniq, cnt = np.unique(kh, return_counts=True)
+        part = (uniq.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"kh": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kh, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"kh": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(tot, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc unigram-LM score over the corpus's OWN unigram distribution:
+    ``(id_col, n_tokens, logprob_micro, logprob_mean)`` where each token
+    occurrence contributes ``round(ln(cnt/N) * 1e6)`` micro-nats
+    (integer, so per-doc sums are order-independent and the SQL oracle
+    hash-matches exactly); ``logprob_mean = round(micro/1e6/n, 6)`` nats
+    per token (perplexity = exp(-logprob_mean)).  Docs with no tokens drop
+    out, matching the SQL occurrence join.
+
+    Scale shape: pass 1 = :func:`unigram_counts` (vocab-sized shuffle);
+    pass 2 re-streams the corpus with the micro table attached size-gated —
+    broadcast one sorted (kh, micro) pair per node when the vocab fits
+    ``BROADCAST_BYTES``, else per-doc (kh, tf) rows hash-join the micro
+    table and re-reduce per doc — per-doc state never centralizes."""
+    import ray
+
+    from .dedup import BROADCAST_BYTES, _hash_join, _join_parts
+
+    counts = unigram_counts(ds, text_col=text_col).materialize()
+    n_total = counts.sum("cnt")
+    n_vocab = counts.count()
+    if not n_total:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logprob_micro": pa.array([], pa.int64()),
+            "logprob_mean": pa.array([], pa.float64()),
+        }))
+
+    def add_micro(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        micro = np.floor(
+            np.log(cnt.astype(np.float64) / float(n_total)) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({"kh": batch["kh"], "micro": pa.array(micro, pa.int64())})
+
+    micro_ds = counts.map_batches(add_micro, batch_format="pyarrow")
+
+    def finish(ids: np.ndarray, n_tok: np.ndarray, lp: np.ndarray) -> pa.Table:
+        mean = np.round(lp / 1e6 / np.maximum(n_tok, 1), 6)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "logprob_micro": pa.array(lp, pa.int64()),
+                         "logprob_mean": pa.array(mean, pa.float64())})
+
+    if n_vocab * 16 <= BROADCAST_BYTES:
+        tabs = [t for t in ray.get(micro_ds.to_arrow_refs()) if t.num_rows]
+        mt = pa.concat_tables(tabs).combine_chunks()
+        kh_all = mt["kh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kh_all)
+        ref = ray.put((kh_all[order],
+                       mt["micro"].to_numpy(zero_copy_only=False)[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            kh_s, micro_s = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            flat, parents = _flatten_tokens(batch[text_col])
+            kh = _token_hashes(flat).view(np.int64)
+            pos = np.searchsorted(kh_s, kh)  # every token is in the vocab
+            m = micro_s[pos]
+            n_rows = len(ids)
+            n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+            lp = np.bincount(parents, weights=m.astype(np.float64),
+                             minlength=n_rows).astype(np.int64)
+            keep = n_tok > 0
+            return finish(ids[keep], n_tok[keep], lp[keep])
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # vocab over the broadcast gate: explode per-doc unique (kh, tf) rows,
+    # join the micro table on kh, re-reduce per doc — two bounded shuffles
+    num_partitions = _join_parts(None)
+
+    def occ(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parents = _flatten_tokens(batch[text_col])
+        kh = _token_hashes(flat).view(np.int64)
+        order = np.lexsort((kh, parents))
+        ps, ks = parents[order], kh[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(order)))
+        return pa.table({id_col: pa.array(ids[ps[starts]], pa.int64()),
+                         "kh": pa.array(ks[starts], pa.int64()),
+                         "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+    occ_ds = ds.map_batches(occ, batch_format="pyarrow")
+    occ_schema = pa.schema([(id_col, pa.int64()), ("kh", pa.int64()),
+                            ("tf", pa.int64())])
+    micro_schema = pa.schema([("kh", pa.int64()), ("micro", pa.int64())])
+    joined = _hash_join(occ_ds, micro_ds, "kh", "kh", {"micro": "micro"},
+                        num_partitions, left_schema=occ_schema,
+                        right_schema=micro_schema)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = (ids.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__dpart", pa.array(part, pa.int32()))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return finish(np.empty(0, np.int64), np.empty(0, np.int64),
+                          np.empty(0, np.int64))
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        m = group["micro"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n_tok = np.bincount(inv, weights=tf, minlength=len(uniq)).astype(np.int64)
+        lp = np.bincount(inv, weights=tf * m.astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        return finish(uniq, n_tok, lp)
+
+    return (
+        joined.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------- #
 # JSON field extraction (semi-structured props columns)
 # --------------------------------------------------------------------------- #
 def extract_json_int(

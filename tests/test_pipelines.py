@@ -1805,3 +1805,68 @@ def test_line_dedup_clean_matches_sql(docs_ds):
     assert len(got) == len(exp)
     assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
     assert (got["text_clean"] == exp["text_clean"]).all()
+
+
+# ---------------------------------------------------------------------------- #
+# unigram LM scoring (CCNet-style)
+# ---------------------------------------------------------------------------- #
+_UNIGRAM_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+      FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM occ),
+    m AS (
+      SELECT tok, CAST(FLOOR(ln(c / (SELECT n FROM tot)::DOUBLE) * 1000000
+                             + 0.5) AS BIGINT) AS micro
+      FROM cnt)
+    SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(m.micro)::BIGINT AS logprob_micro,
+           ROUND(sum(m.micro) / 1000000.0 / count(*), 6) AS logprob_mean
+    FROM occ o JOIN m ON o.tok = m.tok
+    GROUP BY o.doc_id ORDER BY o.doc_id
+"""
+
+
+def test_unigram_logprob_matches_sql(docs_ds):
+    from riot_ray.pipelines import unigram_logprob
+
+    got = (
+        unigram_logprob(docs_ds.select_columns(["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(_UNIGRAM_SQL).to_pandas()
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+    assert (got["logprob_micro"].to_numpy() == exp["logprob_micro"].to_numpy()).all()
+    assert np.allclose(got["logprob_mean"], exp["logprob_mean"], atol=1e-9)
+    # common tokens score higher than rare ones -> means are negative, finite
+    assert (got["logprob_mean"] < 0).all()
+
+
+def test_unigram_logprob_join_path_matches_broadcast(docs_ds, monkeypatch):
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import unigram_logprob
+
+    base = (
+        unigram_logprob(docs_ds.select_columns(["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force the hash-join path
+    joined = (
+        unigram_logprob(docs_ds.select_columns(["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (base["doc_id"].to_numpy() == joined["doc_id"].to_numpy()).all()
+    assert (base["logprob_micro"].to_numpy()
+            == joined["logprob_micro"].to_numpy()).all()
+    assert (base["n_tokens"].to_numpy() == joined["n_tokens"].to_numpy()).all()

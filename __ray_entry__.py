@@ -724,6 +724,46 @@ def _q_search_proximity(sf_dir: str):
     )
 
 
+PHRASE = ("spark", "data")
+GREP_PATTERN = r"(fast|slow) (scan|merge)"
+
+
+def _q_search_phrase(sf_dir: str):
+    """Exact-phrase search: postings AND prunes, hydrated content verifies
+    (riot extension — riot has no phrase operator).  Returns every
+    matching doc; the oracle is the identical RE2 pattern in DuckDB."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir), hydrate=True)
+    resp = s.search(
+        SearchReq(text=" ".join(PHRASE), phrase=True,
+                  rank_opts=RankOpts(max_outputs=0))
+    )
+    ids = np.sort(np.array([int(h.doc_id) for h in resp.docs], dtype=np.int64))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from riot_ray.pipelines import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir).select_columns(["doc_id", "text"]), k=3)
+
+
+def _q_grep_search(sf_dir: str):
+    from riot_ray.pipelines import grep_search
+
+    return grep_search(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                       GREP_PATTERN)
+
+
+def _q_chunk_docs(sf_dir: str):
+    from riot_ray.pipelines import chunk_docs
+
+    return chunk_docs(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                      chunk_tokens=64)
+
+
 def _q_multimodal(sf_dir: str):
     from riot_ray.pipelines import decode_media, make_fake_media
     import ray.data as rd
@@ -790,6 +830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_and": _q_count_and,
         "logic_should_notin": _q_logic_should_notin,
         "search_proximity": _q_search_proximity,
+        "search_phrase": _q_search_phrase,
+        "tfidf_topk": _q_tfidf_topk,
+        "grep_search": _q_grep_search,
+        "chunk_docs": _q_chunk_docs,
         # training-data extensions
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -981,6 +1025,56 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum(m.micro) / 1000000.0 / count(*), 6) AS logprob_mean
             FROM occ o JOIN m ON o.tok = m.tok
             GROUP BY o.doc_id
+            """,
+        "search_phrase": f"""
+            SELECT doc_id::BIGINT AS doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                '(^|[^a-z0-9]){PHRASE[0]}[^a-z0-9]+{PHRASE[1]}([^a-z0-9]|$)')
+            """,
+        "tfidf_topk": f"""
+            WITH {_TOKS},
+            occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                   FROM occ GROUP BY 1, 2),
+            df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok, tf.tf,
+                     tf.tf * CAST(FLOOR(ln((SELECT nd FROM n) / df.df)
+                                        * 1000000 + 0.5) AS BIGINT) AS s
+              FROM tf JOIN df ON tf.tok = df.tok),
+            ranked AS (
+              SELECT doc_id, tok, tf, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, tok) AS rn
+              FROM scored)
+            SELECT doc_id, tok AS term, tf, s AS tfidf_micro,
+                   rn::BIGINT AS "rank"
+            FROM ranked WHERE rn <= 3
+            """,
+        "grep_search": f"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   length(regexp_extract_all(text, '{GREP_PATTERN}'))::BIGINT
+                       AS n_matches
+            FROM documents
+            WHERE regexp_matches(text, '{GREP_PATTERN}')
+            """,
+        "chunk_docs": f"""
+            WITH {_TOKS},
+            nt AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks
+                   WHERE len(t) > 0),
+            idx AS (
+              SELECT doc_id, t, n,
+                     unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT)))
+                         AS chunk_idx
+              FROM nt)
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   LEAST(64, n - chunk_idx * 64)::BIGINT AS n_tokens,
+                   array_to_string(
+                     list_slice(t, chunk_idx * 64 + 1,
+                                LEAST(n, chunk_idx * 64 + 64)), ' ')
+                       AS chunk_text
+            FROM idx
             """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies

@@ -233,6 +233,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     q["line_dedup"] = round(time.time() - t0, 3)
 
+    from riot_ray.pipelines import unigram_logprob
+
+    t0 = time.time()
+    unigram_logprob(docs.select_columns(["doc_id", "text"])).count()
+    q["unigram_logprob"] = round(time.time() - t0, 3)
+
     from riot_ray.pipelines import sessionize, tumbling_window_agg
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))

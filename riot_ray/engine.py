@@ -159,6 +159,18 @@ class _SearcherBase:
         keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
         from .config import FREQS_INDEX
 
+        if req.phrase and tokens:
+            from .tokenize import phrase_pattern
+
+            plan = ("phrase_search",
+                    dict(tokens=tokens, labels=labels, idfs=idfs,
+                         avgdl=float(avgdl),
+                         pattern=phrase_pattern(tokens, self.opts.mode),
+                         allow_ids=req.doc_ids,
+                         count_only=req.count_docs_only,
+                         dtype_name=self.opts.score_dtype),
+                    rank, keep, req.orderless, False)
+            return plan, resp
         use_wand = (
             req.approx_count
             and keep > 0
@@ -217,6 +229,27 @@ class _SearcherBase:
         keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
         from .config import FREQS_INDEX
 
+        if req.phrase and tokens:
+            from .tokenize import phrase_pattern
+
+            results = self._dispatch(
+                "phrase_search",
+                dict(
+                    tokens=tokens,
+                    labels=labels,
+                    idfs=idfs,
+                    avgdl=float(avgdl),
+                    pattern=phrase_pattern(tokens, self.opts.mode),
+                    allow_ids=req.doc_ids,
+                    count_only=req.count_docs_only,
+                    dtype_name=self.opts.score_dtype,
+                ),
+                req,
+                rank,
+                keep,
+                orderless=req.orderless,
+            )
+            return self._collect(results, req, rank, resp)
         use_wand = (
             req.approx_count
             and keep > 0

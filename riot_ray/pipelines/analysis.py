@@ -439,6 +439,267 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # --------------------------------------------------------------------------- #
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------- #
+def doc_freq_counts(ds, text_col: str = "text"):
+    """Document-frequency per token in the hash domain: Dataset of
+    ``(kh int64, df int64)``, df = number of DOCS containing the token.
+    Map side reduces each batch to per-doc-unique tokens then counts docs
+    per token (np.unique twice), so the shuffle carries vocabulary-sized
+    partials — the skew-free shape: a token in every doc still ships one
+    row per batch, never one row per doc."""
+    from .dedup import _join_parts
+
+    num_partitions = _join_parts(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _flatten_tokens(batch[text_col])
+        kh = _token_hashes(flat).view(np.int64)
+        # per-doc unique first (df counts docs, not occurrences)
+        order = np.lexsort((kh, parents))
+        ps, ks = parents[order], kh[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        uniq, cnt = np.unique(ks[first], return_counts=True)
+        part = (uniq.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"kh": pa.array(uniq, pa.int64()),
+                         "df": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        df = group["df"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kh, return_inverse=True)
+        tot = np.bincount(inv, weights=df, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"kh": pa.array(uniq, pa.int64()),
+                         "df": pa.array(tot, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
+def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Per-doc top-k keyword extraction by TF-IDF:
+    ``(id_col, term, tf, tfidf_micro, rank)`` with
+    ``tfidf_micro = tf * round(ln(N/df) * 1e6)`` (idf rounded to integer
+    micro-nats FIRST, then multiplied by the integer tf — so the score is
+    exact integer arithmetic and the SQL oracle hash-matches), ranked per
+    doc by (score desc, term asc), rank 1..k.  N = total input rows.
+
+    Scale shape mirrors :func:`unigram_logprob`: pass 1 =
+    :func:`doc_freq_counts` (vocab-sized, skew-free shuffle); pass 2
+    broadcasts the sorted (kh, idf_micro) table when the vocab fits
+    ``BROADCAST_BYTES`` — then the per-doc top-k is computed entirely
+    inside the map batch, NO second shuffle — else falls back to a
+    per-doc-unique (id, kh, term, tf) hash-join + per-doc groupby."""
+    import ray
+
+    from .dedup import BROADCAST_BYTES, _hash_join, _join_parts
+
+    counts = doc_freq_counts(ds, text_col=text_col).materialize()
+    n_docs = ds.count()
+    n_vocab = counts.count()
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "tfidf_micro": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    if not n_vocab:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def add_idf(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy(zero_copy_only=False)
+        idf = np.floor(
+            np.log(float(n_docs) / df.astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({"kh": batch["kh"], "idf": pa.array(idf, pa.int64())})
+
+    idf_ds = counts.map_batches(add_idf, batch_format="pyarrow")
+
+    def _doc_unique(batch: pa.Table):
+        """(ids, parents-of-unique-rows, kh, tf, term strings) per batch."""
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parents = _flatten_tokens(batch[text_col])
+        kh = _token_hashes(flat).view(np.int64)
+        order = np.lexsort((kh, parents))
+        ps, ks = parents[order], kh[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(order))).astype(np.int64)
+        terms = flat.take(pa.array(order[starts], pa.int64()))
+        return ids, ps[starts], ks[starts], tf, terms
+
+    def _rank_rows(ids, score, tf, terms, k):
+        """Sort rows by (doc, score desc, term asc), keep rank <= k."""
+        t_np = np.asarray(terms.to_pylist(), dtype=str)
+        order = np.lexsort((t_np, -score, ids))
+        di, si, ti, tfi = ids[order], score[order], t_np[order], tf[order]
+        new = np.r_[True, di[1:] != di[:-1]]
+        seg = np.flatnonzero(new)
+        rank = np.arange(len(di)) - np.repeat(seg, np.diff(np.append(seg, len(di)))) + 1
+        keep = rank <= k
+        return pa.table({id_col: pa.array(di[keep], pa.int64()),
+                         "term": pa.array(ti[keep].tolist(), pa.string()),
+                         "tf": pa.array(tfi[keep], pa.int64()),
+                         "tfidf_micro": pa.array(si[keep], pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64())})
+
+    if n_vocab * 16 <= BROADCAST_BYTES:
+        tabs = [t for t in ray.get(idf_ds.to_arrow_refs()) if t.num_rows]
+        it = pa.concat_tables(tabs).combine_chunks()
+        kh_all = it["kh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kh_all)
+        ref = ray.put((kh_all[order],
+                       it["idf"].to_numpy(zero_copy_only=False)[order]))
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            kh_s, idf_s = ray.get(ref)
+            ids, row_par, ks, tf, terms = _doc_unique(batch)
+            if not len(ks):
+                return empty
+            score = tf * idf_s[np.searchsorted(kh_s, ks)]
+            return _rank_rows(ids[row_par], score, tf, terms, k)
+
+        return ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # over the broadcast gate: per-doc-unique rows join the idf table on kh,
+    # then a per-doc groupby ranks.  A token present in most docs makes its
+    # kh partition hot in the join — documented skew point of this fallback.
+    num_partitions = _join_parts(None)
+
+    def occ(batch: pa.Table) -> pa.Table:
+        ids, row_par, ks, tf, terms = _doc_unique(batch)
+        return pa.table({id_col: pa.array(ids[row_par], pa.int64()),
+                         "kh": pa.array(ks, pa.int64()),
+                         "tf": pa.array(tf, pa.int64()),
+                         "term": terms})
+
+    occ_schema = pa.schema([(id_col, pa.int64()), ("kh", pa.int64()),
+                            ("tf", pa.int64()), ("term", pa.string())])
+    idf_schema = pa.schema([("kh", pa.int64()), ("idf", pa.int64())])
+    joined = _hash_join(ds.map_batches(occ, batch_format="pyarrow"), idf_ds,
+                        "kh", "kh", {"idf": "idf"}, num_partitions,
+                        left_schema=occ_schema, right_schema=idf_schema)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = (ids.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__dpart", pa.array(part, pa.int32()))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        score = tf * group["idf"].to_numpy(zero_copy_only=False)
+        terms = group["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        return _rank_rows(ids, score, tf, terms, k)
+
+    return (
+        joined.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# token-window chunking (training-sequence preparation)
+# --------------------------------------------------------------------------- #
+def chunk_docs(ds, text_col: str = "text", id_col: str = "doc_id",
+               chunk_tokens: int = 64, stride: int | None = None):
+    """Split each doc into token windows for training-sequence prep:
+    ``(id_col, chunk_idx, n_tokens, chunk_text)`` where chunk ``i`` covers
+    tokens ``[i*stride, i*stride + chunk_tokens)`` of the doc's token
+    stream and ``chunk_text`` re-joins them with single spaces (the
+    canonical form — original inter-token bytes are separators by
+    definition).  ``stride < chunk_tokens`` gives overlapping windows;
+    default is non-overlapping.  Docs with no tokens emit no chunks.
+
+    Map-only and fully vectorized: chunk membership is computed with
+    repeat/arange index arithmetic and the chunk strings are built by ONE
+    ``pc.binary_join`` over a ListArray view of the gathered tokens — no
+    Python loop over docs or chunks.  No shuffle; at 100 TB this stage
+    streams block-parallel like any other map."""
+    stride = stride or chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parents = _flatten_tokens(batch[text_col])
+        n_rows = len(ids)
+        n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        doc_start = np.r_[0, np.cumsum(n_tok)]  # parents is nondecreasing
+        n_chunks = -(-n_tok // stride)  # ceil; 0 tokens -> 0 chunks
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        doc_of = np.repeat(np.arange(n_rows), n_chunks)
+        cum = np.r_[0, np.cumsum(n_chunks)[:-1]]
+        chunk_idx = np.arange(total) - np.repeat(cum, n_chunks)
+        tok_start = doc_start[doc_of] + chunk_idx * stride
+        tok_len = np.minimum(chunk_tokens, n_tok[doc_of] - chunk_idx * stride)
+        offs = np.r_[0, np.cumsum(tok_len)]
+        gather = np.repeat(tok_start, tok_len) + (
+            np.arange(offs[-1]) - np.repeat(offs[:-1], tok_len)
+        )
+        vals = flat.take(pa.array(gather, pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        texts = pc.binary_join(la, " ")
+        return pa.table({id_col: pa.array(ids[doc_of], pa.int64()),
+                         "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                         "n_tokens": pa.array(tok_len, pa.int64()),
+                         "chunk_text": texts})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# distributed grep (regex code search over the corpus)
+# --------------------------------------------------------------------------- #
+def grep_search(ds, pattern: str, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Distributed grep: ``(id_col, n_matches)`` for every doc with at
+    least one non-overlapping RE2 match of ``pattern`` (Arrow and DuckDB
+    both use RE2, so ``length(regexp_extract_all(...))`` is the exact
+    oracle).  Map-only, zero-copy Arrow, no shuffle — the complement to
+    BM25 search for the exact-pattern queries code corpora live on."""
+    def scan(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        cnt = (
+            pc.count_substring_regex(texts, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = cnt > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "n_matches": pa.array(cnt[keep], pa.int64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
 # JSON field extraction (semi-structured props columns)
 # --------------------------------------------------------------------------- #
 def extract_json_int(

@@ -129,6 +129,17 @@ class HitBlock:
             np.empty(0, np.uint64), np.empty(0, object), np.empty(0, np.float64)
         )
 
+    def take(self, mask: np.ndarray) -> "HitBlock":
+        idx = np.flatnonzero(mask)
+        return HitBlock(
+            self.doc[idx],
+            self.doc_id[idx],
+            self.bm25[idx],
+            self.proximity[idx] if self.proximity is not None else None,
+            [self.snippet[i] for i in idx] if self.snippet is not None else None,
+            [self.token_locs[i] for i in idx] if self.token_locs is not None else None,
+        )
+
     def hit_at(self, i: int) -> ScoredHit:
         return ScoredHit(
             doc_id=self.doc_id[i],
@@ -366,6 +377,46 @@ class ShardData:
                     snippet[i] = sn
                     tlocs[i] = tuple(tuple(x) for x in locs)
         return HitBlock(cand, doc_ids, np.asarray(bm25, np.float64), prox, snippet, tlocs), num_docs
+
+    def phrase_search(self, tokens, labels, idfs, avgdl, pattern,
+                      allow_ids=None, count_only=False, dtype_name="float32"):
+        """Exact-phrase lookup: the regular AND+BM25 kernel prunes to docs
+        containing every token, then the phrase is verified exactly by one
+        vectorized RE2 match over the candidates' hydrated content (built
+        by :func:`riot_ray.tokenize.phrase_pattern`, whose docstring argues
+        why regex-on-text == token-stream adjacency for the supported
+        modes).  Byte positions alone cannot verify adjacency — the gap
+        between two matched positions may contain another token — so the
+        content column is the verifier, not the positions."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        content_col = self.opts.content_col
+        if content_col not in self.hydrate_cols:
+            raise ValueError(
+                "phrase search needs hydrated content: build the searcher "
+                "with hydrate=True over an index with store_content=True"
+            )
+        hits, _ = self.search(
+            tokens, labels, idfs, avgdl, allow_ids=allow_ids,
+            count_only=False, dtype_name=dtype_name,
+        )
+        if len(hits) == 0:
+            return HitBlock.empty(), 0
+        rows = np.searchsorted(self.fw_doc, hits.doc)
+        texts = pa.array(
+            [t if t is not None else "" for t in self.hydrate_cols[content_col][rows]],
+            pa.string(),
+        )
+        mask = (
+            pc.match_substring_regex(pc.utf8_lower(texts), pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        n = int(mask.sum())
+        if count_only:
+            return HitBlock.empty(), n
+        return hits.take(mask), n
 
     def logic_search(self, must, should, not_in, allow_ids, count_only):
         """LogicLookup semantics (/root/reference/core/indexer.go:560-685):

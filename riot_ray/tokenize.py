@@ -48,6 +48,26 @@ _CAMEL_RE = re.compile(
 )
 
 
+def phrase_pattern(tokens: list, mode: str) -> str:
+    """RE2 pattern (applied to lowercased content) that holds iff ``tokens``
+    appear consecutively in the token stream of ``mode``.  Exactness depends
+    on every maximal token being one text run: in simple mode any alnum run
+    is a token, so "only separators between occurrences" == "adjacent in the
+    token stream"; in space mode tokens are the single-space split fields.
+    Other modes (code identifier expansion, dict segmentation) have
+    zero-width intra-token boundaries, where no text regex can express
+    adjacency — rejected explicitly."""
+    if mode == "simple":
+        sep, left, right = "[^a-z0-9]+", "(?:^|[^a-z0-9])", "(?:[^a-z0-9]|$)"
+    elif mode == "space":
+        sep, left, right = " ", "(?:^| )", "(?: |$)"
+    else:
+        raise ValueError(
+            f"phrase search supports modes 'simple' and 'space', not {mode!r}"
+        )
+    return left + sep.join(re.escape(t) for t in tokens) + right
+
+
 def split_identifier(ident: str) -> list[str]:
     """Expansion list for one identifier in ``code`` mode: lowercased whole
     identifier first, then distinct lowercased sub-tokens when splitting on

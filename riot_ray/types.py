@@ -64,6 +64,12 @@ class SearchReq:
     # the number of docs actually scored (pruned blocks are never counted).
     # riot has no analog — its Lookup always scores every hit.
     approx_count: bool = False
+    # exact-phrase search: query tokens must appear consecutively in the
+    # document (only separator characters between them).  Postings AND
+    # prunes candidates; hydrated content verifies exactly.  Requires a
+    # searcher built with hydrate=True and modes 'simple' or 'space'.
+    # riot has no phrase operator — this extends its AND semantics.
+    phrase: bool = False
 
 
 @dataclass

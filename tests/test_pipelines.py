@@ -1870,3 +1870,126 @@ def test_unigram_logprob_join_path_matches_broadcast(docs_ds, monkeypatch):
     assert (base["logprob_micro"].to_numpy()
             == joined["logprob_micro"].to_numpy()).all()
     assert (base["n_tokens"].to_numpy() == joined["n_tokens"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------- #
+# TF-IDF keyword extraction + distributed grep
+# ---------------------------------------------------------------------------- #
+_TFIDF_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+      FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             tf.tf * CAST(FLOOR(ln((SELECT nd FROM n) / df.df) * 1000000 + 0.5)
+                          AS BIGINT) AS s
+      FROM tf JOIN df ON tf.tok = df.tok),
+    ranked AS (
+      SELECT doc_id, tok, tf, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS rn
+      FROM scored)
+    SELECT doc_id, tok AS term, tf, s AS tfidf_micro, rn::BIGINT AS "rank"
+    FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
+def _tfidf_frame(docs_ds):
+    from riot_ray.pipelines import tfidf_topk
+
+    return (
+        tfidf_topk(docs_ds.select_columns(["doc_id", "text"]), k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_tfidf_topk_matches_sql(docs_ds):
+    got = _tfidf_frame(docs_ds)
+    exp = _duck(_TFIDF_SQL).to_pandas()
+    assert len(got) == len(exp)
+    for c in ("doc_id", "tf", "tfidf_micro", "rank"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["term"] == exp["term"]).all()
+
+
+def test_tfidf_topk_join_path_matches_broadcast(docs_ds, monkeypatch):
+    import riot_ray.pipelines.dedup as dd
+
+    base = _tfidf_frame(docs_ds)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force the hash-join path
+    joined = _tfidf_frame(docs_ds)
+    assert len(base) == len(joined)
+    for c in ("doc_id", "tf", "tfidf_micro", "rank"):
+        assert (base[c].to_numpy() == joined[c].to_numpy()).all(), c
+    assert (base["term"] == joined["term"]).all()
+
+
+def test_grep_search_matches_sql(docs_ds):
+    from riot_ray.pipelines import grep_search
+
+    pat = r"(fast|slow) (scan|merge)"
+    got = (
+        grep_search(docs_ds.select_columns(["doc_id", "text"]), pat)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(f"""
+        SELECT doc_id::BIGINT AS doc_id,
+               length(regexp_extract_all(text, '{pat}'))::BIGINT AS n_matches
+        FROM documents WHERE regexp_matches(text, '{pat}') ORDER BY 1
+    """).to_pandas()
+    assert len(got) == len(exp) > 0
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["n_matches"].to_numpy() == exp["n_matches"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------- #
+# token-window chunking
+# ---------------------------------------------------------------------------- #
+def _chunk_sql(w, s):
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+      FROM documents),
+    nt AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks WHERE len(t) > 0),
+    idx AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, CAST(ceil(n / {s}.0) AS BIGINT))) AS chunk_idx
+      FROM nt)
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           LEAST({w}, n - chunk_idx * {s})::BIGINT AS n_tokens,
+           array_to_string(list_slice(t, chunk_idx * {s} + 1,
+                                      LEAST(n, chunk_idx * {s} + {w})), ' ')
+               AS chunk_text
+    FROM idx ORDER BY doc_id, chunk_idx
+    """
+
+
+@pytest.mark.parametrize("w,s", [(64, 64), (32, 16)])
+def test_chunk_docs_matches_sql(docs_ds, w, s):
+    from riot_ray.pipelines import chunk_docs
+
+    got = (
+        chunk_docs(docs_ds.select_columns(["doc_id", "text"]),
+                   chunk_tokens=w, stride=s)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    exp = _duck(_chunk_sql(w, s)).to_pandas()
+    assert len(got) == len(exp) > 0
+    for c in ("doc_id", "chunk_idx", "n_tokens"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["chunk_text"] == exp["chunk_text"]).all()
+    # overlap sanity: stride<w repeats tokens across consecutive chunks
+    if s < w:
+        assert (got.groupby("doc_id")["n_tokens"].sum().to_numpy()
+                >= exp.groupby("doc_id")["n_tokens"].sum().to_numpy()).all()

@@ -259,6 +259,13 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Bigram conditional-LM scoring (micro-nat integers, exact oracle)."""
+    from riot_ray.pipelines import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_quality(sf_dir: str):
     from riot_ray.pipelines import quality_score
 
@@ -838,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
@@ -1022,8 +1030,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.doc_id,
                    count(*)::BIGINT AS n_tokens,
                    sum(m.micro)::BIGINT AS logprob_micro,
-                   ROUND(sum(m.micro) / 1000000.0 / count(*), 6) AS logprob_mean
+                   sum(m.micro)::DOUBLE / 1000000.0 / count(*) AS logprob_mean
             FROM occ o JOIN m ON o.tok = m.tok
+            GROUP BY o.doc_id
+            """,
+        "bigram_logprob": f"""
+            WITH {_TOKS},
+            nt AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks
+                   WHERE len(t) >= 2),
+            occ2 AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM nt, unnest(range(1, n)) AS r(i)),
+            c2 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+                   FROM occ2 GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM occ2 GROUP BY 1),
+            m AS (
+              SELECT c2.w1, c2.w2,
+                     CAST(FLOOR(ln(c2.c12 / c1.c1::DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS micro
+              FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+            SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(m.micro)::BIGINT AS logprob_micro,
+                   sum(m.micro)::DOUBLE / 1000000.0 / count(*)
+                       AS logprob_mean
+            FROM occ2 o JOIN m ON o.w1 = m.w1 AND o.w2 = m.w2
             GROUP BY o.doc_id
             """,
         "search_phrase": f"""

@@ -319,7 +319,8 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     ``(id_col, n_tokens, logprob_micro, logprob_mean)`` where each token
     occurrence contributes ``round(ln(cnt/N) * 1e6)`` micro-nats
     (integer, so per-doc sums are order-independent and the SQL oracle
-    hash-matches exactly); ``logprob_mean = round(micro/1e6/n, 6)`` nats
+    hash-matches exactly); ``logprob_mean = micro/1e6/n`` nats (exact chained double division,
+    bit-identical to the SQL oracle's)
     per token (perplexity = exp(-logprob_mean)).  Docs with no tokens drop
     out, matching the SQL occurrence join.
 
@@ -355,7 +356,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     micro_ds = counts.map_batches(add_micro, batch_format="pyarrow")
 
     def finish(ids: np.ndarray, n_tok: np.ndarray, lp: np.ndarray) -> pa.Table:
-        mean = np.round(lp / 1e6 / np.maximum(n_tok, 1), 6)
+        mean = lp / 1e6 / np.maximum(n_tok, 1)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "n_tokens": pa.array(n_tok, pa.int64()),
                          "logprob_micro": pa.array(lp, pa.int64()),
@@ -430,6 +431,219 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         lp = np.bincount(inv, weights=tf * m.astype(np.float64),
                          minlength=len(uniq)).astype(np.int64)
         return finish(uniq, n_tok, lp)
+
+    return (
+        joined.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+
+def _bigram_stream(batch_texts):
+    """(kg rolled-bigram hashes, k1 first-token hashes, parents) for every
+    within-doc bigram occurrence of a batch — the FNV-over-md5 chain shared
+    with the n-gram dedup kernels."""
+    flat, parents = _flatten_tokens(batch_texts)
+    h = _token_hashes(flat)
+    if len(h) < 2:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, parents.dtype)
+    valid = parents[1:] == parents[:-1]
+    kg = ((h[:-1] * np.uint64(1099511628211)) ^ h[1:]).view(np.int64)[valid]
+    k1 = h[:-1].view(np.int64)[valid]
+    return kg, k1, parents[:-1][valid]
+
+
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc bigram-LM score under the corpus's OWN bigram MLE:
+    ``(id_col, n_bigrams, logprob_micro, logprob_mean)`` where each bigram
+    occurrence (w1, w2) contributes ``round(ln(c12 / c1) * 1e6)``
+    micro-nats — c12 = corpus count of the bigram, c1 = corpus count of w1
+    as a bigram PREFIX (so probabilities per prefix sum to 1 and c1 derives
+    from the bigram table itself, no second corpus pass).  Integer token
+    scores make per-doc sums order-independent; the SQL oracle hash-matches
+    exactly.  Docs with < 2 tokens drop out.  The bigram analog of
+    :func:`unigram_logprob` — conditional perplexity separates fluent text
+    from word salad where unigram frequency cannot.
+
+    Scale shape: one corpus pass of per-batch-unique (kg, c) partials
+    (vocab²-bounded shuffle), prefix counts by a second SMALL groupby over
+    that table, then the same size-gated scoring as unigram: broadcast the
+    sorted (kg, micro) pairs under ``BROADCAST_BYTES``, else hash-join
+    per-doc (kg, tf) rows — per-doc state never centralizes."""
+    import ray
+
+    from .dedup import BROADCAST_BYTES, _hash_join, _join_parts
+
+    num_partitions = _join_parts(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kg, k1, _parents = _bigram_stream(batch[text_col])
+        order = np.argsort(kg)
+        kgs = kg[order]
+        first = np.r_[True, kgs[1:] != kgs[:-1]]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(kgs)))
+        part = (kgs[starts].view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"kg": pa.array(kgs[starts], pa.int64()),
+                         "k1": pa.array(k1[order][starts], pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def reduce_kg(group: pa.Table) -> pa.Table:
+        kg = group["kg"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kg, return_inverse=True)
+        tot = np.bincount(inv, weights=c, minlength=len(uniq)).astype(np.int64)
+        first = np.zeros(len(uniq), np.int64)
+        first[inv[::-1]] = np.arange(len(kg) - 1, -1, -1)  # any row of each kg
+        k1 = group["k1"].to_numpy(zero_copy_only=False)[first]
+        return pa.table({"kg": pa.array(uniq, pa.int64()),
+                         "k1": pa.array(k1, pa.int64()),
+                         "c12": pa.array(tot, pa.int64())})
+
+    cnt2 = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_kg, batch_format="pyarrow")
+        .materialize()
+    )
+    n_bigram_types = cnt2.count()
+    if not n_bigram_types:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob_micro": pa.array([], pa.int64()),
+            "logprob_mean": pa.array([], pa.float64()),
+        }))
+
+    # prefix counts c1 = sum of c12 per k1 — a second groupby over the
+    # (small) distinct-bigram table, not over the corpus
+    def tag_k1(batch: pa.Table) -> pa.Table:
+        k1 = batch["k1"].to_numpy(zero_copy_only=False)
+        part = (k1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"k1": batch["k1"], "c12": batch["c12"],
+                         "__part": pa.array(part, pa.int32())})
+
+    def reduce_k1(group: pa.Table) -> pa.Table:
+        k1 = group["k1"].to_numpy(zero_copy_only=False)
+        c = group["c12"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k1, return_inverse=True)
+        tot = np.bincount(inv, weights=c, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"k1": pa.array(uniq, pa.int64()),
+                         "c1": pa.array(tot, pa.int64())})
+
+    cnt1 = (
+        cnt2.map_batches(tag_k1, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_k1, batch_format="pyarrow")
+    )
+
+    # micro(kg) = round(ln(c12/c1) * 1e6): attach c1 to cnt2 on k1,
+    # size-gated like every payload join in pipelines/
+    n_vocab = cnt1.count()
+
+    def _micro_table(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        micro = np.floor(
+            np.log(c12.astype(np.float64) / c1.astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({"kg": batch["kg"], "micro": pa.array(micro, pa.int64())})
+
+    if n_vocab * 16 <= BROADCAST_BYTES:
+        tabs = [t for t in ray.get(cnt1.to_arrow_refs()) if t.num_rows]
+        ct = pa.concat_tables(tabs).combine_chunks()
+        k1_all = ct["k1"].to_numpy(zero_copy_only=False)
+        o = np.argsort(k1_all)
+        c1_ref = ray.put((k1_all[o], ct["c1"].to_numpy(zero_copy_only=False)[o]))
+
+        def attach_c1(batch: pa.Table) -> pa.Table:
+            k1_s, c1_s = ray.get(c1_ref)
+            k1 = batch["k1"].to_numpy(zero_copy_only=False)
+            c1 = c1_s[np.searchsorted(k1_s, k1)]
+            return _micro_table(batch.append_column("c1", pa.array(c1, pa.int64())))
+
+        micro_ds = cnt2.map_batches(attach_c1, batch_format="pyarrow")
+    else:
+        cnt2_schema = pa.schema([("kg", pa.int64()), ("k1", pa.int64()),
+                                 ("c12", pa.int64())])
+        cnt1_schema = pa.schema([("k1", pa.int64()), ("c1", pa.int64())])
+        micro_ds = _hash_join(cnt2, cnt1, "k1", "k1", {"c1": "c1"},
+                              num_partitions, left_schema=cnt2_schema,
+                              right_schema=cnt1_schema
+                              ).map_batches(_micro_table, batch_format="pyarrow")
+
+    def finish(ids, n_bi, lp):
+        mean = lp / 1e6 / np.maximum(n_bi, 1)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(n_bi, pa.int64()),
+                         "logprob_micro": pa.array(lp, pa.int64()),
+                         "logprob_mean": pa.array(mean, pa.float64())})
+
+    if n_bigram_types * 16 <= BROADCAST_BYTES:
+        tabs = [t for t in ray.get(micro_ds.to_arrow_refs()) if t.num_rows]
+        mt = pa.concat_tables(tabs).combine_chunks()
+        kg_all = mt["kg"].to_numpy(zero_copy_only=False)
+        o = np.argsort(kg_all)
+        ref = ray.put((kg_all[o], mt["micro"].to_numpy(zero_copy_only=False)[o]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            kg_s, micro_s = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            kg, _k1, parents = _bigram_stream(batch[text_col])
+            m = micro_s[np.searchsorted(kg_s, kg)]
+            n_rows = len(ids)
+            n_bi = np.bincount(parents, minlength=n_rows).astype(np.int64)
+            lp = np.bincount(parents, weights=m.astype(np.float64),
+                             minlength=n_rows).astype(np.int64)
+            keep = n_bi > 0
+            return finish(ids[keep], n_bi[keep], lp[keep])
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # over the gate: per-doc unique (kg, tf) rows join micro, reduce per doc
+    def occ(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        kg, _k1, parents = _bigram_stream(batch[text_col])
+        order = np.lexsort((kg, parents))
+        ps, ks = parents[order], kg[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(order)))
+        return pa.table({id_col: pa.array(ids[ps[starts]], pa.int64()),
+                         "kg": pa.array(ks[starts], pa.int64()),
+                         "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+    occ_schema = pa.schema([(id_col, pa.int64()), ("kg", pa.int64()),
+                            ("tf", pa.int64())])
+    micro_schema = pa.schema([("kg", pa.int64()), ("micro", pa.int64())])
+    joined = _hash_join(ds.map_batches(occ, batch_format="pyarrow"), micro_ds,
+                        "kg", "kg", {"micro": "micro"}, num_partitions,
+                        left_schema=occ_schema, right_schema=micro_schema)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = (ids.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__dpart", pa.array(part, pa.int32()))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return finish(np.empty(0, np.int64), np.empty(0, np.int64),
+                          np.empty(0, np.int64))
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        m = group["micro"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n_bi = np.bincount(inv, weights=tf, minlength=len(uniq)).astype(np.int64)
+        lp = np.bincount(inv, weights=tf * m.astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        return finish(uniq, n_bi, lp)
 
     return (
         joined.map_batches(tag_doc, batch_format="pyarrow")

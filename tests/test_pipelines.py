@@ -1824,7 +1824,7 @@ _UNIGRAM_SQL = """
       FROM cnt)
     SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
            sum(m.micro)::BIGINT AS logprob_micro,
-           ROUND(sum(m.micro) / 1000000.0 / count(*), 6) AS logprob_mean
+           sum(m.micro)::DOUBLE / 1000000.0 / count(*) AS logprob_mean
     FROM occ o JOIN m ON o.tok = m.tok
     GROUP BY o.doc_id ORDER BY o.doc_id
 """
@@ -1993,3 +1993,64 @@ def test_chunk_docs_matches_sql(docs_ds, w, s):
     if s < w:
         assert (got.groupby("doc_id")["n_tokens"].sum().to_numpy()
                 >= exp.groupby("doc_id")["n_tokens"].sum().to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------- #
+# bigram LM scoring
+# ---------------------------------------------------------------------------- #
+_BIGRAM_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+      FROM documents),
+    nt AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks WHERE len(t) >= 2),
+    occ2 AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM nt, unnest(range(1, n)) AS r(i)),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM occ2 GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM occ2 GROUP BY 1),
+    m AS (
+      SELECT c2.w1, c2.w2,
+             CAST(FLOOR(ln(c2.c12 / c1.c1::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                 AS micro
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+    SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(m.micro)::BIGINT AS logprob_micro,
+           sum(m.micro)::DOUBLE / 1000000.0 / count(*) AS logprob_mean
+    FROM occ2 o JOIN m ON o.w1 = m.w1 AND o.w2 = m.w2
+    GROUP BY o.doc_id ORDER BY o.doc_id
+"""
+
+
+def _bigram_frame(docs_ds):
+    from riot_ray.pipelines import bigram_logprob
+
+    return (
+        bigram_logprob(docs_ds.select_columns(["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_bigram_logprob_matches_sql(docs_ds):
+    got = _bigram_frame(docs_ds)
+    exp = _duck(_BIGRAM_SQL).to_pandas()
+    assert len(got) == len(exp) > 0
+    for c in ("doc_id", "n_bigrams", "logprob_micro"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["logprob_mean"], exp["logprob_mean"], atol=1e-9)
+    # conditional probabilities: every score <= 0; repeated-bigram docs
+    # score higher (closer to 0) than the corpus alone would predict
+    assert (got["logprob_mean"] <= 0).all()
+
+
+def test_bigram_logprob_join_path_matches_broadcast(docs_ds, monkeypatch):
+    import riot_ray.pipelines.dedup as dd
+
+    base = _bigram_frame(docs_ds)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force both join paths
+    joined = _bigram_frame(docs_ds)
+    assert len(base) == len(joined)
+    for c in ("doc_id", "n_bigrams", "logprob_micro"):
+        assert (base[c].to_numpy() == joined[c].to_numpy()).all(), c

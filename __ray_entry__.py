@@ -771,6 +771,13 @@ def _q_chunk_docs(sf_dir: str):
                       chunk_tokens=64)
 
 
+def _q_pack_sequences(sf_dir: str):
+    from riot_ray.pipelines import pack_sequences
+
+    return pack_sequences(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                          budget_tokens=2048, n_buckets=8)
+
+
 def _q_multimodal(sf_dir: str):
     from riot_ray.pipelines import decode_media, make_fake_media
     import ray.data as rd
@@ -841,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "grep_search": _q_grep_search,
         "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
         # training-data extensions
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -1088,6 +1096,32 @@ def oracle_sql() -> dict[str, str]:
                        AS n_matches
             FROM documents
             WHERE regexp_matches(text, '{GREP_PATTERN}')
+            """,
+        "pack_sequences": f"""
+            WITH RECURSIVE {_TOKS},
+            nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                          (doc_id % 8)::BIGINT AS bucket
+                   FROM toks),
+            ord AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                                 ORDER BY doc_id) AS rn
+                    FROM nt),
+            pack AS (
+              SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin,
+                     0::BIGINT AS seq_pos, n_tokens AS filled
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.filled + o.n_tokens > 2048 AND p.filled > 0
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.filled + o.n_tokens > 2048 AND p.filled > 0
+                          THEN 0 ELSE p.seq_pos + 1 END,
+                     CASE WHEN p.filled + o.n_tokens > 2048 AND p.filled > 0
+                          THEN o.n_tokens ELSE p.filled + o.n_tokens END
+              FROM ord o JOIN pack p
+                ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+            SELECT doc_id, n_tokens, bucket,
+                   bucket * (1::BIGINT << 40) + bin AS seq_id, seq_pos
+            FROM pack
             """,
         "chunk_docs": f"""
             WITH {_TOKS},

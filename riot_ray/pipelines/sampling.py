@@ -288,3 +288,80 @@ def top_k_per_group(
         return batch.filter(pa.array(np.asarray(mask, bool)))
 
     return ds.map_batches(filter_rows, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+):
+    """Greedy first-fit-in-order packing of docs into token-budget training
+    sequences: ``(id_col, n_tokens, bucket, seq_id, seq_pos)`` where docs
+    are packed in ``id`` order within ``bucket = id % n_buckets``, a doc
+    opens a new sequence iff it would overflow ``budget_tokens`` and the
+    current sequence is non-empty (an oversized doc gets its own
+    sequence), ``seq_id = bucket * 2^40 + local_bin`` is globally unique,
+    and ``seq_pos`` is the doc's position within its sequence.
+
+    Packing is a sequential recurrence, so it cannot be a global
+    vectorized pass; the bucket IS the documented parallel unit — the
+    greedy loop runs per bucket (plain integer ops, O(rows)), buckets run
+    concurrently, and the modulo bucket key keeps the rule reproducible
+    across cluster sizes and SQL-expressible (a recursive CTE replays the
+    same recurrence).  Token counts use the shared ``[^a-z0-9]+`` split."""
+    import pyarrow.compute as pc
+
+    from .analysis import _flatten_tokens
+
+    if budget_tokens <= 0 or n_buckets <= 0:
+        raise ValueError("budget_tokens and n_buckets must be positive")
+
+    def count(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _flat, parents = _flatten_tokens(batch[text_col])
+        n_tok = np.bincount(parents, minlength=len(ids)).astype(np.int64)
+        bucket = (ids % n_buckets).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64()),
+                             "seq_pos": pa.array([], pa.int64())})
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        n_tok = group["n_tokens"].to_numpy(zero_copy_only=False)
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, n_tok, bucket = ids[order], n_tok[order], bucket[order]
+        bins = np.empty(len(ids), np.int64)
+        pos = np.empty(len(ids), np.int64)
+        filled = 0
+        b = 0
+        p = 0
+        for i, n in enumerate(n_tok.tolist()):  # sequential recurrence
+            if filled + n > budget_tokens and filled > 0:
+                b += 1
+                filled = 0
+                p = 0
+            bins[i] = b
+            pos[i] = p
+            p += 1
+            filled += n
+        seq_id = bucket * (1 << 40) + bins
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64()),
+                         "seq_id": pa.array(seq_id, pa.int64()),
+                         "seq_pos": pa.array(pos, pa.int64())})
+
+    return (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pyarrow")
+    )

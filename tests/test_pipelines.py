@@ -2054,3 +2054,57 @@ def test_bigram_logprob_join_path_matches_broadcast(docs_ds, monkeypatch):
     assert len(base) == len(joined)
     for c in ("doc_id", "n_bigrams", "logprob_micro"):
         assert (base[c].to_numpy() == joined[c].to_numpy()).all(), c
+
+
+# ---------------------------------------------------------------------------- #
+# greedy token-budget sequence packing
+# ---------------------------------------------------------------------------- #
+def _pack_sql(budget, nb):
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+      FROM documents),
+    nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                  (doc_id % {nb})::BIGINT AS bucket FROM toks),
+    ord AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                      AS rn FROM nt),
+    pack AS (
+      SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin,
+             0::BIGINT AS seq_pos, n_tokens AS filled
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.filled + o.n_tokens > {budget} AND p.filled > 0
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.filled + o.n_tokens > {budget} AND p.filled > 0
+                  THEN 0 ELSE p.seq_pos + 1 END,
+             CASE WHEN p.filled + o.n_tokens > {budget} AND p.filled > 0
+                  THEN o.n_tokens ELSE p.filled + o.n_tokens END
+      FROM ord o JOIN pack p ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+    SELECT doc_id, n_tokens, bucket,
+           bucket * (1::BIGINT << 40) + bin AS seq_id, seq_pos
+    FROM pack ORDER BY doc_id
+    """
+
+
+@pytest.mark.parametrize("budget", [2048, 100])
+def test_pack_sequences_matches_sql(docs_ds, budget):
+    from riot_ray.pipelines import pack_sequences
+
+    got = (
+        pack_sequences(docs_ds.select_columns(["doc_id", "text"]),
+                       budget_tokens=budget, n_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(_pack_sql(budget, 8)).to_pandas()
+    assert len(got) == len(exp) > 0
+    for c in ("doc_id", "n_tokens", "bucket", "seq_id", "seq_pos"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # every sequence respects the budget unless it is a single oversized doc
+    g = got.groupby("seq_id").agg(total=("n_tokens", "sum"),
+                                  n=("n_tokens", "size"))
+    bad = g[(g["total"] > budget) & (g["n"] > 1)]
+    assert len(bad) == 0

@@ -771,6 +771,15 @@ def _q_chunk_docs(sf_dir: str):
                       chunk_tokens=64)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Streaming-sufficient-statistics PCA + projection (floats: rows-only
+    driver check; the exact numpy oracle is pinned in pytest)."""
+    from riot_ray.pipelines import embedding_pca_fit, embedding_pca_transform
+
+    comps, _vals, mean = embedding_pca_fit(_emb(sf_dir), k=8)
+    return embedding_pca_transform(_emb(sf_dir), comps, mean)
+
+
 def _q_pack_sequences(sf_dir: str):
     from riot_ray.pipelines import pack_sequences
 
@@ -849,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_search": _q_grep_search,
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
+        "embedding_pca": _q_embedding_pca,
         # training-data extensions
         "token_stats": _q_token_stats,
         "quality": _q_quality,

@@ -537,3 +537,72 @@ def knn_ivf_query(
         tbl["cosine_raw"].to_numpy(zero_copy_only=False),
         k,
     )
+
+
+# --------------------------------------------------------------------------- #
+# PCA over the embedding column (dimension reduction before LSH/IVF)
+# --------------------------------------------------------------------------- #
+def embedding_pca_fit(ds, k: int = 8, emb_col: str = "embedding"):
+    """Fit PCA on an embedding column in ONE streaming pass: every batch
+    emits the sufficient statistics ``(n, sum(x), X^T X)`` — d + d² floats
+    per BATCH, independent of row count — and the driver reduces those tiny
+    partials and eigendecomposes the d×d covariance (d is model width,
+    64-1024; d² doubles fit any driver).  Returns
+    ``(components [k, d], eigvals [k], mean [d])`` with a deterministic
+    sign convention (largest-|coefficient| element of each component is
+    positive).  The corpus itself never centralizes."""
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        g = X.T @ X
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0)], pa.list_(pa.float64())),
+            "g": pa.array([g.reshape(-1)], pa.list_(pa.float64())),
+        })
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+    ) if t.num_rows]
+    n = sum(int(x) for t in parts for x in t["n"].to_pylist())
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    d = len(parts[0]["s"][0])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for t in parts:
+        for row in t["s"].to_pylist():
+            s += np.asarray(row)
+        for row in t["g"].to_pylist():
+            g += np.asarray(row).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # [k, d]
+    flip = comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    return comps, vals[order], mean
+
+
+def embedding_pca_transform(ds, components: np.ndarray, mean: np.ndarray,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding"):
+    """Project the embedding column onto fitted components:
+    ``(id_col, proj list<float>)``.  Components broadcast once via
+    ``ray.put``; each batch is one centered matmul — the map-only shape."""
+    import ray
+
+    ref = ray.put((np.ascontiguousarray(components.T), mean))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ct, mu = ray.get(ref)
+        X = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        P = (X - mu) @ ct
+        return pa.table({
+            id_col: batch[id_col],
+            "proj": pa.array(list(P.astype(np.float32)), pa.list_(pa.float32())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -2108,3 +2108,43 @@ def test_pack_sequences_matches_sql(docs_ds, budget):
                                   n=("n_tokens", "size"))
     bad = g[(g["total"] > budget) & (g["n"] > 1)]
     assert len(bad) == 0
+
+
+# ---------------------------------------------------------------------------- #
+# embedding PCA (streaming sufficient statistics vs numpy on the full matrix)
+# ---------------------------------------------------------------------------- #
+def test_embedding_pca_matches_numpy(emb_ds):
+    import pyarrow.parquet as pq
+    from riot_ray.pipelines import embedding_pca_fit, embedding_pca_transform
+
+    comps, vals, mean = embedding_pca_fit(emb_ds, k=8)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref = evecs[:, order].T
+    flip = ref[np.arange(8), np.abs(ref).argmax(axis=1)] < 0
+    ref[flip] *= -1.0
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(vals, evals[order], atol=1e-7)
+    assert (np.diff(vals) <= 1e-12).all()  # descending variance
+    assert np.allclose(comps, ref, atol=1e-6)
+
+    out = (
+        embedding_pca_transform(emb_ds, comps, mean)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    P = np.stack(out["proj"].to_numpy())
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    ref_p = (X[np.argsort(ids)] - mu) @ ref.T
+    assert P.shape == (len(X), 8)
+    assert np.allclose(P, ref_p, atol=1e-4)  # float32 projection
+    # top component carries the most variance in the projected data too
+    pv = P.var(axis=0)
+    assert (np.diff(pv) <= 1e-6).all()

@@ -259,6 +259,14 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    from riot_ray.pipelines import perplexity_buckets
+
+    return perplexity_buckets(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n_buckets=10
+    )
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Bigram conditional-LM scoring (micro-nat integers, exact oracle)."""
     from riot_ray.pipelines import bigram_logprob
@@ -864,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "perplexity_buckets": _q_perplexity_buckets,
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
@@ -1051,6 +1060,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(m.micro)::DOUBLE / 1000000.0 / count(*) AS logprob_mean
             FROM occ o JOIN m ON o.tok = m.tok
             GROUP BY o.doc_id
+            """,
+        "perplexity_buckets": f"""
+            WITH {_TOKS},
+            occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM occ),
+            m AS (
+              SELECT tok,
+                     CAST(FLOOR(ln(c / (SELECT n FROM tot)::DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS micro
+              FROM cnt),
+            sc AS (SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+                          sum(m.micro)::BIGINT AS micro
+                   FROM occ o JOIN m ON o.tok = m.tok GROUP BY o.doc_id),
+            k AS (SELECT doc_id, n_tokens,
+                         CAST(FLOOR(micro * 1000.0 / n_tokens) AS BIGINT)
+                             AS ppl_key
+                  FROM sc),
+            th AS (SELECT unnest(quantile_disc(ppl_key,
+                                 [x / 10.0 for x in range(1, 10)])) AS v
+                   FROM k)
+            SELECT doc_id, n_tokens, ppl_key,
+                   (SELECT count(*) FROM th WHERE th.v < k.ppl_key)::BIGINT
+                       AS bucket
+            FROM k
             """,
         "bigram_logprob": f"""
             WITH {_TOKS},

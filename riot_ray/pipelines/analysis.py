@@ -652,6 +652,48 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def perplexity_buckets(ds, n_buckets: int = 10, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """CCNet's signature move: bucket the corpus by LM score so training
+    recipes can sample by quality band.  Returns
+    ``(id_col, n_tokens, ppl_key, bucket)`` where ``ppl_key =
+    floor(logprob_micro * 1000 / n_tokens)`` is the per-token score in
+    integer nano-nats (exact identical double ops on both sides) and
+    ``bucket = #{thresholds < ppl_key}`` for the n_buckets-1 exact
+    ``quantile_disc`` thresholds of ppl_key — near-equal bands, fully
+    deterministic, hash-exact against the same formula in SQL.
+
+    Scale shape: :func:`unigram_logprob` (vocab shuffle + streamed
+    scoring) → :func:`exact_quantiles` (histogram passes, no global sort)
+    → one broadcast of n_buckets-1 thresholds.  Nothing centralizes."""
+    import ray
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = unigram_logprob(ds, text_col=text_col, id_col=id_col)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        micro = batch["logprob_micro"].to_numpy(zero_copy_only=False)
+        n_tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        key = np.floor(micro.astype(np.float64) * 1000.0 / n_tok).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "n_tokens": batch["n_tokens"],
+                         "ppl_key": pa.array(key, pa.int64())})
+
+    keyed = scored.map_batches(add_key, batch_format="pyarrow").materialize()
+    qs = tuple(j / n_buckets for j in range(1, n_buckets))
+    th_tab = exact_quantiles(keyed, "ppl_key", qs=qs)
+    th = np.sort(th_tab["value"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ref = ray.put(th)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        key = batch["ppl_key"].to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(t, key, side="left").astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return keyed.map_batches(assign, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------- #
 # TF-IDF keyword extraction
 # --------------------------------------------------------------------------- #

@@ -2148,3 +2148,49 @@ def test_embedding_pca_matches_numpy(emb_ds):
     # top component carries the most variance in the projected data too
     pv = P.var(axis=0)
     assert (np.diff(pv) <= 1e-6).all()
+
+
+# ---------------------------------------------------------------------------- #
+# perplexity bucketing (LM score -> exact-quantile quality bands)
+# ---------------------------------------------------------------------------- #
+_PPL_BUCKET_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+      FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM occ),
+    m AS (SELECT tok, CAST(FLOOR(ln(c / (SELECT n FROM tot)::DOUBLE) * 1000000
+                                 + 0.5) AS BIGINT) AS micro FROM cnt),
+    sc AS (SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(m.micro)::BIGINT AS micro
+           FROM occ o JOIN m ON o.tok = m.tok GROUP BY o.doc_id),
+    k AS (SELECT doc_id, n_tokens,
+                 CAST(FLOOR(micro * 1000.0 / n_tokens) AS BIGINT) AS ppl_key
+          FROM sc),
+    th AS (SELECT unnest(quantile_disc(ppl_key,
+                         [x / 10.0 for x in range(1, 10)])) AS v FROM k)
+    SELECT doc_id, n_tokens, ppl_key,
+           (SELECT count(*) FROM th WHERE th.v < k.ppl_key)::BIGINT AS bucket
+    FROM k ORDER BY doc_id
+"""
+
+
+def test_perplexity_buckets_matches_sql(docs_ds):
+    from riot_ray.pipelines import perplexity_buckets
+
+    got = (
+        perplexity_buckets(docs_ds.select_columns(["doc_id", "text"]),
+                           n_buckets=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(_PPL_BUCKET_SQL).to_pandas()
+    assert len(got) == len(exp) > 0
+    for c in ("doc_id", "n_tokens", "ppl_key", "bucket"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # near-equal bands: every bucket within +/-1.5% of n/10... the exact
+    # guarantee is |size - n/10| bounded by ties; just require all 10 exist
+    assert sorted(got["bucket"].unique()) == list(range(10))

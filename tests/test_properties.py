@@ -1,0 +1,106 @@
+"""Property tests (hypothesis) for the pure kernels of the new operators:
+chunking, packing, and phrase-pattern semantics — invariants that must hold
+for ANY input, not just the fixture corpora."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=8)
+_TEXT = st.lists(
+    st.one_of(_WORD, st.sampled_from([" ", ", ", "; ", "\n", "!!"])),
+    min_size=0, max_size=40,
+).map("".join)
+
+
+def _tokens(text: str) -> list:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=8),
+       st.integers(1, 10), st.integers(1, 10))
+def test_chunk_docs_covers_token_stream(ray_session, texts, w, s):
+    import ray.data as rd
+
+    from riot_ray.pipelines import chunk_docs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = chunk_docs(ds, chunk_tokens=w, stride=s).to_pandas()
+    if len(out) == 0:
+        assert all(not _tokens(t) for t in texts)
+        return
+    out = out.sort_values(["doc_id", "chunk_idx"])
+    for doc_id, text in enumerate(texts):
+        toks = _tokens(text)
+        rows = out[out["doc_id"] == doc_id]
+        if not toks:
+            assert len(rows) == 0
+            continue
+        # chunk i covers tokens [i*s, i*s + w); together they cover the doc
+        assert len(rows) == -(-len(toks) // s)
+        for _, r in rows.iterrows():
+            start = int(r["chunk_idx"]) * s
+            want = toks[start:start + w]
+            assert r["chunk_text"] == " ".join(want)
+            assert int(r["n_tokens"]) == len(want)
+        if s == w:  # exact tiling partitions the stream (s > w subsamples)
+            assert int(rows["n_tokens"].sum()) == len(toks)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=60),
+       st.integers(1, 60), st.integers(1, 4))
+def test_pack_sequences_greedy_invariants(ray_session, sizes, budget, nb):
+    import ray.data as rd
+
+    from riot_ray.pipelines import pack_sequences
+
+    # build docs whose token counts are exactly `sizes`
+    texts = [" ".join(["tok"] * n) for n in sizes]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(sizes)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = (
+        pack_sequences(ds, budget_tokens=budget, n_buckets=nb)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["n_tokens"].to_numpy() == np.array(sizes)).all()
+    g = out.groupby("seq_id").agg(total=("n_tokens", "sum"),
+                                  n=("n_tokens", "size"))
+    # a multi-doc sequence never exceeds the budget
+    assert len(g[(g["total"] > budget) & (g["n"] > 1)]) == 0
+    # greedy is maximal: within a bucket, consecutive sequences could not
+    # be merged (first doc of seq k+1 would overflow seq k)
+    for b in out["bucket"].unique():
+        rows = out[out["bucket"] == b].sort_values("doc_id")
+        seqs = rows.groupby("seq_id", sort=True)
+        totals = seqs["n_tokens"].sum().to_numpy()
+        firsts = seqs["n_tokens"].first().to_numpy()
+        assert (totals[:-1] + firsts[1:] > budget).all()
+        # seq_pos is a clean 0..n-1 runway per sequence
+        for _sid, grp in seqs:
+            assert list(grp["seq_pos"]) == list(range(len(grp)))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=4), _TEXT)
+def test_phrase_pattern_equals_token_adjacency(phrase, text):
+    from riot_ray.tokenize import phrase_pattern
+
+    pat = re.compile(phrase_pattern(phrase, "simple"))
+    toks = _tokens(text)
+    adjacent = any(
+        toks[i:i + len(phrase)] == list(phrase)
+        for i in range(len(toks) - len(phrase) + 1)
+    )
+    assert bool(pat.search(text.lower())) == adjacent

@@ -109,9 +109,11 @@ class SearchHTTPServer:
     def _search_docs(self, p: dict) -> tuple[list[dict], int]:
         offset = int(p.get("outputOffset") or 0)
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
+        phrase = str(p.get("phrase") or "").lower() in ("1", "true", "yes")
         resp = self.searcher.search(
             SearchReq(
                 text=p.get("query") or "",
+                phrase=phrase,
                 rank_opts=RankOpts(output_offset=offset, max_outputs=max_outputs),
             )
         )

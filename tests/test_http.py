@@ -101,3 +101,32 @@ def test_index_and_delete_roundtrip(ray_session, tmp_path):
         assert hits["docs"] == []
     finally:
         srv.shutdown()
+
+
+def test_search_phrase_param(ray_session, tmp_path):
+    """phrase=true routes through the exact-phrase engine path."""
+    import duckdb
+
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+
+    sf = "/root/testdata/sf0.001"
+    opts = EngineOpts(mode="simple", id_cols=("doc_id",), content_col="text",
+                      meta_cols=("lang",), num_parts=4, num_shards=2)
+    idx = str(tmp_path / "index")
+    IndexWriter(idx, opts).build(f"{sf}/documents.parquet")
+    srv = SearchHTTPServer(LocalSearcher(idx, hydrate=True), index_dir=idx)
+    base = srv.serve_background()
+    try:
+        out = _get(f"{base}/search?query=spark+data&phrase=true&maxOutputs=500")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        exp = con.execute(
+            "SELECT count(*) FROM documents WHERE regexp_matches(lower(text),"
+            " '(^|[^a-z0-9])spark[^a-z0-9]+data([^a-z0-9]|$)')"
+        ).fetchone()[0]
+        assert out["len"] == exp > 0
+        plain = _get(f"{base}/search?query=spark+data&maxOutputs=500")
+        assert out["len"] < plain["len"]  # phrase is stricter than AND
+    finally:
+        srv.shutdown()

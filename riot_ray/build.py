@@ -25,10 +25,11 @@ import json
 import os
 import time
 
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from .config import EngineOpts
-from .stages.prepare import AssignIds, make_prepare_fn
+from .stages.prepare import AssignIds, keep_columns, make_prepare_fn
 from .stages.postings import TokenizeStage
 from .stages.segments import BuildShard
 
@@ -231,7 +232,21 @@ class IndexWriter:
         ctx = rd.DataContext.get_current()
         floor_blocks = est_bytes // max(ctx.target_max_block_size or (128 << 20), 1)
         nblocks = int(max(cpus, floor_blocks, 1))
-        return rd.read_parquet(source, override_num_blocks=nblocks)
+        # prune at the read: only the columns the pipeline touches leave
+        # storage (missing optional columns are dropped from the request —
+        # prepare tolerates their absence the same way)
+        cols = None
+        probe = next((f for f in files if os.path.isfile(f)), None)
+        if probe is None and files and os.path.isdir(files[0]):
+            inside = sorted(glob.glob(os.path.join(files[0], "*.parquet")))
+            probe = inside[0] if inside else None
+        if probe is not None:
+            try:
+                have = set(pq.read_schema(probe).names)
+                cols = [c for c in keep_columns(self.opts) if c in have]
+            except Exception:
+                cols = None
+        return rd.read_parquet(source, override_num_blocks=nblocks, columns=cols)
 
     def _forward_files(self):
         return sorted(glob.glob(os.path.join(self.forward_dir, "part=*.parquet")))

@@ -88,8 +88,12 @@ def _crc_part(doc_ids, num_parts: int) -> np.ndarray:
     )
 
 
-def make_prepare_fn(opts: EngineOpts):
-    keep = [c for c in dict.fromkeys(
+def keep_columns(opts: EngineOpts) -> list:
+    """The only source columns the build pipeline ever touches — shared by
+    the prepare select AND the parquet read (`columns=` pruning: at 100 TB
+    a read that ships columns the 2-column transform drops is pure IO
+    waste)."""
+    return [c for c in dict.fromkeys(
         list(opts.id_cols)
         + list(opts.meta_cols)
         + [opts.content_col]
@@ -98,6 +102,10 @@ def make_prepare_fn(opts: EngineOpts):
         + ([opts.labels_col] if opts.labels_col else [])
         + ([opts.seq_col] if opts.seq_col else [])
     )]
+
+
+def make_prepare_fn(opts: EngineOpts):
+    keep = keep_columns(opts)
 
     def prepare(batch: pa.Table) -> pa.Table:
         # drop file-level schema metadata (e.g. pandas dict): it defeats Ray

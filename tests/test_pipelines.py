@@ -2194,3 +2194,46 @@ def test_perplexity_buckets_matches_sql(docs_ds):
     # near-equal bands: every bucket within +/-1.5% of n/10... the exact
     # guarantee is |size - n/10| bounded by ties; just require all 10 exist
     assert sorted(got["bucket"].unique()) == list(range(10))
+
+
+def test_knn_over_pca_projection_recall(emb_ds):
+    """Composition: PCA-project, then brute kNN in the projected space.
+    The synthetic embeddings are near-isotropic (flat eigen-spectrum:
+    top-16 dims keep only 38 % of variance, top-32 keep 65 %), so absolute
+    recall is bounded by the data, not the code — the test pins that
+    recall tracks kept variance: more components -> strictly better
+    neighborhoods, and the 32-dim recall clears the isotropic floor."""
+    import pyarrow.parquet as pq
+
+    from riot_ray.pipelines import (
+        embedding_pca_fit,
+        embedding_pca_transform,
+        knn_brute,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)[:8]
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[order]
+    qids = ids[order]
+    raw = knn_brute(emb_ds, Q, qids, k=10).to_pandas()
+
+    def recall_at(kdim: int) -> float:
+        comps, _vals, mean = embedding_pca_fit(emb_ds, k=kdim)
+        proj = embedding_pca_transform(emb_ds, comps, mean)
+        proj_ds = proj.map_batches(
+            lambda b: b.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+        Qp = ((Q - mean) @ comps.T).astype(np.float32)
+        low = knn_brute(proj_ds, Qp, qids, k=10).to_pandas()
+        rs = []
+        for q in qids:
+            a = set(raw.loc[raw["query_id"] == q, "vec_id"])
+            b = set(low.loc[low["query_id"] == q, "vec_id"])
+            rs.append(len(a & b) / len(a))
+        return float(np.mean(rs))
+
+    r8, r32 = recall_at(8), recall_at(32)
+    assert r32 > r8  # more kept variance -> better neighborhoods
+    assert r32 >= 0.4, (r8, r32)  # 65 % variance floor on isotropic data

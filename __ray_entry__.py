@@ -779,6 +779,22 @@ def _q_chunk_docs(sf_dir: str):
                       chunk_tokens=64)
 
 
+MIX_WEIGHTS = {"en": 0.2, "zh": 0.2, "de": 0.2, "es": 0.2, "fr": 0.2}
+MIX_BUDGET = 15000
+
+
+def _q_source_mix(sf_dir: str):
+    """Domain reweighting: equal-language token shares under a corpus
+    token budget (the over-represented language gets the lowest keep
+    fraction) — kept set hash-exact vs the identical formula in SQL."""
+    from riot_ray.pipelines import source_mix_sample
+
+    return source_mix_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "text"]),
+        weights=MIX_WEIGHTS, token_budget=MIX_BUDGET, group_col="lang",
+    )
+
+
 def _q_embedding_pca(sf_dir: str):
     """Streaming-sufficient-statistics PCA + projection (floats: rows-only
     driver check; the exact numpy oracle is pinned in pytest)."""
@@ -867,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
         "embedding_pca": _q_embedding_pca,
+        "source_mix": _q_source_mix,
         # training-data extensions
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -1060,6 +1077,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(m.micro)::DOUBLE / 1000000.0 / count(*) AS logprob_mean
             FROM occ o JOIN m ON o.tok = m.tok
             GROUP BY o.doc_id
+            """,
+        "source_mix": f"""
+            WITH nt AS (
+              SELECT doc_id, lang,
+                     len(list_filter(regexp_split_to_array(lower(text),
+                                                           '[^a-z0-9]+'),
+                                     x -> x <> ''))::BIGINT AS n
+              FROM documents),
+            w(lang, wt) AS (VALUES ('en', 0.2), ('zh', 0.2), ('de', 0.2),
+                                   ('es', 0.2), ('fr', 0.2)),
+            T AS (SELECT lang, sum(n)::DOUBLE AS tot FROM nt GROUP BY lang),
+            f AS (SELECT T.lang, LEAST(1.0, {MIX_BUDGET}.0 * w.wt / T.tot)
+                             AS frac
+                  FROM T JOIN w ON T.lang = w.lang)
+            SELECT nt.doc_id, nt.lang, nt.n AS n_tokens
+            FROM nt JOIN f ON nt.lang = f.lang
+            WHERE ('0x' || substr(md5(nt.doc_id::VARCHAR || '#7'), 1, 16))
+                      ::UBIGINT::DOUBLE
+                  < f.frac * 18446744073709551616.0
             """,
         "perplexity_buckets": f"""
             WITH {_TOKS},

@@ -365,3 +365,81 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def source_mix_sample(
+    ds,
+    weights: dict,
+    token_budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """Domain reweighting (the Pile/Dolma mixing pattern): target token
+    share ``weights[g]`` per ``group_col`` value and an overall
+    ``token_budget`` give each group the keep fraction
+    ``f_g = min(1, token_budget * w_g / T_g)`` where ``T_g`` is the group's
+    total token count; docs are then kept by the deterministic id-hash
+    Bernoulli (same hash as :func:`hash_sample`).  Groups absent from
+    ``weights`` are dropped.  Returns ``(id_col, group_col, n_tokens)``
+    for kept docs.
+
+    Scale shape: pass 1 is a per-batch partial-sum of (group, tokens) —
+    the shuffle carries #groups rows per batch, and the #groups-sized
+    totals dict is the ONLY driver-side state (domains are dozens, not
+    millions — the documented assumption); pass 2 is a map-only filter
+    with the per-group cuts in the task closure.  The float comparison
+    ``hash::double < f_g * 2^64`` is evaluated with identical IEEE ops by
+    the DuckDB oracle, so the kept set is hash-exact."""
+    from .analysis import _flatten_tokens
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        _flat, parents = _flatten_tokens(batch[text_col])
+        n_tok = np.bincount(parents, minlength=len(groups)).astype(np.int64)
+        import pyarrow.compute as pc
+
+        denc = pc.dictionary_encode(groups)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        tot = np.bincount(codes, weights=n_tok,
+                          minlength=len(denc.dictionary)).astype(np.int64)
+        return pa.table({group_col: denc.dictionary,
+                         "tok": pa.array(tot, pa.int64())})
+
+    tp = ds.map_batches(totals_partial, batch_format="pyarrow").to_pandas()
+    totals = tp.groupby(group_col)["tok"].sum().to_dict()
+    cuts = {
+        g: min(1.0, token_budget * float(w) / float(totals[g])) * float(2**64)
+        for g, w in weights.items()
+        if totals.get(g)
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        groups = batch[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _flat, parents = _flatten_tokens(batch[text_col])
+        n_tok = np.bincount(parents, minlength=len(ids)).astype(np.int64)
+        denc = pc.dictionary_encode(groups)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        cut_by_code = np.array(
+            [cuts.get(v, -1.0) for v in denc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        h = _id_hashes(ids, seed).astype(np.float64)
+        mask = h < cut_by_code[codes]
+        return pa.table({id_col: pa.array(ids[mask], pa.int64()),
+                         group_col: groups.filter(pa.array(mask)),
+                         "n_tokens": pa.array(n_tok[mask], pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

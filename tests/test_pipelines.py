@@ -2237,3 +2237,49 @@ def test_knn_over_pca_projection_recall(emb_ds):
     r8, r32 = recall_at(8), recall_at(32)
     assert r32 > r8  # more kept variance -> better neighborhoods
     assert r32 >= 0.4, (r8, r32)  # 65 % variance floor on isotropic data
+
+
+# ---------------------------------------------------------------------------- #
+# domain mixing (per-group token reweighting)
+# ---------------------------------------------------------------------------- #
+def test_source_mix_sample_matches_sql(docs_ds):
+    from riot_ray.pipelines import source_mix_sample
+
+    got = (
+        source_mix_sample(
+            docs_ds.select_columns(["doc_id", "lang", "text"]),
+            weights={"en": 0.2, "zh": 0.2, "de": 0.2, "es": 0.2, "fr": 0.2},
+            token_budget=15000, group_col="lang",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck("""
+        WITH nt AS (
+          SELECT doc_id, lang,
+                 len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> ''))::BIGINT AS n
+          FROM documents),
+        w(lang, wt) AS (VALUES ('en', 0.2), ('zh', 0.2), ('de', 0.2),
+                               ('es', 0.2), ('fr', 0.2)),
+        T AS (SELECT lang, sum(n)::DOUBLE AS tot FROM nt GROUP BY lang),
+        f AS (SELECT T.lang, LEAST(1.0, 15000.0 * w.wt / T.tot) AS frac
+              FROM T JOIN w ON T.lang = w.lang)
+        SELECT nt.doc_id, nt.lang, nt.n AS n_tokens
+        FROM nt JOIN f ON nt.lang = f.lang
+        WHERE ('0x' || substr(md5(nt.doc_id::VARCHAR || '#7'), 1, 16))
+                  ::UBIGINT::DOUBLE
+              < f.frac * 18446744073709551616.0
+        ORDER BY doc_id
+    """).to_pandas()
+    assert len(got) == len(exp) > 0
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["lang"] == exp["lang"]).all()
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+    # rebalancing direction: the over-represented language keeps the
+    # smallest fraction of its docs
+    full = _duck("SELECT lang, count(*) AS n FROM documents GROUP BY lang").to_pandas()
+    kept = got.groupby("lang").size()
+    frac = {r["lang"]: kept.get(r["lang"], 0) / r["n"] for _, r in full.iterrows()}
+    assert frac["en"] == min(frac.values())

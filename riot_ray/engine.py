@@ -162,10 +162,19 @@ class _SearcherBase:
         if req.phrase and tokens:
             from .tokenize import phrase_pattern
 
+            # The adjacency pattern must reflect the user's LITERAL phrase:
+            # build it from the UNFILTERED token stream so a stop word in
+            # the phrase stays in the regex (postings-AND pruning and
+            # scoring still use the stop-filtered `tokens`, which are the
+            # only terms present in the index).
+            phrase_toks = (
+                self.tok.query_tokens(req.text, stop_filter=False)
+                + list(req.tokens)
+            )
             plan = ("phrase_search",
                     dict(tokens=tokens, labels=labels, idfs=idfs,
                          avgdl=float(avgdl),
-                         pattern=phrase_pattern(tokens, self.opts.mode),
+                         pattern=phrase_pattern(phrase_toks, self.opts.mode),
                          allow_ids=req.doc_ids,
                          count_only=req.count_docs_only,
                          dtype_name=self.opts.score_dtype),
@@ -232,6 +241,11 @@ class _SearcherBase:
         if req.phrase and tokens:
             from .tokenize import phrase_pattern
 
+            # literal phrase: unfiltered stream for the regex (see _plan)
+            phrase_toks = (
+                self.tok.query_tokens(req.text, stop_filter=False)
+                + list(req.tokens)
+            )
             results = self._dispatch(
                 "phrase_search",
                 dict(
@@ -239,7 +253,7 @@ class _SearcherBase:
                     labels=labels,
                     idfs=idfs,
                     avgdl=float(avgdl),
-                    pattern=phrase_pattern(tokens, self.opts.mode),
+                    pattern=phrase_pattern(phrase_toks, self.opts.mode),
                     allow_ids=req.doc_ids,
                     count_only=req.count_docs_only,
                     dtype_name=self.opts.score_dtype,

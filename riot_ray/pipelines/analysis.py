@@ -182,6 +182,24 @@ def lang_id(ds, text_col: str = "text", concurrency: int | None = None):
     return ds.map_batches(LangId(text_col), **kwargs)
 
 
+def _group_sum_i64(idx: np.ndarray, weights: np.ndarray,
+                   minlength: int) -> np.ndarray:
+    """Exact int64 grouped sum of ``weights`` per ``idx`` bucket (sort +
+    ``np.add.reduceat``).  Replaces ``np.bincount(..., weights=float64)``
+    wherever the summed magnitudes can pass 2**53 — float accumulation
+    would silently round there while the SQL oracle's BIGINT sum stays
+    exact (ADVICE r2: per-doc |logprob_micro| > 2^53)."""
+    out = np.zeros(minlength, np.int64)
+    if len(idx) == 0:
+        return out
+    w = np.asarray(weights, np.int64)
+    order = np.argsort(idx, kind="stable")
+    si, sw = idx[order], w[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    out[si[starts]] = np.add.reduceat(sw, starts)
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # document fingerprinting (rolling hash / winnowing)
 # --------------------------------------------------------------------------- #
@@ -379,8 +397,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
             m = micro_s[pos]
             n_rows = len(ids)
             n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
-            lp = np.bincount(parents, weights=m.astype(np.float64),
-                             minlength=n_rows).astype(np.int64)
+            lp = _group_sum_i64(parents, m, n_rows)
             keep = n_tok > 0
             return finish(ids[keep], n_tok[keep], lp[keep])
 
@@ -427,9 +444,8 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         tf = group["tf"].to_numpy(zero_copy_only=False)
         m = group["micro"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(ids, return_inverse=True)
-        n_tok = np.bincount(inv, weights=tf, minlength=len(uniq)).astype(np.int64)
-        lp = np.bincount(inv, weights=tf * m.astype(np.float64),
-                         minlength=len(uniq)).astype(np.int64)
+        n_tok = _group_sum_i64(inv, tf, len(uniq))
+        lp = _group_sum_i64(inv, tf * m, len(uniq))
         return finish(uniq, n_tok, lp)
 
     return (
@@ -597,8 +613,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
             m = micro_s[np.searchsorted(kg_s, kg)]
             n_rows = len(ids)
             n_bi = np.bincount(parents, minlength=n_rows).astype(np.int64)
-            lp = np.bincount(parents, weights=m.astype(np.float64),
-                             minlength=n_rows).astype(np.int64)
+            lp = _group_sum_i64(parents, m, n_rows)
             keep = n_bi > 0
             return finish(ids[keep], n_bi[keep], lp[keep])
 
@@ -640,9 +655,8 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         tf = group["tf"].to_numpy(zero_copy_only=False)
         m = group["micro"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(ids, return_inverse=True)
-        n_bi = np.bincount(inv, weights=tf, minlength=len(uniq)).astype(np.int64)
-        lp = np.bincount(inv, weights=tf * m.astype(np.float64),
-                         minlength=len(uniq)).astype(np.int64)
+        n_bi = _group_sum_i64(inv, tf, len(uniq))
+        lp = _group_sum_i64(inv, tf * m, len(uniq))
         return finish(uniq, n_bi, lp)
 
     return (
@@ -918,7 +932,16 @@ def chunk_docs(ds, text_col: str = "text", id_col: str = "doc_id",
         vals = flat.take(pa.array(gather, pa.int64()))
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        if offs[-1] <= np.iinfo(np.int32).max:
+            la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        else:
+            # overlapping windows inflate the gathered stream by
+            # ~chunk_tokens/stride; past 2^31 int32 offsets would raise,
+            # so fall back to 64-bit list offsets (binary_join supports
+            # large_list).
+            la = pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), vals
+            )
         texts = pc.binary_join(la, " ")
         return pa.table({id_col: pa.array(ids[doc_of], pa.int64()),
                          "chunk_idx": pa.array(chunk_idx, pa.int64()),

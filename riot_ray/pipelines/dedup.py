@@ -969,9 +969,12 @@ def dedup_filter(ds, pairs_ds, id_col: str = "doc_id"):
     losers_ref = ray.put(np.sort(losers))
 
     def keep(batch: pa.Table) -> pa.Table:
+        from .sampling import lookup_sorted
+
         drop = ray.get(losers_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(~np.isin(ids, drop, assume_unique=False)))
+        _, hit = lookup_sorted(drop, ids)
+        return batch.filter(pa.array(~hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -1012,18 +1015,23 @@ def dedup_filter_by(ds, pairs_ds, score_col: str, id_col: str = "doc_id",
 
     scores = ds.map_batches(member_scores, batch_format="pyarrow").to_pandas()
     m = members.merge(scores, on="doc_id", how="left")
-    m["score"] = m["score"].fillna(-np.inf)
     sgn = -1.0 if descending else 1.0
+    # Sign-aware sentinel: a cluster member with no score row must LOSE
+    # under either sort direction (with descending=False a -inf fill would
+    # have sorted first and evicted every real doc in its cluster).
+    m["score"] = m["score"].fillna(sgn * np.inf)
     m = m.sort_values(["cluster_id", "doc_id"])
     order = np.lexsort(
         (m["doc_id"].to_numpy(), sgn * m["score"].to_numpy(),
          m["cluster_id"].to_numpy())
     )
     first = np.unique(m["cluster_id"].to_numpy()[order], return_index=True)[1]
-    winners = set(m["doc_id"].to_numpy()[order[first]].tolist())
-    losers = np.sort(
-        np.array([d for d in m["doc_id"] if d not in winners], dtype=np.int64)
-    )
+    member_arr = m["doc_id"].to_numpy(np.int64)
+    winners = np.sort(member_arr[order[first]])
+    from .sampling import lookup_sorted as _ls
+
+    _, is_winner = _ls(winners, member_arr)
+    losers = np.unique(member_arr[~is_winner])
     losers_ref = ray.put(losers)
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -62,6 +62,10 @@ def hash_sample(ds, frac: float, id_col: str = "doc_id", seed: int = 0):
     every run and at every cluster size."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(frac)
+    if frac >= 1.0:
+        # keep-everything must be exactly everything: the clamped cutoff
+        # below would exclude an id whose hash is 2**64-1.
+        return ds
     cut = np.uint64(min(int(frac * TWO64), 2**64 - 1))
 
     def keep(batch: pa.Table) -> pa.Table:

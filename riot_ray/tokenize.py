@@ -257,15 +257,21 @@ class Tokenizer:
     # ------------------------------------------------------------------ #
     # query side
     # ------------------------------------------------------------------ #
-    def query_tokens(self, text: str) -> list[str]:
+    def query_tokens(self, text: str, stop_filter: bool = True) -> list[str]:
         """Tokenize query text with semantics matching the index side.
 
         space mode replicates /root/reference/engine.go:500-510 exactly:
         lowercase + split on single space, empties KEPT, no stop filter
         (an empty or stopped token then misses the index and empties the
-        AND result — riot behaves the same way)."""
+        AND result — riot behaves the same way).
+
+        ``stop_filter=False`` keeps stop words in the stream — used by
+        phrase search, where the adjacency regex must reflect the user's
+        LITERAL phrase (a silently dropped stop word would demand the
+        surrounding words be directly adjacent in text)."""
         if text == "":
             return []
+        stop = self.stop if stop_filter else frozenset()
         mode = self.opts.mode
         if mode in ("space", "chars"):
             return text.lower().split(" ")
@@ -274,19 +280,19 @@ class Tokenizer:
             # stop filter applied per token
             return [
                 t for t, _ in self.segmenter.segment(text.lower())
-                if t not in self.stop
+                if t not in stop
             ]
         if mode == "simple":
-            return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in self.stop]
+            return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in stop]
         if mode == "code":
             out = []
             for ident in _IDENT_RE.findall(text):
                 for t in self._expand(ident):
-                    if t not in self.stop:
+                    if t not in stop:
                         out.append(t)
             return out
         # pretokenized: query text splits like simple
-        return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in self.stop]
+        return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in stop]
 
     def _expand(self, ident: str) -> list[str]:
         e = self._exp_cache.get(ident)

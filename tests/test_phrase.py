@@ -102,6 +102,51 @@ def test_phrase_single_token_standalone(simple_index):
     assert resp.num_docs == plain.num_docs
 
 
+def test_phrase_with_stop_word_matches_literal_text(ray_session, tmp_path):
+    """A stop word INSIDE the phrase must stay in the adjacency regex: the
+    doc containing the literal phrase matches; the doc where the remaining
+    words are directly adjacent does not (ADVICE r2, engine.py phrase
+    pattern built from stop-filtered tokens)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "alpha the beta gamma",   # literal phrase w/ stop word
+                    "alpha beta gamma",       # adjacent WITHOUT the stop word
+                    "alpha zzz beta gamma",   # neither
+                ],
+                "lang": ["en"] * 3,
+            }
+        ),
+        src,
+    )
+    opts = EngineOpts(
+        mode="simple", id_cols=("doc_id",), content_col="text",
+        meta_cols=("lang",), num_parts=2, num_shards=2,
+        stop_tokens=("the",),
+    )
+    idx = tmp_path / "index"
+    IndexWriter(str(idx), opts).build(str(src))
+    s = LocalSearcher(str(idx), hydrate=True)
+    resp = s.search(SearchReq(text="alpha the beta", phrase=True,
+                              rank_opts=RankOpts(max_outputs=0)))
+    assert sorted(int(h.doc_id) for h in resp.docs) == [1]
+    # control: the phrase without the stop word keeps matching doc 2 only
+    resp2 = s.search(SearchReq(text="alpha beta", phrase=True,
+                               rank_opts=RankOpts(max_outputs=0)))
+    assert sorted(int(h.doc_id) for h in resp2.docs) == [2]
+
+
 def test_phrase_requires_supported_mode():
     from riot_ray.tokenize import phrase_pattern
 

@@ -812,6 +812,31 @@ def test_dedup_filter_by_keeps_best(ray_session):
     assert sorted(out2["doc_id"]) == [1, 4]
 
 
+def test_dedup_filter_by_scoreless_member_loses(ray_session):
+    """A cluster member in the pair graph but ABSENT from ds must lose the
+    cluster under BOTH sort directions (ADVICE r2: a -inf fill made it win
+    with descending=False, evicting every real doc in its cluster)."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import dedup_filter_by
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "q": pa.array([10, 30], pa.int64()),
+        }
+    )
+    # doc 9 is in the pair graph (cluster {1,2,9}) but not in ds
+    pairs = rd.from_arrow(pa.table(
+        {"id_a": pa.array([1, 2], pa.int64()),
+         "id_b": pa.array([2, 9], pa.int64())}))
+    hi = dedup_filter_by(rd.from_arrow(docs), pairs, score_col="q").to_pandas()
+    assert sorted(hi["doc_id"]) == [2]
+    lo = dedup_filter_by(rd.from_arrow(docs), pairs, score_col="q",
+                         descending=False).to_pandas()
+    assert sorted(lo["doc_id"]) == [1]
+
+
 def test_hll_sql_parity(docs_ds):
     """The HLL estimate itself (not just its inputs) matches the DuckDB
     re-derivation bit-for-bit at sf0.001."""
@@ -856,6 +881,32 @@ def test_hash_sample_matches_sql(docs_ds):
     # sample fraction lands near frac
     n_docs = docs_ds.count()
     assert 0.1 < len(got) / n_docs < 0.4
+
+
+def test_hash_sample_frac_one_keeps_everything(docs_ds):
+    """frac=1.0 is exactly the identity (ADVICE r2: the clamped cutoff
+    excluded an id whose hash equals 2**64-1)."""
+    from riot_ray.pipelines import hash_sample
+
+    n_docs = docs_ds.count()
+    assert hash_sample(docs_ds, frac=1.0, seed=7).count() == n_docs
+
+
+def test_group_sum_i64_exact_past_2_53():
+    """Grouped int64 sums stay exact where float64-weighted bincount
+    rounds (ADVICE r2: per-doc |logprob_micro| beyond 2^53)."""
+    import numpy as np
+
+    from riot_ray.pipelines.analysis import _group_sum_i64
+
+    big = 2**53
+    idx = np.array([0, 0, 1], np.int64)
+    w = np.array([big, 1, 5], np.int64)
+    out = _group_sum_i64(idx, w, 2)
+    assert out.tolist() == [big + 1, 5]
+    # float64 path would have lost the +1
+    f = np.bincount(idx, weights=w.astype(np.float64), minlength=2).astype(np.int64)
+    assert f[0] != big + 1
 
 
 def test_stratified_cap_matches_sql(docs_ds):

@@ -2,8 +2,10 @@
 
 * ``knn_brute`` — exact cosine top-k: the (small) query matrix is broadcast
   once via ``ray.put``; every batch computes one matmul and emits its local
-  top-k per query; the driver merges the tiny per-batch partials.  This is
-  the baseline/oracle path (DuckDB ``list_cosine_similarity`` checks it).
+  top-k per query; a distributed ``groupby(query_id)`` reduce collapses the
+  per-block partials off-driver (the driver materializes only nq × k final
+  rows, independent of block count).  This is the baseline/oracle path
+  (DuckDB ``list_cosine_similarity`` checks it).
 * ``knn_lsh`` — the scale path: random-hyperplane LSH signs bucket both the
   corpus and the queries; only buckets a query probes (its own + multiprobe
   single-bit flips) are scanned.  Approximate — tests pin recall vs brute.
@@ -54,6 +56,50 @@ def _topk_table(qids, vids, sims, k):
     )
 
 
+_EMPTY_RESULT_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()),
+     ("cosine", pa.float64()), ("rank", pa.int64())]
+)
+
+
+def _empty_result() -> pa.Table:
+    return _EMPTY_RESULT_SCHEMA.empty_table()
+
+
+def _reduce_topk(partials_ds, k: int) -> pa.Table:
+    """Distributed final reduce of per-block top-k partials: a
+    ``groupby(query_id).map_groups`` collapses each query's
+    n_blocks × k candidate rows to its global top-k OFF the driver, so the
+    driver materializes only nq × k result rows — independent of block
+    count.  (Round-2 shape ``pa.concat_tables(ray.get(to_arrow_refs()))``
+    centralized n_blocks × nq × k rows: ~500M at 100 TB.)"""
+    import ray
+
+    def per_query(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_result()
+        return _topk_table(
+            group["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            group["cosine_raw"].to_numpy(zero_copy_only=False),
+            k,
+        )
+
+    reduced = partials_ds.groupby("query_id").map_groups(
+        per_query, batch_format="pyarrow"
+    )
+    tabs = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _empty_result()
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    # deterministic global order (groups arrive per-partition): (query, rank)
+    order = np.lexsort(
+        (tbl["rank"].to_numpy(zero_copy_only=False),
+         tbl["query_id"].to_numpy(zero_copy_only=False))
+    )
+    return tbl.take(pa.array(order, pa.int64()))
+
+
 def knn_brute(
     ds,
     queries: np.ndarray,
@@ -89,15 +135,8 @@ def knn_brute(
             }
         )
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
-    import ray as _ray
-
-    tbl = pa.concat_tables(_ray.get(partials))
-    return _topk_table(
-        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
-        k,
+    return _reduce_topk(
+        ds.map_batches(local_topk, batch_format="pyarrow"), k
     )
 
 
@@ -191,19 +230,7 @@ def knn_ivf(
             }
         )
 
-    partials = ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()
-    tbl = pa.concat_tables(ray.get(partials))
-    if tbl.num_rows == 0:
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
-        )
-    return _topk_table(
-        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
-        k,
-    )
+    return _reduce_topk(ds.map_batches(local, batch_format="pyarrow"), k)
 
 
 def _empty_partials() -> pa.Table:
@@ -307,19 +334,7 @@ def knn_lsh(
             }
         )
 
-    partials = ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()
-    tbl = pa.concat_tables(ray.get(partials))
-    if tbl.num_rows == 0:
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
-        )
-    return _topk_table(
-        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
-        k,
-    )
+    return _reduce_topk(ds.map_batches(local, batch_format="pyarrow"), k)
 
 
 # --------------------------------------------------------------------------- #
@@ -482,10 +497,7 @@ def knn_ivf_query(
             )
         files.append(f)
     if not files:
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
-        )
+        return _empty_result()
     bref = ray.put((qids, Q, probe_mask))
 
     def local(batch: pa.Table) -> pa.Table:
@@ -520,21 +532,9 @@ def knn_ivf_query(
             }
         )
 
-    partials = (
+    return _reduce_topk(
         rd.read_parquet(files, columns=[id_col, vec_col, "list_id"])
-        .map_batches(local, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
-    tbl = pa.concat_tables(ray.get(partials))
-    if tbl.num_rows == 0:
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
-        )
-    return _topk_table(
-        tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        tbl["cosine_raw"].to_numpy(zero_copy_only=False),
+        .map_batches(local, batch_format="pyarrow"),
         k,
     )
 

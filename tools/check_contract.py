@@ -49,6 +49,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--num-cpus", type=int, default=16)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated substring filters: run only queries whose "
+        "name contains one of them (skips entry() too)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -65,10 +71,11 @@ def main() -> int:
 
     import __ray_entry__ as entrymod
 
-    t0 = time.time()
-    res = entrymod.entry()
-    n = len(res) if isinstance(res, pd.DataFrame) else res.count()
-    print(f"entry(): {n} rows in {time.time() - t0:.1f}s")
+    if args.only is None:
+        t0 = time.time()
+        res = entrymod.entry()
+        n = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        print(f"entry(): {n} rows in {time.time() - t0:.1f}s")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +84,10 @@ def main() -> int:
             con.execute(f"create view {t} as select * from read_parquet('{p}')")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        queries = {n: f for n, f in queries.items()
+                   if any(p in n for p in pats)}
     fails: list[tuple[str, str]] = []
     for name, fn in queries.items():
         t0 = time.time()

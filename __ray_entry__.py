@@ -739,6 +739,36 @@ def _q_search_proximity(sf_dir: str):
     )
 
 
+PROX2 = ("spark", "data")
+
+
+def _q_search_proximity2(sf_dir: str):
+    """2-term proximity over the LocsIndex — the one DP shape that IS
+    SQL-expressible: for two terms the riot DP (core/indexer.go:723-813)
+    reduces to min over (p1, straddling-candidate p2) of
+    |p2 - p1 - bytelen(t1)|, where the candidates for each p1 are P2[j]
+    and P2[j+1] with j = max(#(P2 < p1) - 1, 0) — NOT the full cross-join
+    min (the two-candidate transition is riot's quirk, replicated in the
+    oracle).  Returns every matching doc with its proximity."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir, variant="locs"))
+    resp = s.search(
+        SearchReq(text=" ".join(PROX2), rank_opts=RankOpts(max_outputs=0))
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([int(h.doc_id) for h in resp.docs], pa.int64()),
+            "proximity": pa.array(
+                [h.token_proximity for h in resp.docs], pa.int64()
+            ),
+        }
+    )
+    order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
+    return t.take(pa.array(order, pa.int64()))
+
+
 PHRASE = ("spark", "data")
 GREP_PATTERN = r"(fast|slow) (scan|merge)"
 
@@ -877,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_and": _q_count_and,
         "logic_should_notin": _q_logic_should_notin,
         "search_proximity": _q_search_proximity,
+        "search_proximity_2": _q_search_proximity2,
         "search_phrase": _q_search_phrase,
         "tfidf_topk": _q_tfidf_topk,
         "grep_search": _q_grep_search,
@@ -1148,6 +1179,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id FROM documents
             WHERE regexp_matches(lower(text),
                 '(^|[^a-z0-9]){PHRASE[0]}[^a-z0-9]+{PHRASE[1]}([^a-z0-9]|$)')
+            """,
+        # 2-term proximity: token byte positions recovered in SQL (simple
+        # mode = [a-z0-9]+ runs over lower(text); ASCII corpus so char
+        # offset == byte offset), then riot's two-candidate DP transition
+        # replayed exactly — for each p1 only P2[j] and P2[j+1] with
+        # j = max(#(P2 < p1) - 1, 0) compete (core/indexer.go:780-792).
+        "search_proximity_2": f"""
+            WITH padded AS (
+              SELECT doc_id,
+                     ' ' || regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g')
+                         || ' ' AS s
+              FROM documents),
+            offsets AS (
+              SELECT doc_id, s,
+                     unnest(range(1, length(s) + 1)) AS i
+              FROM padded),
+            p1 AS (
+              SELECT doc_id, i - 1 AS pos
+              FROM offsets
+              WHERE substr(s, i::INT, {len(PROX2[0]) + 2})
+                    = ' {PROX2[0]} '),
+            p2 AS (
+              SELECT doc_id, i - 1 AS pos
+              FROM offsets
+              WHERE substr(s, i::INT, {len(PROX2[1]) + 2})
+                    = ' {PROX2[1]} '),
+            p2r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                       AS rn
+              FROM p2),
+            j AS (
+              SELECT a.doc_id, a.pos AS pos1,
+                     greatest(count(c.pos) - 1, 0) AS j
+              FROM p1 a
+              LEFT JOIN p2 c ON c.doc_id = a.doc_id AND c.pos < a.pos
+              GROUP BY a.doc_id, a.pos),
+            cand AS (
+              SELECT j.doc_id, j.pos1, b.pos AS pos2
+              FROM j JOIN p2r b
+                ON b.doc_id = j.doc_id AND (b.rn = j.j OR b.rn = j.j + 1))
+            SELECT doc_id::BIGINT AS doc_id,
+                   min(abs(pos2 - pos1 - {len(PROX2[0])}))::BIGINT AS proximity
+            FROM cand GROUP BY doc_id ORDER BY doc_id
             """,
         "tfidf_topk": f"""
             WITH {_TOKS},

@@ -77,6 +77,11 @@ class EngineOpts:
     # (DEMO_MAPPING used when None; see riot_ray/pinyin.py).
     pinyin: bool = False
     pinyin_dict: str | None = None
+    # riot Using==6 (/root/reference/segment.go:59-70): ForSplitData also
+    # emits every suffix-run concatenation past each element — stepwise,
+    # including re-emissions over empty elements.  Conformance-mode only;
+    # applies to the space/chars (ForSplitData) modes.
+    suffix_combis: bool = False
 
     # --- scoring ----------------------------------------------------------
     bm25: BM25Params = field(default_factory=BM25Params)

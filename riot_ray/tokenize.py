@@ -321,12 +321,18 @@ class Tokenizer:
 
         if mode == "space":
             if content:
-                tokens_map, num_tokens = self._for_split_data(content.lower().split(" "))
+                tokens_map, num_tokens = self._for_split_data(
+                    content.lower().split(" "),
+                    suffix=self.opts.suffix_combis,
+                )
         elif mode == "chars":
             # riot's non-gse char path (/root/reference/segment.go:105-110):
             # split into single characters, then the ForSplitData quirk
             if content:
-                tokens_map, num_tokens = self._for_split_data(list(content.lower()))
+                tokens_map, num_tokens = self._for_split_data(
+                    list(content.lower()),
+                    suffix=self.opts.suffix_combis,
+                )
         elif mode == "dict":
             # Using=1 semantics (/root/reference/segment.go:128-169): segment
             # content, append byte positions per occurrence, stop-filter the
@@ -366,15 +372,21 @@ class Tokenizer:
                     tokens_map[label] = None  # tf=0, no positions
         return tokens_map, num_tokens, freq_override
 
-    def _for_split_data(self, elems: list[str]):
+    def _for_split_data(self, elems: list[str], suffix: bool = False):
         """riot ForSplitData quirk (/root/reference/segment.go:40-77):
         emits each non-empty element AND the cumulative concatenation of all
         elements so far; positions are the running (1-based) emission counter;
-        stop filter applies to each emission independently."""
+        stop filter applies to each emission independently.
+
+        ``suffix=True`` is riot's Using==6 branch (segment.go:59-70): after
+        each non-empty element, ALSO emit every stepwise concatenation of
+        the elements past it — including the re-emission of an unchanged
+        string when a later element is empty (the Go loop appends
+        unconditionally), faithfully replicated."""
         tokens_map: dict[str, list[int]] = {}
         num = 0
         prefix = ""
-        for el in elems:
+        for i, el in enumerate(elems):
             if el == "":
                 continue
             if el not in self.stop:
@@ -384,6 +396,13 @@ class Tokenizer:
             if prefix not in self.stop:
                 num += 1
                 tokens_map.setdefault(prefix, []).append(num)
+            if suffix:
+                ss = ""
+                for s in range(i + 1, len(elems)):
+                    ss += elems[s]
+                    if ss not in self.stop:
+                        num += 1
+                        tokens_map.setdefault(ss, []).append(num)
         return tokens_map, num
 
     def _regex_tokens(self, content: str):

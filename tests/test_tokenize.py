@@ -29,6 +29,50 @@ def test_for_split_data_stop_filter():
     assert m == {"a": [1, 2], "c": [3], "abc": [4]}
 
 
+def test_for_split_data_suffix_hand_computed():
+    """riot Using==6 (/root/reference/segment.go:59-70): every stepwise
+    suffix-run concatenation past each non-empty element also emits.
+    Go trace for [a b c]: a(1) a(2:pfx) b(3:sfx) bc(4:sfx) | b(5) ab(6:pfx)
+    c(7:sfx) | c(8) abc(9:pfx)."""
+    t = tok("space", suffix_combis=True)
+    m, num, _ = t.doc_tokens_map("a b c")
+    assert num == 9
+    assert m == {"a": [1, 2], "b": [3, 5], "bc": [4], "ab": [6],
+                 "c": [7, 8], "abc": [9]}
+
+
+def test_for_split_data_suffix_stop_filter():
+    """Stop filter applies per emission in the suffix branch too.
+    Go trace for [a b c], stop={b}: a(1) a(2:pfx) [b stopped] bc(3:sfx) |
+    [b stopped] ab(4:pfx) c(5:sfx) | c(6) abc(7:pfx)."""
+    t = tok("space", stop=("b",), suffix_combis=True)
+    m, num, _ = t.doc_tokens_map("a b c")
+    assert num == 7
+    assert m == {"a": [1, 2], "bc": [3], "ab": [4], "c": [5, 6], "abc": [7]}
+
+
+def test_for_split_data_suffix_empty_element_reemits():
+    """Faithful Go quirk: an empty later element leaves the suffix
+    concatenation unchanged but the loop still emits it — including the
+    empty string itself on the first step.
+    Go trace for [a '' c]: a(1) a(2:pfx) ''(3:sfx) c(4:sfx) | ['' skipped]
+    | c(5) ac(6:pfx)."""
+    t = tok("space", suffix_combis=True)
+    m, num, _ = t.doc_tokens_map("a  c")  # double space -> empty element
+    assert num == 6
+    assert m == {"a": [1, 2], "": [3], "c": [4, 5], "ac": [6]}
+
+
+def test_chars_mode_suffix_combis():
+    """Using==6 runs over the char-split path (segment.go:102-115)."""
+    t = tok("chars", suffix_combis=True)
+    m, num, _ = t.doc_tokens_map("xyz")
+    # x(1) x(2:pfx) y(3:sfx) yz(4:sfx) | y(5) xy(6:pfx) z(7:sfx) | z(8) xyz(9:pfx)
+    assert num == 9
+    assert m == {"x": [1, 2], "y": [3, 5], "yz": [4], "xy": [6],
+                 "z": [7, 8], "xyz": [9]}
+
+
 def test_space_empty_elements_skipped():
     t = tok("space")
     m, num, _ = t.doc_tokens_map("a  b")  # double space -> empty element

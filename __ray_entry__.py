@@ -881,10 +881,13 @@ def _q_window_topk(sf_dir: str):
 
 
 def _q_asof_attribution(sf_dir: str):
+    """chunk_s exercises the hot-key-safe path (per-(user, day) groups +
+    carry-in stitch) — integer lag arithmetic, so it is exactly the
+    unchunked semantics and safely SQL-oracled."""
     from riot_ray.pipelines import asof_attribution
 
     return asof_attribution(_events(sf_dir), source_type="click",
-                            target_type="purchase")
+                            target_type="purchase", chunk_s=86_400)
 
 
 def _q_json_extract(sf_dir: str):

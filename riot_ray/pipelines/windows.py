@@ -12,10 +12,12 @@ training-data or analytics pipeline needs, expressed Ray-Data-first):
   combined aggregation.
 * :func:`sessionize` — gap-based sessions per user.  The one operator
   here that must co-locate raw events: ``groupby(user)`` shuffles each
-  user's timeline to one task.  Partitioning assumption (documented
-  contract): a single user's event history fits in a worker's heap —
-  true for human-scale activity; a pathological key would need
-  time-range pre-chunking which this operator does not do.
+  user's timeline to one task.  Default partitioning assumption: a single
+  user's event history fits in a worker's heap.  For pathological keys
+  (bot users), pass ``chunk_s`` — the raw-event group becomes one
+  (user, time-chunk) slice and an exact summary-sized boundary stitch
+  restores the unchunked semantics (same knob on
+  :func:`asof_attribution`).
 * :func:`top_keys_per_window` — per-window top-k keys by aggregate
   value; ranks the already-aggregated (window, key) partials, so the
   heavy data never moves twice.
@@ -29,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .analysis import round6
 
@@ -148,6 +151,7 @@ def sessionize(
     id_col: str = "event_id",
     value_col: str = "value",
     gap_s: int = 1800,
+    chunk_s: int | None = None,
 ):
     """Gap-based sessions: a new session starts when the time since the
     user's previous event exceeds ``gap_s`` (strictly greater).
@@ -155,7 +159,17 @@ def sessionize(
     Output: (user_id, session_id 1-based per user, start_us, end_us,
     n_events, sum_value).  Events are ordered by (ts, event_id) within a
     user so ties are deterministic on both the Ray and SQL sides.
-    """
+
+    Hot-key skew: with ``chunk_s=None`` the ``groupby(user)`` group is one
+    user's FULL timeline — the documented partitioning assumption is that
+    it fits a worker's heap.  Pass ``chunk_s`` (coarse time width, e.g. a
+    day) to bound the raw-event group to one (user, time-chunk) slice; the
+    per-chunk sessions are then stitched exactly at chunk boundaries by a
+    second, summary-sized ``groupby(user)`` pass (two consecutive chunked
+    sessions merge iff the time gap between them is <= gap, which is
+    precisely the unchunked rule — the stitch input is session summaries,
+    #sessions rows, never raw events).  A bot user with 10^9 events costs
+    10^9/chunk-slices tasks instead of one monster task."""
     gap_us = gap_s * _US
 
     _schema = pa.schema([
@@ -164,7 +178,7 @@ def sessionize(
         ("n_events", pa.int64()), ("sum_value", pa.float64()),
     ])
 
-    def per_user(group: pa.Table) -> pa.Table:
+    def sessions_of(group: pa.Table, round_sums: bool) -> pa.Table:
         if group.num_rows == 0:  # schema-probe batch
             return _schema.empty_table()
         t = _epoch_us(group, ts_col)
@@ -186,10 +200,60 @@ def sessionize(
             "start_us": pa.array(t[starts], pa.int64()),
             "end_us": pa.array(t[ends - 1], pa.int64()),
             "n_events": pa.array(n, pa.int64()),
-            "sum_value": pa.array(round6(sums), pa.float64()),
+            "sum_value": pa.array(
+                round6(sums) if round_sums else sums, pa.float64()
+            ),
         })
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    if chunk_s is None:
+        return ds.groupby(user_col).map_groups(
+            lambda g: sessions_of(g, True), batch_format="pyarrow"
+        )
+
+    chunk_us = chunk_s * _US
+
+    def tag_chunk(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch, ts_col)
+        return batch.append_column(
+            "__chunk", pa.array(t // chunk_us, pa.int64())
+        )
+
+    def stitch(group: pa.Table) -> pa.Table:
+        """Merge one user's per-chunk session summaries: consecutive
+        summaries (by start) merge iff gap <= gap_us — only possible
+        across chunk boundaries since in-chunk gaps already exceeded it."""
+        if group.num_rows == 0:
+            return _schema.empty_table()
+        s = group["start_us"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s = s[order]
+        e = group["end_us"].to_numpy(zero_copy_only=False)[order]
+        n = group["n_events"].to_numpy(zero_copy_only=False)[order]
+        v = group["sum_value"].to_numpy(zero_copy_only=False)[order]
+        new = np.r_[True, (s[1:] - e[:-1]) > gap_us]
+        starts = np.flatnonzero(new)
+        seg_ends = np.r_[starts[1:], len(s)]
+        user = group["user_id"][0].as_py()
+        m = len(starts)
+        return pa.table({
+            "user_id": pa.array([user] * m, pa.int64()),
+            "session_id": pa.array(np.arange(1, m + 1), pa.int64()),
+            "start_us": pa.array(s[starts], pa.int64()),
+            "end_us": pa.array(e[seg_ends - 1], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "sum_value": pa.array(
+                round6(np.add.reduceat(v, starts)), pa.float64()
+            ),
+        })
+
+    partial = (
+        ds.map_batches(tag_chunk, batch_format="pyarrow")
+        .groupby([user_col, "__chunk"])
+        .map_groups(lambda g: sessions_of(g, False), batch_format="pyarrow")
+    )
+    return partial.groupby("user_id").map_groups(
+        stitch, batch_format="pyarrow"
+    )
 
 
 def top_keys_per_window(
@@ -235,6 +299,7 @@ def asof_attribution(
     type_col: str = "event_type",
     source_type: str = "click",
     target_type: str = "purchase",
+    chunk_s: int | None = None,
 ):
     """Per-user AS-OF join (attribution): for every ``target_type`` event,
     the user's most recent STRICTLY-PRECEDING ``source_type`` event and the
@@ -246,6 +311,14 @@ def asof_attribution(
     indices) resolves every target in O(n) — no per-row loop, no windowed
     self-join blowup.  Same partitioning assumption as :func:`sessionize`.
 
+    Hot-key skew: ``chunk_s`` bounds the raw-event group to one
+    (user, time-chunk) slice.  Targets resolve in-chunk where possible; a
+    target with no in-chunk preceding source joins the carry-in — the last
+    source of any EARLIER chunk — in a second ``groupby(user)`` pass whose
+    input is only unresolved targets plus one last-source summary row per
+    (user, chunk): summary-sized, never raw events.  Results are exactly
+    the unchunked semantics.
+
     Output: (event_id of the target, user_id, src_event_id nullable,
     lag_us nullable).  Ordering ties broken by (ts, event_id) on both the
     Ray and SQL sides.
@@ -255,9 +328,9 @@ def asof_attribution(
         ("src_event_id", pa.int64()), ("lag_us", pa.int64()),
     ])
 
-    def per_user(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:  # schema-probe batch
-            return _schema.empty_table()
+    def resolve(group: pa.Table):
+        """(resolved-table, tgt indices w/o in-group source, ordered
+        t/eid arrays, user) — shared by both paths."""
         t = _epoch_us(group, ts_col)
         eid = group[id_col].to_numpy(zero_copy_only=False)
         typ = group[type_col].to_numpy(zero_copy_only=False)
@@ -273,9 +346,16 @@ def asof_attribution(
         tgt = np.flatnonzero(typ == target_type)
         hit = last_src[tgt]
         valid = hit >= 0
+        user = group[user_col][0].as_py()
+        src_rows = np.flatnonzero(typ == source_type)
+        return t, eid, tgt, hit, valid, user, src_rows
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # schema-probe batch
+            return _schema.empty_table()
+        t, eid, tgt, hit, valid, user, _ = resolve(group)
         src_id = np.where(valid, eid[np.maximum(hit, 0)], 0)
         lag = np.where(valid, t[tgt] - t[np.maximum(hit, 0)], 0)
-        user = group[user_col][0].as_py()
         return pa.table({
             "event_id": pa.array(eid[tgt], pa.int64()),
             "user_id": pa.array(np.full(len(tgt), user), pa.int64()),
@@ -284,4 +364,117 @@ def asof_attribution(
             "lag_us": pa.array(np.ma.masked_array(lag, mask=~valid).astype(np.int64)),
         })
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    if chunk_s is None:
+        return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+    chunk_us = chunk_s * _US
+    # unified per-chunk output: kind 0 = resolved target (final row),
+    # kind 1 = unresolved target (needs carry-in), kind 2 = chunk's
+    # last-source summary
+    _part_schema = pa.schema([
+        ("kind", pa.int8()), ("user_id", pa.int64()), ("chunk", pa.int64()),
+        ("event_id", pa.int64()), ("t_us", pa.int64()),
+        ("src_event_id", pa.int64()), ("lag_us", pa.int64()),
+    ])
+
+    def tag_chunk(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch, ts_col)
+        return batch.append_column(
+            "__chunk", pa.array(t // chunk_us, pa.int64())
+        )
+
+    def per_chunk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _part_schema.empty_table()
+        t, eid, tgt, hit, valid, user, src_rows = resolve(group)
+        chunk = int(group["__chunk"][0].as_py())
+        kinds, eids, ts_out, srcs, lags = [], [], [], [], []
+        res = tgt[valid]
+        hit_v = hit[valid]
+        kinds.append(np.zeros(len(res), np.int8))
+        eids.append(eid[res])
+        ts_out.append(t[res])
+        srcs.append(eid[hit_v])
+        lags.append(t[res] - t[hit_v])
+        unres = tgt[~valid]
+        kinds.append(np.ones(len(unres), np.int8))
+        eids.append(eid[unres])
+        ts_out.append(t[unres])
+        srcs.append(np.zeros(len(unres), np.int64))
+        lags.append(np.zeros(len(unres), np.int64))
+        if len(src_rows):
+            last = src_rows[-1]
+            kinds.append(np.full(1, 2, np.int8))
+            eids.append(eid[last:last + 1])
+            ts_out.append(t[last:last + 1])
+            srcs.append(np.zeros(1, np.int64))
+            lags.append(np.zeros(1, np.int64))
+        m = sum(len(x) for x in kinds)
+        return pa.table({
+            "kind": pa.array(np.concatenate(kinds), pa.int8()),
+            "user_id": pa.array(np.full(m, user), pa.int64()),
+            "chunk": pa.array(np.full(m, chunk), pa.int64()),
+            "event_id": pa.array(np.concatenate(eids), pa.int64()),
+            "t_us": pa.array(np.concatenate(ts_out), pa.int64()),
+            "src_event_id": pa.array(np.concatenate(srcs), pa.int64()),
+            "lag_us": pa.array(np.concatenate(lags), pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        """kind-0 rows are already final."""
+        sel = pc.equal(batch["kind"], 0)
+        b = batch.filter(sel)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "src_event_id": b["src_event_id"].cast(pa.int64()),
+            "lag_us": b["lag_us"].cast(pa.int64()),
+        })
+
+    def carry_in(group: pa.Table) -> pa.Table:
+        """One user's unresolved targets + per-chunk source summaries:
+        forward-fill the last summary over chunk order (summaries sort
+        AFTER unresolved targets within their chunk — an in-chunk source
+        cannot serve them) and emit the final rows."""
+        if group.num_rows == 0:
+            return _schema.empty_table()
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        chunk = group["chunk"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        t = group["t_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, chunk))  # summaries last within chunk
+        kind, chunk, eid, t = kind[order], chunk[order], eid[order], t[order]
+        idx = np.arange(len(kind))
+        summ_at = np.where(kind == 2, idx, -1)
+        last_summ = np.maximum.accumulate(summ_at)
+        tgt = np.flatnonzero(kind == 1)
+        hit = last_summ[tgt]
+        valid = hit >= 0
+        src_id = np.where(valid, eid[np.maximum(hit, 0)], 0)
+        lag = np.where(valid, t[tgt] - t[np.maximum(hit, 0)], 0)
+        user = group["user_id"][0].as_py()
+        return pa.table({
+            "event_id": pa.array(eid[tgt], pa.int64()),
+            "user_id": pa.array(np.full(len(tgt), user), pa.int64()),
+            "src_event_id": pa.array(
+                np.ma.masked_array(src_id, mask=~valid).astype(np.int64)),
+            "lag_us": pa.array(np.ma.masked_array(lag, mask=~valid).astype(np.int64)),
+        })
+
+    parts = (
+        ds.map_batches(tag_chunk, batch_format="pyarrow")
+        .groupby([user_col, "__chunk"])
+        .map_groups(per_chunk, batch_format="pyarrow")
+        .materialize()
+    )
+    resolved = parts.map_batches(finalize, batch_format="pyarrow")
+
+    def keep_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["kind"], 0))
+
+    boundary = (
+        parts.map_batches(keep_boundary, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(carry_in, batch_format="pyarrow")
+    )
+    return resolved.union(boundary)

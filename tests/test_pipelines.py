@@ -1477,6 +1477,81 @@ def test_sessionize_matches_sql(events_ds):
     assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
 
 
+def _hot_key_events(n=60_000, hot_frac=0.33, n_users=50, seed=11):
+    """Synthetic event table with one bot user owning ``hot_frac`` of all
+    events — the planted-skew shape for the chunked window paths.  Values
+    are integer-valued floats so partial sums are float-exact."""
+    rng = np.random.default_rng(seed)
+    n_hot = int(n * hot_frac)
+    users = np.r_[np.full(n_hot, 7, np.int64),
+                  rng.integers(100, 100 + n_users, n - n_hot)]
+    ts_us = np.sort(rng.integers(0, 14 * 86_400, n)) * 1_000_000
+    # bot events cluster densely; shuffle assignment so the hot user spans
+    # the whole range
+    perm = rng.permutation(n)
+    users = users[perm]
+    types = np.where(rng.random(n) < 0.3, "purchase", "click")
+    return pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "value": pa.array(rng.integers(0, 100, n).astype(np.float64)),
+    })
+
+
+def test_sessionize_chunked_equals_unchunked_hot_key(ray_session):
+    """chunk_s bounds the raw-event group per (user, time-chunk); the
+    boundary stitch must reproduce the unchunked sessions exactly on a
+    planted hot key (one bot user = 33% of events, sessions spanning many
+    chunk boundaries)."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import sessionize
+
+    t = _hot_key_events()
+    ds = rd.from_arrow(t).repartition(16)
+    base = _sorted(sessionize(ds, gap_s=600).to_pandas(),
+                   ["user_id", "session_id"])
+    # chunk width of 1h: a 14-day dense bot timeline crosses ~336 chunks
+    chunked = _sorted(sessionize(ds, gap_s=600, chunk_s=3600).to_pandas(),
+                      ["user_id", "session_id"])
+    assert len(base) == len(chunked)
+    for c in ["user_id", "session_id", "start_us", "end_us", "n_events"]:
+        assert (base[c].to_numpy() == chunked[c].to_numpy()).all(), c
+    assert np.allclose(base["sum_value"], chunked["sum_value"], atol=0)
+    # the hot user's sessions genuinely span chunk boundaries
+    hot = base[base["user_id"] == 7]
+    assert ((hot["end_us"] // (3600 * 1_000_000))
+            != (hot["start_us"] // (3600 * 1_000_000))).any()
+
+
+def test_asof_chunked_equals_unchunked_hot_key(ray_session):
+    """Chunked as-of attribution: in-chunk resolution + carry-in join must
+    equal the single-group path, including targets whose source lives many
+    chunks back and targets with no source at all."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import asof_attribution
+
+    t = _hot_key_events(seed=13)
+    ds = rd.from_arrow(t).repartition(16)
+    base = _sorted(asof_attribution(ds).to_pandas(), ["event_id"])
+    chunked = _sorted(asof_attribution(ds, chunk_s=3600).to_pandas(),
+                      ["event_id"])
+    assert len(base) == len(chunked)
+    for c in ["event_id", "user_id"]:
+        assert (base[c].to_numpy() == chunked[c].to_numpy()).all(), c
+    for c in ["src_event_id", "lag_us"]:
+        bn, cn = base[c].isna().to_numpy(), chunked[c].isna().to_numpy()
+        assert (bn == cn).all(), c
+        assert (base[c].dropna().to_numpy()
+                == chunked[c].dropna().to_numpy()).all(), c
+    # skew is real and boundaries are crossed: some carry-ins must resolve
+    assert base["src_event_id"].notna().sum() > 0
+    assert base["src_event_id"].isna().sum() >= 0
+
+
 def test_top_keys_per_window_matches_sql(events_ds):
     from riot_ray.pipelines import top_keys_per_window
 

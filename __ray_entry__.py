@@ -597,14 +597,16 @@ def _q_dedup_survivors(sf_dir: str):
 
 
 def _q_multimodal_resize(sf_dir: str):
-    """Resize stage plumbing: header rewrite + proportional body truncation,
-    then re-decode — checks the binary-column layout chains across stages."""
-    from riot_ray.pipelines import decode_media, make_fake_media, resize_media
+    """Real-codec resize: decode -> nearest-neighbor (images) /
+    frame-sample (WAV) -> re-encode SAME format -> re-decode.  Checks the
+    binary-column layout chains across stages on actual bytes."""
+    from riot_ray.pipelines import decode_media, make_real_media, resize_media
     import ray.data as rd
 
-    ds = rd.from_arrow(make_fake_media(128, seed=42))
-    out = decode_media(resize_media(ds, target_w=16, target_h=16, concurrency=2),
-                       concurrency=2)
+    ds = rd.from_arrow(make_real_media(128, seed=42))
+    out = decode_media(
+        resize_media(ds, target_w=16, target_h=16, concurrency=2, decode="real"),
+        decode="real", concurrency=2)
     return out.select_columns(["media_id", "mime", "width", "height", "n_frames"])
 
 
@@ -716,6 +718,18 @@ def _q_multimodal_meta(sf_dir: str):
 
     ds = media_from_docs(_docs(sf_dir).select_columns(["doc_id", "text"]))
     out = decode_media(ds, concurrency=4, batch_size=64)
+    return out.select_columns(["doc_id", "width", "height", "n_frames", "n_bytes"])
+
+
+def _q_multimodal_real_meta(sf_dir: str):
+    """Documents wrapped as REAL binary P6 (PPM) images with md5-derived
+    dims, decoded by the real-codec actor-pool stage — every metadata
+    column (width/height from the actual PPM header, n_bytes = decoded
+    pixel bytes) recomputable in SQL from the text."""
+    from riot_ray.pipelines import decode_media, media_real_from_docs
+
+    ds = media_real_from_docs(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = decode_media(ds, decode="real", concurrency=4, batch_size=64)
     return out.select_columns(["doc_id", "width", "height", "n_frames", "n_bytes"])
 
 
@@ -842,11 +856,13 @@ def _q_pack_sequences(sf_dir: str):
 
 
 def _q_multimodal(sf_dir: str):
-    from riot_ray.pipelines import decode_media, make_fake_media
+    """REAL bytes through the actor-pool decode stage: seeded PNG/BMP/PPM/
+    WAV payloads, stdlib codecs (rows-only: dims live in binary headers)."""
+    from riot_ray.pipelines import decode_media, make_real_media
     import ray.data as rd
 
-    ds = rd.from_arrow(make_fake_media(128, seed=42))
-    out = decode_media(ds, concurrency=2)
+    ds = rd.from_arrow(make_real_media(128, seed=42))
+    out = decode_media(ds, decode="real", concurrency=2)
     return out.select_columns(["media_id", "mime", "width", "height", "n_frames", "payload_digest"])
 
 
@@ -959,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_real_meta": _q_multimodal_real_meta,
         # event-time window operators (events table)
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1858,5 +1875,18 @@ def oracle_sql() -> dict[str, str]:
                1 AS n_frames,
                strlen(text)::BIGINT AS n_bytes
         FROM documents
+        """
+    # real-codec variant: the payload is an actual P6 image, so width/
+    # height come out of the PPM header the encoder wrote and n_bytes is
+    # the decoded pixel count 3*w*h
+    out["multimodal_real_meta"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(text), 1, 4))::INT % 57 + 8) AS width,
+                 (('0x' || substr(md5(text), 5, 4))::INT % 57 + 8) AS height
+          FROM documents)
+        SELECT doc_id, width, height, 1 AS n_frames,
+               (3 * width * height)::BIGINT AS n_bytes
+        FROM dims
         """
     return out

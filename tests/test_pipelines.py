@@ -482,8 +482,100 @@ def test_multimodal_plumbing(ray_session):
     mime, w, h, fr, _ = parse_fake_header(res["payload"].iloc[0])
     assert (w, h) == (16, 16)
 
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage(decode="real")
+
+def test_codec_roundtrips():
+    """Stdlib codecs: encode -> decode reproduces the pixels/samples
+    exactly for every format and every PNG filter type."""
+    from riot_ray.pipelines import codecs as c
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    gray = rng.integers(0, 256, (9, 11), np.uint8)
+
+    for ft in range(5):  # None/Sub/Up/Average/Paeth
+        w, h, fr, px = c.decode_png(c.encode_png(rgb, filter_type=ft))
+        assert (w, h, fr) == (17, 13, 1)
+        assert (px == rgb).all(), f"png filter {ft}"
+        w, h, fr, px = c.decode_png(c.encode_png(gray, filter_type=ft))
+        assert (px[:, :, 0] == gray).all(), f"png gray filter {ft}"
+
+    w, h, fr, px = c.decode_bmp(c.encode_bmp(rgb))
+    assert (w, h) == (17, 13) and (px == rgb).all()
+
+    w, h, fr, px = c.decode_pnm(c.encode_pnm(rgb))
+    assert (w, h) == (17, 13) and (px == rgb).all()
+    w, h, fr, px = c.decode_pnm(c.encode_pnm(gray))
+    assert (px[:, :, 0] == gray).all()
+
+    smp = rng.integers(-30000, 30000, (500, 2), np.int16)
+    rate, nch, n, got = c.decode_wav(c.encode_wav(smp, 16000))
+    assert (rate, nch, n) == (16000, 2, 500)
+    assert (got == smp).all()
+
+    # RGBA survives PNG
+    rgba = rng.integers(0, 256, (6, 7, 4), np.uint8)
+    _, _, _, px = c.decode_png(c.encode_png(rgba, filter_type=4))
+    assert (px == rgba).all()
+
+    # hand-built PNM with comments + BMP row padding (w=3 -> pad 3 bytes)
+    tiny = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    buf = b"P6\n# a comment\n3 3\n255\n" + tiny.tobytes()
+    _, _, _, px = c.decode_pnm(buf)
+    assert (px == tiny).all()
+    _, _, _, px = c.decode_bmp(c.encode_bmp(tiny))
+    assert (px == tiny).all()
+
+
+def test_multimodal_real_decode_and_resize(ray_session):
+    """decode='real' runs actual PNG/BMP/PPM/WAV bytes through the
+    actor-pool stages; resize re-encodes in the same format and the
+    re-decode sees the target dims."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import codecs as c
+    from riot_ray.pipelines import decode_media, resize_media
+
+    rng = np.random.default_rng(9)
+    payloads, kinds = [], []
+    for i in range(12):
+        px = rng.integers(0, 256, (8 + i, 10 + i, 3), np.uint8)
+        for enc, kind in ((c.encode_png, "png"), (c.encode_bmp, "bmp"),
+                          (c.encode_pnm, "pnm")):
+            payloads.append(enc(px))
+            kinds.append(kind)
+    smp = rng.integers(-1000, 1000, (800, 1), np.int16)
+    payloads.append(c.encode_wav(smp, 8000))
+    kinds.append("wav")
+    t = pa.table({
+        "media_id": pa.array(np.arange(len(payloads)), pa.int64()),
+        "kind": pa.array(kinds),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+    ds = rd.from_arrow(t)
+    dec = (decode_media(ds, decode="real", concurrency=2, batch_size=8)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    img = dec[dec["kind"] != "wav"]
+    assert (img["width"].to_numpy() == np.repeat(np.arange(10, 22), 3)).all()
+    assert (img["height"].to_numpy() == np.repeat(np.arange(8, 20), 3)).all()
+    assert (img["n_frames"] == 1).all()
+    wav = dec[dec["kind"] == "wav"].iloc[0]
+    assert (wav["width"], wav["height"], wav["n_frames"]) == (8000, 1, 800)
+
+    res = resize_media(ds, 6, 5, decode="real", concurrency=2, batch_size=8)
+    rd2 = (decode_media(res, decode="real", concurrency=2, batch_size=8)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    img2 = rd2[rd2["kind"] != "wav"]
+    assert (img2["width"] == 6).all() and (img2["height"] == 5).all()
+    wav2 = rd2[rd2["kind"] == "wav"].iloc[0]
+    # step = 800 // 30 = 26 -> ceil(800/26) = 31 samples kept
+    assert wav2["n_frames"] == 31 and wav2["width"] == 8000
+
+    # resize content check: nearest-neighbor is exact on one payload
+    kind, w, h, fr, px = c.decode_any(bytes(payloads[0]))
+    want = c.resize_nearest(px, 6, 5)
+    got_buf = res.to_pandas().sort_values("media_id")["payload"].iloc[0]
+    _, _, _, _, got_px = c.decode_any(bytes(got_buf))
+    assert (got_px == want).all()
 
 
 def test_media_from_docs_sql_parity(docs_ds):

@@ -479,10 +479,14 @@ class ReplicatedSearcher:
                  num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
         Replica = _make_replica()
         replicas = max(1, min(replicas, _cpu_actor_cap(num_cpus_per_actor)))
+        # Serving state is read-only (reloaded from disk in __init__), so a
+        # crashed replica restarts in place and interrupted calls replay —
+        # the rebuild's analog of riot's heartbeat+restart liveness layer
+        # (/root/reference/net/heartb/heart.go:48-114).
         self.actors = [
-            Replica.options(num_cpus=num_cpus_per_actor).remote(
-                index_dir, hydrate, tokenizer_factory
-            )
+            Replica.options(
+                num_cpus=num_cpus_per_actor, max_restarts=3, max_task_retries=-1
+            ).remote(index_dir, hydrate, tokenizer_factory)
             for _ in range(replicas)
         ]
         self._rr = 0
@@ -676,10 +680,11 @@ class ActorSearcher(_SearcherBase):
                                 _cpu_actor_cap(num_cpus_per_actor)))
         slices = [ids[i::num_actors] for i in range(num_actors)]
         tomb = self._tomb if self._tomb.size else None
+        # read-only serving state -> crash-restartable (see ReplicatedSearcher)
         self.actors = [
-            ShardWorker.options(num_cpus=num_cpus_per_actor).remote(
-                index_dir, sl, hydrate, tomb
-            )
+            ShardWorker.options(
+                num_cpus=num_cpus_per_actor, max_restarts=3, max_task_retries=-1
+            ).remote(index_dir, sl, hydrate, tomb)
             for sl in slices
             if sl
         ]

@@ -147,6 +147,54 @@ def test_replicated_searcher(corpus_index, ray_session):
     rs.shutdown()
 
 
+def test_actor_searcher_survives_worker_kill(corpus_index, ray_session):
+    """Liveness (riot net/heartb analog): a killed ShardWorker restarts in
+    place (max_restarts) and interrupted calls replay (max_task_retries) —
+    the very next search returns correct top-k with no caller-side
+    handling."""
+    import ray
+
+    from riot_ray.engine import ActorSearcher
+
+    idx = corpus_index["index_dir"]
+    s = ActorSearcher(idx, num_actors=2)
+    try:
+        req = SearchReq(text="parse", rank_opts=RankOpts(max_outputs=5))
+        want = [h.doc_id for h in LocalSearcher(idx).search(req).docs]
+        assert [h.doc_id for h in s.search(req).docs] == want
+        # hard-kill one worker; restartable actors come back with state
+        # reloaded from the (read-only) on-disk index
+        ray.kill(s.actors[0], no_restart=False)
+        resp = s.search(req)
+        assert [h.doc_id for h in resp.docs] == want
+        # and again after killing the other worker mid-sequence
+        ray.kill(s.actors[-1], no_restart=False)
+        many = s.search_many([req, req])
+        for r in many:
+            assert [h.doc_id for h in r.docs] == want
+    finally:
+        s.shutdown()
+
+
+def test_replicated_searcher_survives_replica_kill(corpus_index, ray_session):
+    import ray
+
+    from riot_ray.engine import ReplicatedSearcher
+
+    idx = corpus_index["index_dir"]
+    rs = ReplicatedSearcher(idx, replicas=2)
+    try:
+        req = SearchReq(text="merge sort", rank_opts=RankOpts(max_outputs=5))
+        want = [h.doc_id for h in LocalSearcher(idx).search(req).docs]
+        ray.kill(rs.actors[0], no_restart=False)
+        # round-robin hits BOTH replicas across two calls — including the
+        # restarting one
+        for _ in range(2):
+            assert [h.doc_id for h in rs.search(req).docs] == want
+    finally:
+        rs.shutdown()
+
+
 def test_opts_from_toml(tmp_path):
     from riot_ray.config import EngineOpts
 

@@ -136,7 +136,7 @@ class _SearcherBase:
         labels = list(req.labels)
         resp = SearchResp(tokens=tuple(tokens))
         if req.logic is not None and req.logic.active(len(tokens) + len(labels)):
-            return ("logic", tokens, labels, rank), None
+            return ("logic", tokens, labels, rank), resp
         keywords = tokens + labels
         if not keywords:
             return None, resp
@@ -206,111 +206,23 @@ class _SearcherBase:
         return plan, resp
 
     def search(self, req: SearchReq) -> SearchResp:
-        tokens, rank = self._prepare(req)
-        labels = list(req.labels)
-        logic = req.logic
-        resp = SearchResp(tokens=tuple(tokens))
+        plan, resp = self._plan(req)
+        if plan is None:
+            return resp
+        return self._exec_plan(plan, req, resp)
 
-        if logic is not None and logic.active(len(tokens) + len(labels)):
+    def _exec_plan(self, plan, req: SearchReq, resp: SearchResp) -> SearchResp:
+        """Execute one plan produced by :meth:`_plan`."""
+        if plan[0] == "logic":
+            _tag, tokens, labels, rank = plan
             return self._logic_search(req, tokens, labels, rank, resp)
-
-        keywords = tokens + labels
-        if not keywords:
-            return resp
-        n_docs, total_len = self._global()
-        if n_docs <= 0:
-            return resp
-        # global dictionary check: any missing keyword -> empty AND result
-        dfs = []
-        for k in keywords:
-            df = self.termstats.get(k)
-            if not df:
-                return resp
-            dfs.append(df)
-        dtype = np.float32 if self.opts.score_dtype == "float32" else np.float64
-        avgdl = (
-            np.float32(np.float32(total_len) / np.float32(n_docs))
-            if dtype is np.float32
-            else total_len / n_docs
-        )
-        idfs = [float(bm25_idf(n_docs, df, dtype)) for df in dfs[: len(tokens)]]
-
-        keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
-        from .config import FREQS_INDEX
-
-        if req.phrase and tokens:
-            from .tokenize import phrase_pattern
-
-            # literal phrase: unfiltered stream for the regex (see _plan)
-            phrase_toks = (
-                self.tok.query_tokens(req.text, stop_filter=False)
-                + list(req.tokens)
-            )
-            results = self._dispatch(
-                "phrase_search",
-                dict(
-                    tokens=tokens,
-                    labels=labels,
-                    idfs=idfs,
-                    avgdl=float(avgdl),
-                    pattern=phrase_pattern(phrase_toks, self.opts.mode),
-                    allow_ids=req.doc_ids,
-                    count_only=req.count_docs_only,
-                    dtype_name=self.opts.score_dtype,
-                ),
-                req,
-                rank,
-                keep,
-                orderless=req.orderless,
-            )
-            return self._collect(results, req, rank, resp)
-        use_wand = (
-            req.approx_count
-            and keep > 0
-            and not labels
-            and req.doc_ids is None
-            and not req.count_docs_only
-            and not req.orderless
-            and rank.scoring_criteria is None
-            and not rank.reverse_order
-            and self.opts.index_type == FREQS_INDEX
-        )
-        if use_wand:
-            results = self._dispatch(
-                "search_wand",
-                dict(
-                    tokens=tokens,
-                    idfs=idfs,
-                    avgdl=float(avgdl),
-                    k=keep,
-                    dtype_name=self.opts.score_dtype,
-                ),
-                req,
-                rank,
-                keep,
-                orderless=False,
-            )
-            out = self._collect(results, req, rank, resp)
+        method, kw, rank, keep, orderless, is_wand = plan
+        results = self._dispatch(method, kw, req, rank, keep, orderless=orderless)
+        out = self._collect(results, req, rank, resp)
+        if is_wand:
             # num_docs = docs actually SCORED (pruned blocks never counted)
             out.num_docs = results[2]
-            return out
-        results = self._dispatch(
-            "search",
-            dict(
-                tokens=tokens,
-                labels=labels,
-                idfs=idfs,
-                avgdl=float(avgdl),
-                allow_ids=req.doc_ids,
-                count_only=req.count_docs_only,
-                dtype_name=self.opts.score_dtype,
-            ),
-            req,
-            rank,
-            keep,
-            orderless=req.orderless,
-        )
-        return self._collect(results, req, rank, resp)
+        return out
 
     def _logic_search(self, req, tokens, labels, rank, resp):
         logic = req.logic
@@ -359,13 +271,55 @@ class _SearcherBase:
         resp.num_docs = num_scored
         return resp
 
+    @staticmethod
+    def _plan_key(plan, count_only: bool):
+        """Hashable execution key for a planned query, or None when the
+        plan carries unshareable state (custom scoring callables, doc-id
+        allowlists).  Two requests with equal keys run the identical
+        kernel + rank computation, so a batch executes each distinct key
+        once — the cross-query sharing that makes repeated/overlapping
+        queries in one batch cost one postings pass."""
+        method, kw, rank, keep, orderless, is_wand = plan
+        if rank.scoring_criteria is not None or kw.get("allow_ids") is not None:
+            return None
+        items = []
+        for k, v in sorted(kw.items()):
+            if k == "allow_ids":
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            items.append((k, v))
+        return (
+            method, tuple(items), keep, orderless, count_only,
+            rank.output_offset, rank.max_outputs, rank.reverse_order,
+        )
+
     def search_many(self, reqs: list) -> list[SearchResp]:
-        """Batched serving: plan every request once, dispatch the whole
-        batch in ONE round trip per shard worker (the amortization that
-        makes the sharded fan-out competitive — per-query RPC costs ~5-7 ms
-        of Ray overhead regardless of work).  Logic queries and
-        short-circuits fall back to the per-query path."""
-        return [self.search(r) for r in reqs]  # overridden by ActorSearcher
+        """Batched serving: plan every request once and execute each
+        DISTINCT plan once (identical queries in a batch share one kernel
+        pass and one ranked result — responses for duplicates alias the
+        same hit objects; treat them as read-only).  Logic queries and
+        plans with unshareable state fall back to the per-query path.
+        ActorSearcher overrides this with the one-RPC-per-worker variant."""
+        results: list = [None] * len(reqs)
+        by_key: dict = {}
+        for i, req in enumerate(reqs):
+            plan, resp = self._plan(req)
+            if plan is None:
+                results[i] = resp
+                continue
+            key = None if plan[0] == "logic" else self._plan_key(
+                plan, req.count_docs_only
+            )
+            if key is None:
+                results[i] = self._exec_plan(plan, req, resp)
+                continue
+            if key in by_key:
+                results[i] = results[by_key[key]]
+            else:
+                by_key[key] = i
+                results[i] = self._exec_plan(plan, req, resp)
+        return results
 
 
 class LocalSearcher(_SearcherBase):
@@ -469,7 +423,8 @@ def _make_replica():
             return self.searcher.search(req)
 
         def search_many(self, reqs):
-            return [self.searcher.search(r) for r in reqs]
+            # LocalSearcher's batched path: distinct plans execute once
+            return self.searcher.search_many(reqs)
 
     return Replica
 
@@ -553,11 +508,12 @@ class _BatchQueryStage:
 
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        resps = self.searcher.search_many([
+            SearchReq(text=t or "", rank_opts=RankOpts(max_outputs=self.max_outputs))
+            for t in texts
+        ])
         out_q, out_rank, out_doc, out_score = [], [], [], []
-        for qid, text in zip(qids, texts):
-            resp = self.searcher.search(
-                SearchReq(text=text or "", rank_opts=RankOpts(max_outputs=self.max_outputs))
-            )
+        for qid, resp in zip(qids, resps):
             for r, h in enumerate(resp.docs, 1):
                 out_q.append(qid)
                 out_rank.append(r)
@@ -708,16 +664,32 @@ class ActorSearcher(_SearcherBase):
             else:
                 batch.append((i, plan, resp))
         if batch:
-            items = [
-                (m, kw, rank, keep, reqs[i].count_docs_only, orderless)
-                for i, (m, kw, rank, keep, orderless, _w), _r in batch
-            ]
+            # cross-query sharing: ship each DISTINCT plan once (smaller
+            # RPC, one kernel pass per distinct query per shard); duplicate
+            # requests alias the same SearchResp (read-only by convention)
+            items, key_to_uq, uq_of = [], {}, []
+            for i, plan, _r in batch:
+                m, kw, rank, keep, orderless, _w = plan
+                key = self._plan_key(plan, reqs[i].count_docs_only)
+                if key is not None and key in key_to_uq:
+                    uq_of.append(key_to_uq[key])
+                    continue
+                uq = len(items)
+                items.append((m, kw, rank, keep, reqs[i].count_docs_only, orderless))
+                if key is not None:
+                    key_to_uq[key] = uq
+                uq_of.append(uq)
             futs = [a.run_many.remote(items) for a in self.actors]
-            per_actor = ray.get(futs)  # [actor][query] -> (hits, n_sc, n_f)
-            for qi, (i, (m, kw, rank, keep, orderless, is_wand), resp) in enumerate(batch):
+            per_actor = ray.get(futs)  # [actor][uq] -> (hits, n_sc, n_f)
+            done: dict[int, SearchResp] = {}
+            for (i, plan, resp), uq in zip(batch, uq_of):
+                m, kw, rank, keep, orderless, is_wand = plan
+                if uq in done:
+                    results[i] = done[uq]
+                    continue
                 per_shard, num_scored, num_found = [], 0, 0
                 for actor_out in per_actor:
-                    hits_list, n_sc, n_f = actor_out[qi]
+                    hits_list, n_sc, n_f = actor_out[uq]
                     per_shard.extend(hits_list)
                     num_scored += n_sc
                     num_found += n_f
@@ -726,6 +698,7 @@ class ActorSearcher(_SearcherBase):
                 )
                 if is_wand:
                     out.num_docs = num_found  # wand counts SCORED docs only
+                done[uq] = out
                 results[i] = out
         return results
 

@@ -285,7 +285,10 @@ class ShardData:
 
     def and_candidates(self, keywords: list) -> np.ndarray:
         """Sorted-list AND intersection (semantics of internalLookup,
-        /root/reference/core/indexer.go:417-558), smallest list first."""
+        /root/reference/core/indexer.go:417-558), smallest list first.
+        Membership is a searchsorted probe of the small list into the
+        larger (O(s log L)) rather than ``np.intersect1d``, which re-sorts
+        the concatenation (O((s+L) log(s+L))) on every step."""
         lists = []
         for k in keywords:
             docs, _ = self.postings(k)
@@ -295,7 +298,10 @@ class ShardData:
         lists.sort(key=len)
         cand = lists[0]
         for arr in lists[1:]:
-            cand = np.intersect1d(cand, arr, assume_unique=True)
+            pos = np.searchsorted(arr, cand)
+            ok = pos < arr.size
+            ok[ok] = arr[pos[ok]] == cand[ok]
+            cand = cand[ok]
             if cand.size == 0:
                 return cand
         return cand
@@ -632,11 +638,22 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, keep: int
     scorer = rank.scoring_criteria
     if scorer is None and not rank.reverse_order:
         # vectorized default path: order by (bm25 desc, doc_id asc), then
-        # materialize ScoredHit only for the kept top slice
-        order = np.argsort(hits.doc_id, kind="stable")
-        order = order[np.argsort(-hits.bm25[order], kind="stable")]
-        if keep > 0:
-            order = order[:keep]
+        # materialize ScoredHit only for the kept top slice.  When keep is
+        # small relative to n, an O(n) select-kth pass shrinks the sort to
+        # the boundary set first: every candidate with score >= the keep-th
+        # largest survives selection (ties included), so the subsequent
+        # exact two-key sort over that subset yields the identical top slice.
+        if 0 < keep < n // 4 and n > 64:
+            kth = np.partition(hits.bm25, n - keep)[n - keep]
+            sel = np.flatnonzero(hits.bm25 >= kth)
+            sub = np.argsort(hits.doc_id[sel], kind="stable")
+            sub = sub[np.argsort(-hits.bm25[sel][sub], kind="stable")]
+            order = sel[sub][:keep]
+        else:
+            order = np.argsort(hits.doc_id, kind="stable")
+            order = order[np.argsort(-hits.bm25[order], kind="stable")]
+            if keep > 0:
+                order = order[:keep]
         out = []
         hydrate = shard is not None and shard.hydrate_cols
         for i in order:

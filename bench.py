@@ -181,8 +181,29 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     rs.search_many(reqs6)
     tuned_total = time.time() - t0
-    rs.shutdown()
     q["replicated_qps_tuned"] = round(len(reqs6) / tuned_total, 1)
+
+    # ALL-DISTINCT variant: the 10-term rotation above has only 10 unique
+    # queries, which the batch planner now executes once each (legitimate
+    # sharing — riot's own bench repeats one query — but it measures the
+    # dedup, not the kernel).  6000 unique term pairs force 6000 full
+    # kernel passes: the honest per-query capacity number.
+    import itertools as _it
+
+    _vocab = terms + [
+        "parse", "json", "index", "shard", "token", "stream", "cache",
+        "block", "hash", "sort", "join", "read", "write", "key", "value",
+        "node", "task", "actor", "plan", "graph",
+    ]
+    ureqs = [
+        SearchReq(text=f"{a} {b}", rank_opts=RankOpts(max_outputs=10))
+        for a, b in _it.islice(_it.permutations(_vocab, 2), 6000)
+    ]
+    rs.search_many(ureqs[:128])  # warmup
+    t0 = time.time()
+    rs.search_many(ureqs)
+    q["replicated_qps_distinct"] = round(len(ureqs) / (time.time() - t0), 1)
+    rs.shutdown()
 
     # 3) pipeline extensions over the same tables
     docs = rd.read_parquet(src)

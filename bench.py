@@ -217,6 +217,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         token_stats,
     )
 
+    # warm the task-pool worker processes: the first map_batches execution
+    # after the actor-heavy serving phase otherwise absorbs worker spin-up
+    # into whichever op runs first (token_stats measured 2.2 s cold vs
+    # 0.65 s warm at sf0.1 — the kernel itself is 0.18 s single-process)
+    docs.map_batches(lambda b: b, batch_format="pyarrow").count()
+
     t0 = time.time()
     token_stats(docs).count()
     q["token_stats"] = round(time.time() - t0, 3)

@@ -803,6 +803,74 @@ def _q_search_phrase(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def _dist_node_dirs(sf_dir: str) -> list:
+    """Two independent node indexes over disjoint halves of documents
+    (doc_id parity), each forward-storing a derived ts column — the
+    deployment shape of riot's gRPC peers (net/grpc/search.go:140-149).
+    Cached by source fingerprint like _index_for."""
+    import pyarrow.parquet as pq
+
+    from riot_ray.build import IndexWriter
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{src}|dist|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        _CACHE_ROOT,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-dist-{key}",
+    )
+    dirs = [os.path.join(root, f"n{i}") for i in (0, 1)]
+    opts = _opts()
+    opts.meta_cols = ("lang", "source", "ts")
+    for node, d in enumerate(dirs):
+        part_src = os.path.join(d, "src.parquet")
+        if not os.path.exists(part_src):
+            t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
+            ids = t["doc_id"].to_numpy()
+            part = t.filter(pa.array(ids % 2 == node))
+            # deterministic timestamp, coarse modulus -> ts collisions
+            # exercise the Id-desc string tiebreak
+            pids = part["doc_id"].to_numpy()
+            part = part.append_column(
+                "ts", pa.array((pids * 37 + 3) % 1000, pa.int64())
+            )
+            os.makedirs(d, exist_ok=True)
+            tmp = part_src + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, part_src)
+        IndexWriter(os.path.join(d, "index"), opts).build(
+            part_src, source_desc=part_src
+        )
+    return [os.path.join(d, "index") for d in dirs]
+
+
+def _q_dist_merge_ts(sf_dir: str):
+    """Distributed scatter-gather with riot's WIRE merge order: per-node
+    BM25 top-K re-sorted by (ts desc, id desc — string compare), replies
+    concatenated, re-sorted, truncated to K-1 when the pool exceeds K
+    (/root/reference/net/grpc/search.go:40-65,151-175 incl. the off-by-one
+    kept for conformance)."""
+    from riot_ray.engine import DistSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    dist = DistSearcher(_dist_node_dirs(sf_dir))
+    resp = dist.search(
+        SearchReq(text=" ".join(QUERY_TERMS), rank_opts=RankOpts(max_outputs=K))
+    )
+    dist.shutdown()
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(resp.docs) + 1), pa.int64()),
+            "doc_id": pa.array([int(h.doc_id) for h in resp.docs], pa.int64()),
+            "ts": pa.array(
+                [int(h.fields["ts"]) for h in resp.docs], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_tfidf_topk(sf_dir: str):
     from riot_ray.pipelines import tfidf_topk
 
@@ -928,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_proximity": _q_search_proximity,
         "search_proximity_2": _q_search_proximity2,
         "search_phrase": _q_search_phrase,
+        "dist_merge_ts": _q_dist_merge_ts,
         "tfidf_topk": _q_tfidf_topk,
         "grep_search": _q_grep_search,
         "chunk_docs": _q_chunk_docs,
@@ -1199,6 +1268,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id FROM documents
             WHERE regexp_matches(lower(text),
                 '(^|[^a-z0-9]){PHRASE[0]}[^a-z0-9]+{PHRASE[1]}([^a-z0-9]|$)')
+            """,
+        # distributed wire merge: two nodes (doc_id parity), per-node BM25
+        # (per-node N/df/avgdl!) top-K, pool re-sorted by (ts desc, id desc
+        # as VARCHAR), truncated to K-1 only when pool > K (the reference's
+        # off-by-one, net/grpc/search.go:162-165)
+        "dist_merge_ts": f"""
+            WITH {_TOKS},
+            nodes AS (
+              SELECT doc_id, doc_id % 2 AS node,
+                     (doc_id * 37 + 3) % 1000 AS ts, t
+              FROM toks),
+            lens AS (SELECT node, doc_id, ts, len(t)::DOUBLE AS dl FROM nodes),
+            n AS (SELECT node, count(*)::DOUBLE AS nd, sum(dl)::DOUBLE AS tot
+                  FROM lens GROUP BY node),
+            tf AS (
+              SELECT node, doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT node, doc_id, unnest(t) AS term FROM nodes)
+              WHERE term IN ({_TERMS_IN})
+              GROUP BY node, doc_id, term),
+            df AS (SELECT node, term, count(*)::DOUBLE AS df
+                   FROM tf GROUP BY node, term),
+            cand AS (
+              SELECT node, doc_id FROM tf GROUP BY node, doc_id
+              HAVING count(DISTINCT term) = {len(QUERY_TERMS)}),
+            sc AS (
+              SELECT tf.node, tf.doc_id,
+                     SUM(log2(n.nd / df.df + 1)
+                         * tf.tf * (2.0 + 1.0)
+                         / (tf.tf + 2.0 * (1 - 0.75 + 0.75 * lens.dl / (n.tot / n.nd)))
+                        ) AS score
+              FROM tf
+              JOIN df ON df.node = tf.node AND df.term = tf.term
+              JOIN lens ON lens.node = tf.node AND lens.doc_id = tf.doc_id
+              JOIN n ON n.node = tf.node
+              JOIN cand ON cand.node = tf.node AND cand.doc_id = tf.doc_id
+              GROUP BY tf.node, tf.doc_id),
+            pernode AS (
+              SELECT node, doc_id,
+                     row_number() OVER (
+                       PARTITION BY node
+                       ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rn
+              FROM sc),
+            pool AS (
+              SELECT l.doc_id, l.ts
+              FROM lens l JOIN pernode p
+                ON p.node = l.node AND p.doc_id = l.doc_id
+              WHERE p.rn <= {K}),
+            ranked AS (
+              SELECT doc_id, ts,
+                     row_number() OVER (
+                       ORDER BY ts DESC, CAST(doc_id AS VARCHAR) DESC) AS rn,
+                     count(*) OVER () AS total
+              FROM pool)
+            SELECT rn::BIGINT AS rank, doc_id::BIGINT AS doc_id, ts::BIGINT AS ts
+            FROM ranked
+            WHERE rn <= CASE WHEN total > {K} THEN {K} - 1 ELSE total END
             """,
         # 2-term proximity: token byte positions recovered in SQL (simple
         # mode = [a-z0-9]+ runs over lower(text); ASCII corpus so char

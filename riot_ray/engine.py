@@ -489,6 +489,107 @@ class ReplicatedSearcher:
 
 
 # --------------------------------------------------------------------------- #
+# distributed wire merge by (ts desc, id desc): riot's gRPC scatter-gather
+# (/root/reference/net/grpc/search.go:40-65,95-99,151-175).  Each node owns
+# an independent index; a node reply is the node's score-ranked top-M
+# re-sorted by (Attri.Ts desc, Id desc — STRING comparison); the global
+# merge concatenates replies, re-sorts by the same key, and — only when
+# more than one node replied AND the pool exceeds maxOutputs — truncates to
+# maxOutputs-1 (`end := maxOutputs - 1`, search.go:162-165: a faithful
+# off-by-one of the reference wire, kept deliberately).
+# --------------------------------------------------------------------------- #
+def _hit_ts(hit, ts_field: str) -> int:
+    """Attri.Ts of a hit: the hydrated forward column `ts_field`, 0 when
+    absent (riot's zero-valued Attri.Ts for docs indexed without Attri)."""
+    if hit.fields and ts_field in hit.fields:
+        v = hit.fields[ts_field]
+        return int(v) if v is not None else 0
+    return 0
+
+
+def ts_sort_hits(hits: list, ts_field: str = "ts") -> None:
+    """In-place rpcSlice order (search.go:40-65): Ts desc, then Id desc as
+    Go STRING comparison ("99" > "100") — NOT numeric.  A descending string
+    key can't be negated inside one tuple key, so use a stable two-pass:
+    secondary key (id desc) first, then primary (ts desc)."""
+    hits.sort(key=lambda h: h.doc_id, reverse=True)
+    hits.sort(key=lambda h: _hit_ts(h, ts_field), reverse=True)
+
+
+def ts_node_reply(resp: SearchResp, max_outputs: int,
+                  ts_field: str = "ts") -> SearchResp:
+    """Per-node rpcSearch post-processing (search.go:80-107): re-sort the
+    engine's score-ranked docs by (ts desc, id desc) and truncate to
+    maxOutputs.  maxOutputs<=0 keeps everything."""
+    ts_sort_hits(resp.docs, ts_field)
+    if max_outputs > 0 and len(resp.docs) > max_outputs:
+        resp.docs = resp.docs[:max_outputs]
+    resp.num_docs = len(resp.docs)
+    return resp
+
+
+def merge_dist_ts(replies: list, max_outputs: int,
+                  ts_field: str = "ts") -> SearchResp:
+    """wgGrpc global merge (search.go:151-175).  With ONE reply it passes
+    through untouched; with several it concatenates, re-sorts by
+    (ts desc, id desc) and truncates to maxOutputs-1 when the pool
+    exceeds maxOutputs — exactly maxOutputs docs are NOT truncated."""
+    if len(replies) == 1:
+        return replies[0]
+    docs = [h for r in replies for h in r.docs]
+    ts_sort_hits(docs, ts_field)
+    if max_outputs > 0 and len(docs) > max_outputs:
+        docs = docs[: max_outputs - 1]
+    out = SearchResp(tokens=replies[0].tokens if replies else ())
+    out.docs = docs
+    out.num_docs = len(docs)
+    out.timeout = any(r.timeout for r in replies)
+    return out
+
+
+class DistSearcher:
+    """riot's distributed deployment shape: N independent nodes, each a
+    full engine over its OWN document partition (separate index dirs),
+    queries fanned to every node and merged by the (ts desc, id desc)
+    wire order above.  Nodes are crash-restartable replica actors
+    (read-only serving state), the rebuild analog of the gRPC peers in
+    /root/reference/net/grpc/search.go:140-149.
+
+    ``hydrate=True`` is forced: the merge key needs the forward-stored
+    ``ts_field`` column (index with ``meta_cols=(..., ts_field)``)."""
+
+    def __init__(self, index_dirs: list, ts_field: str = "ts",
+                 num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
+        import ray
+
+        Replica = _make_replica()
+        self.ts_field = ts_field
+        self.nodes = [
+            Replica.options(
+                num_cpus=num_cpus_per_actor, max_restarts=3, max_task_retries=-1
+            ).remote(d, True, tokenizer_factory)
+            for d in index_dirs
+        ]
+
+    def search(self, req: SearchReq) -> SearchResp:
+        import ray
+
+        max_outputs = req.rank_opts.max_outputs if req.rank_opts else 0
+        futs = [n.search.remote(req) for n in self.nodes]
+        replies = [
+            ts_node_reply(r, max_outputs, self.ts_field) for r in ray.get(futs)
+        ]
+        return merge_dist_ts(replies, max_outputs, self.ts_field)
+
+    def shutdown(self):
+        import ray
+
+        for n in self.nodes:
+            ray.kill(n)
+        self.nodes = []
+
+
+# --------------------------------------------------------------------------- #
 # batch query API: Dataset of queries -> Dataset of ranked results
 # --------------------------------------------------------------------------- #
 class _BatchQueryStage:

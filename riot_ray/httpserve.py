@@ -129,10 +129,19 @@ class SearchHTTPServer:
         }
 
     def _dist(self, p: dict) -> dict:
-        """Scatter to members (plus this node), merge by the engine's
-        (score desc, id asc) order, truncate to maxOutputs."""
+        """Scatter to members (plus this node), merge, truncate.
+
+        Two merge orders:
+        * default — the engine's (score desc, id asc), truncate to
+          maxOutputs (the useful order);
+        * ``order=ts`` — the reference WIRE order
+          (/root/reference/net/http/dist.go:86-108): (attri.ts desc,
+          id desc as string), truncated to maxOutputs-1 when the pooled
+          docs exceed maxOutputs and more than one reply contributed —
+          the same off-by-one `end := maxOuts - 1` the gRPC path has."""
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
         docs, _ = self._search_docs(p)
+        replies = 1
         qs = urllib.parse.urlencode({**p, "maxOutputs": str(max_outputs)})
         for base in self.dist_members:
             try:
@@ -140,10 +149,20 @@ class SearchHTTPServer:
                     f"{base}/search?{qs}", timeout=self.dist_timeout_s
                 ) as r:
                     docs.extend(json.loads(r.read().decode()).get("docs", []))
+                    replies += 1
             except Exception:
                 continue  # member down: partial results (dist.go:40-44)
-        docs.sort(key=lambda d: (-max(d["score"]) if d["score"] else 0.0, d["id"]))
-        docs = docs[:max_outputs]
+        if str(p.get("order") or "").lower() == "ts":
+            docs.sort(key=lambda d: d["id"], reverse=True)
+            docs.sort(
+                key=lambda d: int((d.get("attri") or {}).get("ts") or 0),
+                reverse=True,
+            )
+            if replies > 1 and len(docs) > max_outputs:
+                docs = docs[: max_outputs - 1]
+        else:
+            docs.sort(key=lambda d: (-max(d["score"]) if d["score"] else 0.0, d["id"]))
+            docs = docs[:max_outputs]
         return {"code": 0, "len": len(docs), "timestamp": int(time.time()), "docs": docs}
 
     def _add_index(self, p: dict) -> dict:

@@ -61,6 +61,29 @@ def test_dist_merges_self_and_members(server):
     srv.dist_members = []
 
 
+def test_dist_order_ts_wire_merge(server):
+    """order=ts reproduces the reference wire order (net/http/dist.go:86-108):
+    (attri.ts desc, id desc string) with the maxOutputs-1 truncation when
+    more than one reply pooled past maxOutputs."""
+    base, srv = server
+    srv.dist_members = [base]  # self as member -> every doc arrives twice
+    single = _get(f"{base}/search?query=parse&maxOutputs=4")
+    out = _get(f"{base}/dist?query=parse&maxOutputs=4&order=ts")
+    if len(single["docs"]) >= 2:
+        # pool = 2x singles > maxOutputs=4 when >=3 singles; with exactly
+        # 2 singles pool=4 == maxOutputs -> no cut
+        pool = 2 * len(single["docs"])
+        want = 3 if pool > 4 else pool
+        assert out["len"] == want
+    # ts defaults to 0 when the index stores no ts column -> pure id desc
+    ids = [d["id"] for d in out["docs"]]
+    ts = [int((d.get("attri") or {}).get("ts") or 0) for d in out["docs"]]
+    assert ts == sorted(ts, reverse=True)
+    for (t1, i1), (t2, i2) in zip(zip(ts, ids), list(zip(ts, ids))[1:]):
+        assert t1 > t2 or (t1 == t2 and i1 >= i2)
+    srv.dist_members = []
+
+
 def test_status_and_unknown_route(server, corpus_index):
     base, _ = server
     st = _get(f"{base}/status")

@@ -1,0 +1,150 @@
+"""`ray job submit` entrypoint: `python -m riot_ray.job <cmd> ...`.
+
+The cluster launch surface the deployment doc (docs/DEPLOY.md) promises:
+one module a driver can submit as-is instead of inlining python -c.
+
+    ray job submit --address http://<head>:8265 --working-dir . -- \
+        python -m riot_ray.job build --source s3://bucket/corpus/*.parquet \
+            --index s3://bucket/index --opts conf/engine.toml
+
+Subcommands
+    build   — build (or resume) an index over parquet source(s); prints the
+              stats JSON (docs, postings, wall seconds, shards skipped).
+    search  — run queries against an index from the CLI / a submitted job;
+              one JSON line per query with ranked (doc_id, score) pairs.
+    serve   — start the HTTP facade over the index and block (Ctrl-C /
+              SIGTERM to stop); the multi-node serving recipe in DEPLOY.md.
+
+No subcommand calls ray.init(): inside `ray job submit` the job driver is
+already connected, and standalone Ray Data auto-initialises.  Guarded
+helpers keep the module import-safe for the test fixture (which owns the
+session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_opts(path: str | None):
+    from .config import EngineOpts
+
+    if not path:
+        return EngineOpts(mode="code")
+    if path.endswith(".toml"):
+        return EngineOpts.from_toml(path)
+    with open(path) as f:
+        return EngineOpts.from_json(f.read())
+
+
+def cmd_build(args) -> int:
+    from .build import IndexWriter
+
+    opts = _load_opts(args.opts)
+    if args.num_parts:
+        opts.num_parts = args.num_parts
+    if args.num_shards:
+        opts.num_shards = args.num_shards
+    source = args.source if len(args.source) > 1 else args.source[0]
+    stats = IndexWriter(args.index, opts).build(source)
+    json.dump(stats, sys.stdout, default=str)
+    print()
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .engine import ActorSearcher, LocalSearcher
+    from .types import RankOpts, SearchReq
+
+    cls = ActorSearcher if args.actors > 0 else LocalSearcher
+    se = (
+        cls(args.index, num_actors=args.actors, hydrate=args.hydrate)
+        if args.actors > 0
+        else cls(args.index, hydrate=args.hydrate)
+    )
+    reqs = [
+        SearchReq(text=q, rank_opts=RankOpts(max_outputs=args.k))
+        for q in args.query
+    ]
+    for q, resp in zip(args.query, se.search_many(reqs)):
+        print(json.dumps({
+            "query": q,
+            "num_docs": resp.num_docs,
+            "docs": [
+                {"id": h.doc_id, "score": round(float(h.bm25), 6)}
+                for h in resp.docs
+            ],
+        }))
+    if args.actors > 0:
+        se.shutdown()
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .engine import ActorSearcher, LocalSearcher
+    from .httpserve import SearchHTTPServer
+
+    se = (
+        ActorSearcher(args.index, num_actors=args.actors, hydrate=args.hydrate)
+        if args.actors > 0
+        else LocalSearcher(args.index, hydrate=args.hydrate)
+    )
+    srv = SearchHTTPServer(
+        se, host=args.host, port=args.port,
+        dist_members=args.member or [], index_dir=args.index,
+    )
+    print(json.dumps({"serving": f"http://{srv.host}:{srv.port}"}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        if args.actors > 0:
+            se.shutdown()
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m riot_ray.job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build or resume an index")
+    b.add_argument("--source", nargs="+", required=True,
+                   help="parquet file(s)/glob(s)/dir(s)")
+    b.add_argument("--index", required=True, help="index output directory/URI")
+    b.add_argument("--opts", help="EngineOpts .toml or .json file")
+    b.add_argument("--num-parts", type=int, default=0)
+    b.add_argument("--num-shards", type=int, default=0)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", nargs="+", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--actors", type=int, default=0,
+                   help="0 = in-process; N = actor-pool fan-out")
+    s.add_argument("--hydrate", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("serve", help="HTTP serving facade")
+    v.add_argument("--index", required=True)
+    v.add_argument("--host", default="0.0.0.0")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--actors", type=int, default=4)
+    v.add_argument("--hydrate", action="store_true")
+    v.add_argument("--member", action="append",
+                   help="peer base URL for /dist (repeatable)")
+    v.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

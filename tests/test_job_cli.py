@@ -1,0 +1,58 @@
+"""`python -m riot_ray.job` — the `ray job submit` entrypoint surface."""
+
+import io
+import json
+from contextlib import redirect_stdout
+
+from riot_ray.job import cmd_build, cmd_search, make_parser
+
+
+def test_parser_shapes():
+    p = make_parser()
+    a = p.parse_args(["build", "--source", "a.parquet", "b.parquet",
+                      "--index", "/tmp/x", "--num-shards", "8"])
+    assert a.source == ["a.parquet", "b.parquet"] and a.num_shards == 8
+    s = p.parse_args(["search", "--index", "/tmp/x", "--query", "q1", "q2"])
+    assert s.k == 10 and s.actors == 0
+    v = p.parse_args(["serve", "--index", "/tmp/x",
+                      "--member", "http://n1", "--member", "http://n2"])
+    assert v.member == ["http://n1", "http://n2"] and v.port == 8080
+
+
+def test_build_then_search_roundtrip(ray_session, corpus_index, tmp_path):
+    p = make_parser()
+    idx = str(tmp_path / "index")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cmd_build(p.parse_args([
+            "build", "--source", corpus_index["src"], "--index", idx,
+            "--num-parts", "4", "--num-shards", "2",
+        ]))
+    assert rc == 0
+    stats = json.loads(out.getvalue())
+    assert stats["n_docs"] == 300 and stats["num_shards"] == 2
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cmd_search(p.parse_args([
+            "search", "--index", idx, "--query", "parse", "merge sort",
+            "-k", "3",
+        ]))
+    assert rc == 0
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert [x["query"] for x in lines] == ["parse", "merge sort"]
+    for x in lines:
+        assert len(x["docs"]) <= 3
+        scores = [d["score"] for d in x["docs"]]
+        assert scores == sorted(scores, reverse=True)
+
+    # resubmitting the same build resumes (shards skipped, same stats)
+    out = io.StringIO()
+    with redirect_stdout(out):
+        cmd_build(p.parse_args([
+            "build", "--source", corpus_index["src"], "--index", idx,
+            "--num-parts", "4", "--num-shards", "2",
+        ]))
+    again = json.loads(out.getvalue())
+    assert again["shards_skipped"] == again["num_shards"]
+    assert again["n_postings"] == stats["n_postings"]

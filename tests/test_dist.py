@@ -135,3 +135,49 @@ def test_dist_searcher_end_to_end(dist_nodes, ray_session):
     seq = [(int((h.fields or {}).get("ts") or 0), h.doc_id) for h in got.docs]
     for (t1, i1), (t2, i2) in zip(seq, seq[1:]):
         assert t1 > t2 or (t1 == t2 and i1 > i2)
+
+
+# ---- property: merge equals a direct transcription of the Go code ---------- #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ID = st.text(alphabet="0123456789ab", min_size=1, max_size=4)
+_REPLY = st.lists(
+    st.tuples(_ID, st.integers(0, 5)), min_size=0, max_size=8
+)
+
+
+def _go_merge(replies, max_outputs):
+    """Literal transcription of wgGrpc (search.go:151-175) over
+    (id, ts) tuples: per-reply lists arrive already node-sorted."""
+    if len(replies) == 1:
+        return list(replies[0])
+    docs = [d for r in replies for d in r]
+    # sort.Sort(rpcSlice): Less = ts desc, then id > (string) — emulate
+    # with sorted() and a key that inverts ts and uses id descending via
+    # two stable passes
+    docs = sorted(docs, key=lambda d: d[0], reverse=True)
+    docs = sorted(docs, key=lambda d: d[1], reverse=True)
+    if max_outputs > 0 and len(docs) > max_outputs:
+        docs = docs[: max_outputs - 1]
+    return docs
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_REPLY, min_size=1, max_size=4), st.integers(0, 12))
+def test_merge_matches_go_transcription(replies, max_outputs):
+    def node(r):
+        hits = [_hit(i, t) for i, t in r]
+        return ts_node_reply(SearchResp(docs=hits), max_outputs)
+
+    node_replies = [node(r) for r in replies]
+    got = merge_dist_ts(node_replies, max_outputs)
+    want = _go_merge(
+        [[(h.doc_id, _ts(h)) for h in nr.docs] for nr in node_replies],
+        max_outputs,
+    )
+    assert [(h.doc_id, _ts(h)) for h in got.docs] == want
+
+
+def _ts(h):
+    return int((h.fields or {}).get("ts") or 0)

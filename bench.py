@@ -186,23 +186,37 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # ALL-DISTINCT variant: the 10-term rotation above has only 10 unique
     # queries, which the batch planner now executes once each (legitimate
     # sharing — riot's own bench repeats one query — but it measures the
-    # dedup, not the kernel).  6000 unique term pairs force 6000 full
-    # kernel passes: the honest per-query capacity number.
+    # dedup, not the kernel).  Distinct queries force distinct full kernel
+    # passes: the honest per-query capacity number.  The vocabulary is the
+    # index's REAL dictionary (the synthetic corpus has ~31 alpha terms —
+    # too few for 6000 distinct pairs, so queries are 3-term ANDs; every
+    # term present means no short-circuit inflates QPS).
     import itertools as _it
 
-    _vocab = terms + [
-        "parse", "json", "index", "shard", "token", "stream", "cache",
-        "block", "hash", "sort", "join", "read", "write", "key", "value",
-        "node", "task", "actor", "plan", "graph",
-    ]
+    from riot_ray.export import termstats_dataset
+
+    _tdf = termstats_dataset(sdir).to_pandas()
+    _vocab = sorted(_tdf[_tdf["term"].str.isalpha()]["term"].tolist())
     ureqs = [
-        SearchReq(text=f"{a} {b}", rank_opts=RankOpts(max_outputs=10))
-        for a, b in _it.islice(_it.permutations(_vocab, 2), 6000)
+        SearchReq(text=f"{a} {b} {c}", rank_opts=RankOpts(max_outputs=10))
+        # stride-4 over the ~27k permutations spreads leading terms evenly
+        for a, b, c in _it.islice(_it.permutations(_vocab, 3), 0, 24000, 4)
     ]
+    assert len(ureqs) == 6000, "vocab too small for 6000 distinct queries"
     rs.search_many(ureqs[:128])  # warmup
     t0 = time.time()
     rs.search_many(ureqs)
     q["replicated_qps_distinct"] = round(len(ureqs) / (time.time() - t0), 1)
+    # 2-term companion (every possible distinct pair of the dictionary —
+    # the closest shape to the reference's short queries)
+    ureqs2 = [
+        SearchReq(text=f"{a} {b}", rank_opts=RankOpts(max_outputs=10))
+        for a, b in _it.permutations(_vocab, 2)
+    ]
+    rs.search_many(ureqs2[:64])  # warmup
+    t0 = time.time()
+    rs.search_many(ureqs2)
+    q["replicated_qps_distinct2"] = round(len(ureqs2) / (time.time() - t0), 1)
     rs.shutdown()
 
     # 3) pipeline extensions over the same tables

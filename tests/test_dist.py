@@ -181,3 +181,23 @@ def test_merge_matches_go_transcription(replies, max_outputs):
 
 def _ts(h):
     return int((h.fields or {}).get("ts") or 0)
+
+
+def test_dist_searcher_survives_node_kill(dist_nodes, ray_session):
+    """A killed node actor restarts in place (read-only serving state +
+    max_restarts) and the interrupted scatter-gather replays — the
+    rebuild's analog of the reference heartbeat/restart liveness for the
+    distributed deployment."""
+    import ray
+
+    from riot_ray.engine import DistSearcher
+
+    req = SearchReq(text="def", rank_opts=RankOpts(max_outputs=6))
+    dist = DistSearcher(dist_nodes["dirs"])
+    try:
+        want = [h.doc_id for h in dist.search(req).docs]
+        ray.kill(dist.nodes[0], no_restart=False)
+        got = [h.doc_id for h in dist.search(req).docs]
+        assert got == want
+    finally:
+        dist.shutdown()

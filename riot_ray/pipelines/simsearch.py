@@ -66,14 +66,40 @@ def _empty_result() -> pa.Table:
     return _EMPTY_RESULT_SCHEMA.empty_table()
 
 
+# gate between the driver reduce and the distributed groupby reduce:
+# 2M triples = ~50 MB Arrow — a bounded CONSTANT, not a function of data
+# size (the same driver/distributed size-gating as the build's df reduce)
+_DRIVER_REDUCE_MAX_ROWS = 2_000_000
+
+
 def _reduce_topk(partials_ds, k: int) -> pa.Table:
-    """Distributed final reduce of per-block top-k partials: a
-    ``groupby(query_id).map_groups`` collapses each query's
-    n_blocks × k candidate rows to its global top-k OFF the driver, so the
-    driver materializes only nq × k result rows — independent of block
-    count.  (Round-2 shape ``pa.concat_tables(ray.get(to_arrow_refs()))``
-    centralized n_blocks × nq × k rows: ~500M at 100 TB.)"""
+    """Final reduce of per-block top-k partials (n_blocks × nq × k
+    candidate triples) to each query's global top-k.
+
+    The partials are materialized (they stay in the object store) and the
+    EXACT row count gates the plan: at or under a bounded constant
+    (``_DRIVER_REDUCE_MAX_ROWS`` ≈ 50 MB) the triples collapse in one
+    vectorized ``_topk_table`` pass on the driver — a Ray groupby costs
+    ~1-2 s of fixed shuffle latency, 3-4x the whole query at bench scale;
+    above it a ``groupby(query_id).map_groups`` reduces OFF-driver, so
+    driver-resident rows stay nq × k regardless of block count (at 100 TB
+    ~10⁶ blocks × 50 queries × k=10 would otherwise centralize ~500M
+    rows).  Both paths run the identical `_topk_table` kernel, so results
+    are bit-equal (pinned by the block-count-independence test)."""
     import ray
+
+    mat = partials_ds.materialize()
+    if mat.count() <= _DRIVER_REDUCE_MAX_ROWS:
+        tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return _empty_result()
+        t = pa.concat_tables(tabs).combine_chunks()
+        return _topk_table(
+            t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["cosine_raw"].to_numpy(zero_copy_only=False),
+            k,
+        )
 
     def per_query(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -85,7 +111,7 @@ def _reduce_topk(partials_ds, k: int) -> pa.Table:
             k,
         )
 
-    reduced = partials_ds.groupby("query_id").map_groups(
+    reduced = mat.groupby("query_id").map_groups(
         per_query, batch_format="pyarrow"
     )
     tabs = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]

@@ -339,6 +339,27 @@ def test_knn_brute_block_count_invariant(emb_ds, ray_session):
     assert empty.schema.names == ["query_id", "vec_id", "cosine", "rank"]
 
 
+def test_knn_reduce_driver_and_distributed_paths_equal(
+    emb_ds, ray_session, monkeypatch
+):
+    """_reduce_topk is size-gated (driver concat under the bounded
+    constant, groupby(query_id) above) — both paths must be bit-equal."""
+    from riot_ray.pipelines import knn_brute
+    from riot_ray.pipelines import simsearch as ss
+
+    qt = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' WHERE vec_id < 3 ORDER BY vec_id"
+    ).fetch_arrow_table()
+    Q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    driver = knn_brute(emb_ds.repartition(8), Q, qids, k=5).to_pandas()
+    monkeypatch.setattr(ss, "_DRIVER_REDUCE_MAX_ROWS", 0)  # force groupby
+    dist = knn_brute(emb_ds.repartition(8), Q, qids, k=5).to_pandas()
+    assert driver[["query_id", "vec_id", "rank"]].values.tolist() == \
+        dist[["query_id", "vec_id", "rank"]].values.tolist()
+    assert np.allclose(driver["cosine"], dist["cosine"], atol=0)
+
+
 def test_knn_lsh_recall(emb_ds):
     from riot_ray.pipelines import knn_brute, knn_lsh
 

@@ -179,3 +179,51 @@ def test_doc_ids_allowlist(searcher):
     pick = frozenset(h.doc_id for h in full.docs[:4])
     resp = searcher.search(SearchReq(text="parse", doc_ids=pick))
     assert {h.doc_id for h in resp.docs} == pick
+
+
+def test_build_survives_dirty_inputs(ray_session, tmp_path):
+    """Null / empty / whitespace-only / punctuation-only / unicode / very
+    long content all index without error; unicode terms stay searchable;
+    degenerate docs carry zero tokens but keep their forward rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.engine import LocalSearcher
+
+    rows = {
+        "repo": ["r"] * 8,
+        "path": [f"p{i}" for i in range(8)],
+        "commit": ["c"] * 8,
+        "lang": ["go", None, "py", "py", "py", "py", "py", "py"],
+        "content": [
+            None,
+            "",
+            "   \t\n  ",
+            "héllo wörld naïve café",
+            "日本語のテキスト and english words",
+            "emoji 🎉🎉 fun stuff",
+            "x " * 50000,
+            "!!! ??? ... ###",
+        ],
+    }
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table(rows), src)
+    st = IndexWriter(
+        str(tmp_path / "index"), EngineOpts(mode="code", num_parts=2, num_shards=2)
+    ).build(src)
+    assert st["n_docs"] == 8  # every row keeps a forward entry
+    s = LocalSearcher(str(tmp_path / "index"), hydrate=True)
+    hit = lambda q: [h.doc_id for h in s.search(
+        SearchReq(text=q, rank_opts=RankOpts(max_outputs=5))).docs]
+    assert hit("café") == ["r/p3@c"]     # accented term round-trips
+    assert hit("english") == ["r/p4@c"]  # ascii inside CJK text
+    assert hit("emoji") == ["r/p5@c"]
+    assert hit("x") == ["r/p6@c"]        # 50k-token doc
+    assert hit("cafe") == []             # no accent folding (documented)
+    # degenerate docs: alive, zero tokens
+    from riot_ray.engine import all_doc_ids
+
+    ids = {r["doc_id"] for r in all_doc_ids(str(tmp_path / "index")).take_all()}
+    assert {"r/p0@c", "r/p1@c", "r/p2@c", "r/p7@c"} <= ids

@@ -96,7 +96,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     src = os.path.join(sf_dir, "documents.parquet")
     index_dir = "/tmp/riot_ray_bench/index"
 
-    # 1) headline: inverted-index build (code mode)
+    # 1) headline: inverted-index build (code mode).  Warm the Ray worker
+    # pool first so the number measures the BUILD, not process spawn —
+    # the reference benches are in-process and carry no startup cost
+    # (same warm-up the pipeline section and --build-only already do).
+    rd.range(10_000).map_batches(lambda b: b).count()
     b = _build_index(src, index_dir, _bench_opts(num_cpus))
     q["index_build"] = round(b["wall_s"], 3)
 

@@ -607,7 +607,18 @@ def _q_multimodal_resize(sf_dir: str):
     out = decode_media(
         resize_media(ds, target_w=16, target_h=16, concurrency=2, decode="real"),
         decode="real", concurrency=2)
-    return out.select_columns(["media_id", "mime", "width", "height", "n_frames"])
+    out = out.select_columns(["media_id", "mime", "width", "height", "n_frames"])
+    # IMAGE rows only for the oracle: their post-resize metadata is a pure
+    # function of media_id (mime cycles with id%4; dims forced to 16x16;
+    # 1 frame), so DuckDB can regenerate the expectation from range(128).
+    # WAV rows' frame count depends on the rng-drawn original length —
+    # covered by pytest instead.
+    import pyarrow.compute as _pc
+
+    return out.map_batches(
+        lambda b: b.filter(_pc.not_equal(b["mime"], "audio/wav")),
+        batch_format="pyarrow",
+    )
 
 
 def _q_dedup_minhash(sf_dir: str):
@@ -1268,6 +1279,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id FROM documents
             WHERE regexp_matches(lower(text),
                 '(^|[^a-z0-9]){PHRASE[0]}[^a-z0-9]+{PHRASE[1]}([^a-z0-9]|$)')
+            """,
+        # post-resize image metadata is a pure function of media_id:
+        # mime cycles with id%4 (3=wav, excluded), dims forced to 16x16,
+        # single frame — regenerated from range() with no table input
+        "multimodal_resize": """
+            SELECT i::BIGINT AS media_id,
+                   CASE i % 4 WHEN 0 THEN 'image/png'
+                              WHEN 1 THEN 'image/bmp'
+                              ELSE 'image/x-portable-pixmap' END AS mime,
+                   16::INT AS width, 16::INT AS height, 1::INT AS n_frames
+            FROM range(128) t(i)
+            WHERE i % 4 <> 3
             """,
         # distributed wire merge: two nodes (doc_id parity), per-node BM25
         # (per-node N/df/avgdl!) top-K, pool re-sorted by (ts desc, id desc

@@ -110,3 +110,37 @@ def test_phrase_pattern_equals_token_adjacency(phrase, text):
         for i in range(len(toks) - len(phrase) + 1)
     )
     assert bool(pat.search(text.lower())) == adjacent
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 4),
+       st.sampled_from([3, 4]), st.integers(0, 2**32 - 1))
+def test_image_codec_roundtrip_any_dims(w, h, filter_type, channels, seed):
+    """PNG (every filter type) / BMP / PNM reproduce pixels exactly for
+    ARBITRARY dims — w=1 stresses the filter predictors, odd widths stress
+    BMP row padding."""
+    import numpy as np
+
+    from riot_ray.pipelines import codecs as c
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, channels), np.uint8)
+    got = c.decode_png(c.encode_png(px, filter_type=filter_type))[3]
+    assert (got == px).all()
+    if channels == 3:  # BMP/PNM are RGB-only
+        assert (c.decode_bmp(c.encode_bmp(px))[3] == px).all()
+        assert (c.decode_pnm(c.encode_pnm(px))[3] == px).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 2000), st.sampled_from([1, 2]),
+       st.sampled_from([8000, 16000, 44100]), st.integers(0, 2**32 - 1))
+def test_wav_codec_roundtrip_any_length(n, nch, rate, seed):
+    import numpy as np
+
+    from riot_ray.pipelines import codecs as c
+
+    rng = np.random.default_rng(seed)
+    smp = rng.integers(-32768, 32768, (n, nch), np.int16)
+    r, ch, cnt, got = c.decode_wav(c.encode_wav(smp, rate))
+    assert (r, ch, cnt) == (rate, nch, n) and (got == smp).all()

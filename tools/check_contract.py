@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import logging
 import os
 import sys
 import time
@@ -67,7 +68,15 @@ def main() -> int:
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
+            logging_level=logging.ERROR,
         )
+    # the testdata parquet carries pandas schema metadata that trips two
+    # harmless-but-noisy Ray Data warnings (schema-hash dedup, RefBundle
+    # schema drift) on every mixed-metadata stage boundary
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as entrymod
 

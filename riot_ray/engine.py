@@ -581,6 +581,29 @@ class DistSearcher:
         ]
         return merge_dist_ts(replies, max_outputs, self.ts_field)
 
+    def search_many(self, reqs: list) -> list:
+        """Batched scatter-gather: ONE RPC per node for the whole batch
+        (each node's LocalSearcher dedupes distinct plans), then the wire
+        merge per query.
+
+        Duplicate queries in a batch may ALIAS one SearchResp inside a
+        node's reply (pickle preserves identity); ts_node_reply then runs
+        twice on that object — safe because re-sorting is idempotent and
+        duplicates share a plan only when their max_outputs match, so the
+        re-truncation is a no-op."""
+        import ray
+
+        per_node = ray.get([n.search_many.remote(reqs) for n in self.nodes])
+        out = []
+        for qi, req in enumerate(reqs):
+            m = req.rank_opts.max_outputs if req.rank_opts else 0
+            replies = [
+                ts_node_reply(node_out[qi], m, self.ts_field)
+                for node_out in per_node
+            ]
+            out.append(merge_dist_ts(replies, m, self.ts_field))
+        return out
+
     def shutdown(self):
         import ray
 

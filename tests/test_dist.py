@@ -201,3 +201,24 @@ def test_dist_searcher_survives_node_kill(dist_nodes, ray_session):
         assert got == want
     finally:
         dist.shutdown()
+
+
+def test_dist_search_many_matches_per_query(dist_nodes, ray_session):
+    """Batched dist (one RPC per node) == per-query dist, including
+    duplicate queries in the batch (aliased node replies re-transformed
+    idempotently)."""
+    from riot_ray.engine import DistSearcher
+
+    reqs = [
+        SearchReq(text=t, rank_opts=RankOpts(max_outputs=6))
+        for t in ("def", "parse", "def", "merge sort", "zzz_nothing", "def")
+    ]
+    dist = DistSearcher(dist_nodes["dirs"])
+    try:
+        batched = dist.search_many(reqs)
+        singles = [dist.search(r) for r in reqs]
+        for b, s in zip(batched, singles):
+            assert [h.doc_id for h in b.docs] == [h.doc_id for h in s.docs]
+            assert b.num_docs == s.num_docs
+    finally:
+        dist.shutdown()

@@ -122,3 +122,86 @@ def test_rebuild_removes_stale_outputs(ray_session, tmp_path):
     assert all(int(h.doc) < (2 << 40) for h in resp.docs)
     n, _ = s._global()
     assert n == 20
+
+
+def test_build_survives_driver_sigkill(tmp_path):
+    """Hard-crash durability: SIGKILL the build driver once the first shard
+    manifest lands, then resume in a fresh process — the final index must
+    equal a clean build's (stats + per-shard fingerprints), with completed
+    shards skipped rather than rebuilt.  (The other resume tests simulate a
+    crash by deleting outputs; this one actually kills a running build,
+    leaving whatever tmp state the victim had in flight.)
+
+    Runs its own Ray clusters in subprocesses — independent of the session
+    fixture."""
+    import glob
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from riot_ray.build import IndexWriter
+from riot_ray.config import EngineOpts
+from riot_ray.corpus import write_corpus
+import os
+src = sys.argv[1]
+if not os.path.exists(src):
+    write_corpus(src, 4000, seed=13)
+opts = EngineOpts(mode="code", num_parts=8, num_shards=8, block_size=64)
+st = IndexWriter(sys.argv[2], opts).build(src)
+print("STATS " + str(st["n_postings"]) + " " + str(st["shards_skipped"]))
+ray.shutdown()
+"""
+    src = str(tmp_path / "src" / "code.parquet")
+    victim_dir = str(tmp_path / "index_killed")
+    clean_dir = str(tmp_path / "index_clean")
+
+    def run(index_dir, kill_on_first_shard=False):
+        p = subprocess.Popen(
+            [sys.executable, "-c", script, src, index_dir],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        if not kill_on_first_shard:
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, out
+            return out
+        # poll for the first completed shard manifest, then SIGKILL
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if p.poll() is not None:
+                break  # build finished before we could kill: still a valid run
+            if glob.glob(os.path.join(index_dir, "segments", "shard=*", "manifest.json")):
+                p.send_signal(signal.SIGKILL)
+                break
+            time.sleep(0.05)
+        p.wait(timeout=60)
+        return None
+
+    run(victim_dir, kill_on_first_shard=True)
+    out_resumed = run(victim_dir)  # resume over the crash debris
+    out_clean = run(clean_dir)     # clean reference build
+
+    n_res, skipped = out_resumed.split("STATS ")[1].split()
+    n_cln, _ = out_clean.split("STATS ")[1].split()
+    assert n_res == n_cln
+    # at least the shard whose manifest triggered the kill must be skipped
+    # (unless the victim finished entirely before the signal landed)
+    assert int(skipped) >= 1 or not os.path.exists(victim_dir)
+    # per-shard manifests identical (fingerprint + postings counts)
+    def manifests(d):
+        out = {}
+        for m in sorted(glob.glob(os.path.join(d, "segments", "shard=*", "manifest.json"))):
+            with open(m) as f:
+                j = json.load(f)
+            out[os.path.basename(os.path.dirname(m))] = (
+                j.get("fingerprint"), j.get("n_postings"), j.get("n_docs")
+            )
+        return out
+    assert manifests(victim_dir) == manifests(clean_dir)

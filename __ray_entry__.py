@@ -857,6 +857,32 @@ def _dist_node_dirs(sf_dir: str) -> list:
     return [os.path.join(d, "index") for d in dirs]
 
 
+def _q_pipeline_curate(sf_dir: str):
+    """END-TO-END curation chain — the composition a training-data run
+    actually executes, verified as ONE oracle so stage INTERFACES are
+    checked, not just stages: quality gate (n_tokens >= 30 AND
+    punct_ratio <= 0.2, map-only) -> exact dedup (min doc_id per content)
+    -> deterministic 50% id-hash Bernoulli sample."""
+    import pyarrow.compute as _pc
+
+    from riot_ray.pipelines import exact_dedup, hash_sample
+    from riot_ray.pipelines.analysis import quality_batch
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        keep = _pc.and_(
+            _pc.greater_equal(q["n_tokens"], 30),
+            _pc.less_equal(q["punct_ratio"], 0.2),
+        )
+        return batch.select(["doc_id", "text"]).filter(keep)
+
+    gated = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    surv = exact_dedup(gated)  # (doc_id, n_copies): min id per digest
+    return hash_sample(surv, 0.5, seed=7).select_columns(["doc_id"])
+
+
 def _q_dist_merge_ts(sf_dir: str):
     """Distributed scatter-gather with riot's WIRE merge order: per-node
     BM25 top-K re-sorted by (ts desc, id desc — string compare), replies
@@ -1008,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_proximity_2": _q_search_proximity2,
         "search_phrase": _q_search_phrase,
         "dist_merge_ts": _q_dist_merge_ts,
+        "pipeline_curate": _q_pipeline_curate,
         "tfidf_topk": _q_tfidf_topk,
         "grep_search": _q_grep_search,
         "chunk_docs": _q_chunk_docs,
@@ -1279,6 +1306,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id FROM documents
             WHERE regexp_matches(lower(text),
                 '(^|[^a-z0-9]){PHRASE[0]}[^a-z0-9]+{PHRASE[1]}([^a-z0-9]|$)')
+            """,
+        # end-to-end curation chain: each fragment is an already-verified
+        # oracle (quality tokenization, dedup-by-content, IEEE id-hash
+        # Bernoulli); chaining them checks the stage INTERFACES
+        "pipeline_curate": f"""
+            WITH {_TOKS},
+            stats AS (
+              SELECT d.doc_id, d.text, len(t) AS n_tok,
+                     len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
+                     length(d.text) AS n_chars
+              FROM documents d JOIN toks USING (doc_id)),
+            gated AS (
+              SELECT doc_id, text FROM stats
+              WHERE n_tok >= 30
+                AND ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 6) <= 0.2),
+            survivors AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+            SELECT doc_id::BIGINT AS doc_id FROM survivors
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
+                  < 9223372036854775808::UBIGINT
             """,
         # post-resize image metadata is a pure function of media_id:
         # mime cycles with id%4 (3=wav, excluded), dims forced to 16x16,

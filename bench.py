@@ -201,26 +201,35 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     _tdf = termstats_dataset(sdir).to_pandas()
     _vocab = sorted(_tdf[_tdf["term"].str.isalpha()]["term"].tolist())
+    # scale the query count to the dictionary: up to 6000 distinct 3-term
+    # permutations, strided over the full permutation sequence so leading
+    # terms spread evenly (tiny dictionaries just measure fewer queries
+    # rather than aborting the suite)
+    _n = len(_vocab)
+    _avail = _n * (_n - 1) * (_n - 2)
+    _target = min(6000, _avail)
+    _stride = max(1, _avail // max(_target, 1))
     ureqs = [
         SearchReq(text=f"{a} {b} {c}", rank_opts=RankOpts(max_outputs=10))
-        # stride-4 over the ~27k permutations spreads leading terms evenly
-        for a, b, c in _it.islice(_it.permutations(_vocab, 3), 0, 24000, 4)
+        for a, b, c in _it.islice(
+            _it.permutations(_vocab, 3), 0, _target * _stride, _stride)
     ]
-    assert len(ureqs) == 6000, "vocab too small for 6000 distinct queries"
-    rs.search_many(ureqs[:128])  # warmup
-    t0 = time.time()
-    rs.search_many(ureqs)
-    q["replicated_qps_distinct"] = round(len(ureqs) / (time.time() - t0), 1)
+    if ureqs:
+        rs.search_many(ureqs[:128])  # warmup
+        t0 = time.time()
+        rs.search_many(ureqs)
+        q["replicated_qps_distinct"] = round(len(ureqs) / (time.time() - t0), 1)
     # 2-term companion (every possible distinct pair of the dictionary —
     # the closest shape to the reference's short queries)
     ureqs2 = [
         SearchReq(text=f"{a} {b}", rank_opts=RankOpts(max_outputs=10))
         for a, b in _it.permutations(_vocab, 2)
     ]
-    rs.search_many(ureqs2[:64])  # warmup
-    t0 = time.time()
-    rs.search_many(ureqs2)
-    q["replicated_qps_distinct2"] = round(len(ureqs2) / (time.time() - t0), 1)
+    if ureqs2:
+        rs.search_many(ureqs2[:64])  # warmup
+        t0 = time.time()
+        rs.search_many(ureqs2)
+        q["replicated_qps_distinct2"] = round(len(ureqs2) / (time.time() - t0), 1)
     rs.shutdown()
 
     # 3) pipeline extensions over the same tables

@@ -20,9 +20,12 @@ src = write_corpus("/tmp/rr_example/src/code.parquet", 2000, seed=7)
 IndexWriter("/tmp/rr_example/index", EngineOpts(mode="code")).build(src)
 
 s = LocalSearcher("/tmp/rr_example/index")
+# expr clauses are explicit keyword lists; SearchReq.text participates
+# only via the must/should/not_in FLAGS (riot semantics) — here the whole
+# query lives in the Expr
 req = SearchReq(
-    text="parse",
-    logic=Logic(expr=Expr(should=("json", "merge"), not_in=("uuid",))),
+    logic=Logic(expr=Expr(must=("parse",), should=("json", "merge"),
+                          not_in=("uuid",))),
     rank_opts=RankOpts(max_outputs=5),
 )
 resp = s.search(req)

@@ -123,16 +123,21 @@ class _SearcherBase:
 
     # ---- query assembly -------------------------------------------------#
     def _prepare(self, req: SearchReq):
+        if req.phrase:
+            # one segmentation pass yields both streams; the raw one is
+            # picked up again by the phrase branch in _plan
+            filtered, raw = self.tok.query_tokens_both(req.text)
+            return filtered + list(req.tokens), (req.rank_opts or RankOpts()), raw
         tokens = self.tok.query_tokens(req.text) + list(req.tokens)
         rank = req.rank_opts or RankOpts()
-        return tokens, rank
+        return tokens, rank, None
 
     def _plan(self, req: SearchReq):
         """Resolve one request into a dispatchable (method, kwargs, rank,
         keep, orderless) plan, or a finished SearchResp for the short-circuit
         cases (empty query, missing keyword, logic handled separately).
         Returns (plan_tuple | None, resp | None)."""
-        tokens, rank = self._prepare(req)
+        tokens, rank, raw_toks = self._prepare(req)
         labels = list(req.labels)
         resp = SearchResp(tokens=tuple(tokens))
         if req.logic is not None and req.logic.active(len(tokens) + len(labels)):
@@ -166,11 +171,9 @@ class _SearcherBase:
             # build it from the UNFILTERED token stream so a stop word in
             # the phrase stays in the regex (postings-AND pruning and
             # scoring still use the stop-filtered `tokens`, which are the
-            # only terms present in the index).
-            phrase_toks = (
-                self.tok.query_tokens(req.text, stop_filter=False)
-                + list(req.tokens)
-            )
+            # only terms present in the index).  raw_toks came from the
+            # same single segmentation pass as `tokens` (_prepare).
+            phrase_toks = list(raw_toks or []) + list(req.tokens)
             plan = ("phrase_search",
                     dict(tokens=tokens, labels=labels, idfs=idfs,
                          avgdl=float(avgdl),

@@ -888,6 +888,13 @@ def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
 # --------------------------------------------------------------------------- #
 # token-window chunking (training-sequence preparation)
 # --------------------------------------------------------------------------- #
+# single-StringArray capacity guards for chunk_docs' gathered token
+# stream (int32 offsets AND value-buffer bytes); slightly under 2^31 for
+# join-separator headroom.  Module-level so tests can shrink them.
+_CHUNK_GATHER_CAP_TOKENS = (1 << 31) - (1 << 20)
+_CHUNK_GATHER_CAP_BYTES = (1 << 30)
+
+
 def chunk_docs(ds, text_col: str = "text", id_col: str = "doc_id",
                chunk_tokens: int = 64, stride: int | None = None):
     """Split each doc into token windows for training-sequence prep:
@@ -929,20 +936,38 @@ def chunk_docs(ds, text_col: str = "text", id_col: str = "doc_id",
         gather = np.repeat(tok_start, tok_len) + (
             np.arange(offs[-1]) - np.repeat(offs[:-1], tok_len)
         )
-        vals = flat.take(pa.array(gather, pa.int64()))
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        if offs[-1] <= np.iinfo(np.int32).max:
-            la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
-        else:
-            # overlapping windows inflate the gathered stream by
-            # ~chunk_tokens/stride; past 2^31 int32 offsets would raise,
-            # so fall back to 64-bit list offsets (binary_join supports
-            # large_list).
-            la = pa.LargeListArray.from_arrays(
-                pa.array(offs, pa.int64()), vals
+        # overlapping windows inflate the gathered stream by
+        # ~chunk_tokens/stride, so one batch can exceed the int32 capacity
+        # of a single StringArray (offsets AND bytes).  Slice the gather so
+        # every slice stays under the caps and emit chunk_text as a
+        # CHUNKED string column — the schema stays plain string() in every
+        # batch (a large_string fallback would drift the schema between
+        # small and large batches and break block unification).
+        blen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        # cumulative gathered bytes AT ROW BOUNDARIES (len total_rows+1)
+        row_bytes = np.r_[0, np.cumsum(blen[gather])][offs]
+        parts = []
+        start = 0
+        total_rows = len(tok_len)
+        while start < total_rows:
+            end = min(
+                int(np.searchsorted(offs, offs[start] + _CHUNK_GATHER_CAP_TOKENS,
+                                    side="right")) - 1,
+                int(np.searchsorted(row_bytes,
+                                    row_bytes[start] + _CHUNK_GATHER_CAP_BYTES,
+                                    side="right")) - 1,
+                total_rows,
             )
-        texts = pc.binary_join(la, " ")
+            end = max(end, start + 1)  # always progress (one row per slice min)
+            g = gather[offs[start]: offs[end]]
+            vals = flat.take(pa.array(g, pa.int64()))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            so = (offs[start: end + 1] - offs[start]).astype(np.int64)
+            la = pa.ListArray.from_arrays(pa.array(so, pa.int32()), vals)
+            parts.append(pc.binary_join(la, " "))
+            start = end
+        texts = pa.chunked_array(parts) if len(parts) > 1 else parts[0]
         return pa.table({id_col: pa.array(ids[doc_of], pa.int64()),
                          "chunk_idx": pa.array(chunk_idx, pa.int64()),
                          "n_tokens": pa.array(tok_len, pa.int64()),

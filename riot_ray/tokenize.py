@@ -294,6 +294,18 @@ class Tokenizer:
         # pretokenized: query text splits like simple
         return [t for t in _SIMPLE_RE.split(text.lower()) if t and t not in stop]
 
+    def query_tokens_both(self, text: str) -> tuple[list[str], list[str]]:
+        """(stop-filtered, unfiltered) query tokens from ONE segmentation
+        pass — phrase search needs both (filtered for postings pruning,
+        unfiltered for the literal-adjacency regex) and segmenting twice
+        doubled the hot-path cost.  Every mode's stop handling is a plain
+        per-token exclusion applied AFTER segmentation (space/chars never
+        apply it), so the filtered list derives from the raw stream."""
+        raw = self.query_tokens(text, stop_filter=False)
+        if self.opts.mode in ("space", "chars") or not self.stop:
+            return raw, raw
+        return [t for t in raw if t not in self.stop], raw
+
     def _expand(self, ident: str) -> list[str]:
         e = self._exp_cache.get(ident)
         if e is None:

@@ -2552,3 +2552,22 @@ def test_source_mix_sample_matches_sql(docs_ds):
     kept = got.groupby("lang").size()
     frac = {r["lang"]: kept.get(r["lang"], 0) / r["n"] for _, r in full.iterrows()}
     assert frac["en"] == min(frac.values())
+
+
+def test_chunk_docs_sliced_gather_equals_single_slice(docs_ds, monkeypatch):
+    """The int32-capacity gather slicing (chunk_text emitted as a chunked
+    plain-string column) is bit-equal to the unsliced path: shrink the
+    caps so a normal batch is forced through many slices."""
+    from riot_ray.pipelines import analysis as an
+    from riot_ray.pipelines import chunk_docs
+
+    ds = docs_ds.select_columns(["doc_id", "text"])
+    one = chunk_docs(ds, chunk_tokens=40, stride=15).to_pandas()
+    monkeypatch.setattr(an, "_CHUNK_GATHER_CAP_TOKENS", 97)
+    monkeypatch.setattr(an, "_CHUNK_GATHER_CAP_BYTES", 601)
+    many = chunk_docs(ds, chunk_tokens=40, stride=15).to_pandas()
+    one = one.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    many = many.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert len(one) == len(many) > 0
+    for c in ("doc_id", "chunk_idx", "n_tokens", "chunk_text"):
+        assert (one[c] == many[c]).all(), c

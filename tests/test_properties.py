@@ -144,3 +144,18 @@ def test_wav_codec_roundtrip_any_length(n, nch, rate, seed):
     smp = rng.integers(-32768, 32768, (n, nch), np.int16)
     r, ch, cnt, got = c.decode_wav(c.encode_wav(smp, rate))
     assert (r, ch, cnt) == (rate, nch, n) and (got == smp).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(_TEXT, st.sampled_from(["simple", "code", "space", "chars"]))
+def test_query_tokens_both_equals_two_passes(text, mode):
+    """query_tokens_both (one segmentation pass) must agree with the two
+    separate query_tokens calls it replaced, for every mode and with a
+    non-trivial stop set."""
+    from riot_ray.config import EngineOpts
+    from riot_ray.tokenize import Tokenizer
+
+    tok = Tokenizer(EngineOpts(mode=mode, stop_tokens=("ab", "cd", "a", "1")))
+    filtered, raw = tok.query_tokens_both(text)
+    assert filtered == tok.query_tokens(text)
+    assert raw == tok.query_tokens(text, stop_filter=False)

@@ -86,6 +86,7 @@ def _load_tombstones(index_dir: str) -> np.ndarray:
 class _SearcherBase:
     def __init__(self, index_dir: str, hydrate: bool = False, tokenizer_factory=None):
         self.index_dir = index_dir
+        self._tok_factory = tokenizer_factory
         self.stats = load_stats(index_dir)
         self.opts = EngineOpts.from_json_dict(self.stats["opts"])
         if self.stats.get("custom_tokenizer") and tokenizer_factory is None:
@@ -101,6 +102,10 @@ class _SearcherBase:
         tomb = _load_tombstones(index_dir)
         self.n_tomb = int(tomb.size)
         self._tomb = tomb
+        # reset (not just default) — reload() re-runs this __init__ and a
+        # compact() clears tombstones, so stale adjustments must not leak
+        self._tomb_ndocs = 0
+        self._tomb_len = 0.0
 
     def _existing_shards(self):
         seg = os.path.join(self.index_dir, "segments")
@@ -343,6 +348,15 @@ class LocalSearcher(_SearcherBase):
                 lens.append(float(s.dm_len[mask].sum()))
             self.refresh_tombstone_stats(int(self._tomb.size), float(sum(lens)))
 
+    def reload(self):
+        """Re-open the index in place: new generations (add_docs), fresh
+        tombstones (remove_docs), compactions and updated global stats
+        become visible without recreating the searcher — the rebuild's
+        answer to riot's always-live in-process engine (searchers here
+        are point-in-time snapshots by design; reload advances the
+        snapshot)."""
+        self.__init__(self.index_dir, self.hydrate, self._tok_factory)
+
     def _dispatch(self, method, kwargs, req, rank, keep, orderless):
         per_shard, num_scored, num_found = [], 0, 0
         for s in self.shards:
@@ -429,6 +443,9 @@ def _make_replica():
             # LocalSearcher's batched path: distinct plans execute once
             return self.searcher.search_many(reqs)
 
+        def reload(self):
+            self.searcher.reload()
+
     return Replica
 
 
@@ -462,6 +479,12 @@ class ReplicatedSearcher:
     def search_async(self, req: SearchReq):
         """Returns an ObjectRef — callers pipeline many queries in flight."""
         return self._next().search.remote(req)
+
+    def reload(self):
+        """Advance every replica to the index's current on-disk state."""
+        import ray
+
+        ray.get([a.reload.remote() for a in self.actors])
 
     def search_many(self, reqs: list) -> list:
         """Round-robin a batch across replicas, one RPC per replica."""
@@ -695,6 +718,7 @@ def _make_shard_worker():
         in __init__ (actor-pool pattern, SURVEY.md §2.3 T2/T3)."""
 
         def __init__(self, index_dir, shard_ids, hydrate, tombstones):
+            self._args = (index_dir, shard_ids, hydrate)
             self.searchers = []
             stats = load_stats(index_dir)
             opts = EngineOpts.from_json_dict(stats["opts"])
@@ -703,6 +727,11 @@ def _make_shard_worker():
                 if tombstones is not None and len(tombstones):
                     s.set_tombstones(tombstones)
                 self.searchers.append(s)
+
+        def reload(self, tombstones):
+            """Re-open this worker's shard slice (new generations /
+            tombstones / compactions) without restarting the actor."""
+            self.__init__(*self._args, tombstones)
 
         def run(self, method, kwargs, rank, keep, count_only, orderless):
             out_hits, num_scored, num_found = [], 0, 0
@@ -771,6 +800,24 @@ class ActorSearcher(_SearcherBase):
             for sl in slices
             if sl
         ]
+        if self._tomb.size:
+            parts = ray.get([a.tombstone_len.remote(self._tomb) for a in self.actors])
+            self.refresh_tombstone_stats(
+                int(sum(p[1] for p in parts)), float(sum(p[0] for p in parts))
+            )
+
+    def reload(self):
+        """Advance every worker (and the driver's stats/termstats/
+        tombstones) to the index's current on-disk state — no actor
+        restarts, no downtime between add_docs/remove_docs/compact and
+        serving.  Assumes the shard LAYOUT is unchanged (num_shards is
+        fixed per index); rebuild the searcher for a re-sharded index."""
+        import ray
+
+        _SearcherBase.__init__(self, self.index_dir, self.hydrate,
+                               self._tok_factory)
+        tomb = self._tomb if self._tomb.size else None
+        ray.get([a.reload.remote(tomb) for a in self.actors])
         if self._tomb.size:
             parts = ray.get([a.tombstone_len.remote(self._tomb) for a in self.actors])
             self.refresh_tombstone_stats(

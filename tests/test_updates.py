@@ -261,3 +261,72 @@ def test_token_len_override_survives_compact_and_add(ray_session, tmp_path):
     lens = _docmeta_lens(idx)
     assert lens[f"d{30}"] == 130
     assert lens == {f"d{i}": 100 + i for i in range(1, 31)}
+
+
+def test_reload_advances_live_searchers(ray_session, tmp_path):
+    """reload() makes add_docs / remove_docs visible to EXISTING searchers
+    (Local and actor-pool) without recreating them — the rebuild's analog
+    of riot's always-live in-process engine."""
+    import ray.data as rd
+
+    from riot_ray.engine import ActorSearcher
+
+    full = make_corpus(80, seed=21)
+    idx = _build(str(tmp_path), "live", full.slice(0, 60))
+    local = LocalSearcher(idx)
+    actor = ActorSearcher(idx, num_actors=2)
+    try:
+        def ids(s):
+            return sorted(h.doc_id for h in s.search(SearchReq(text="def")).docs)
+
+        before_local, before_actor = ids(local), ids(actor)
+        assert before_local == before_actor and len(before_local) == 60
+
+        add_docs(idx, rd.from_arrow(full.slice(60, 20)))  # 20 new docs
+        # snapshots: existing searchers still serve the old state
+        assert ids(local) == before_local and ids(actor) == before_actor
+
+        local.reload()
+        actor.reload()
+        after = ids(local)
+        assert len(after) == 80 and ids(actor) == after
+
+        victim = after[0]
+        remove_docs(idx, [victim])
+        local.reload()
+        actor.reload()
+        assert victim not in ids(local)
+        assert ids(actor) == ids(local)
+        # fresh searcher agrees with the reloaded ones exactly
+        assert _results(idx, "def") == [
+            (h.doc_id, round(h.bm25, 4))
+            for h in local.search(SearchReq(text="def")).docs
+        ]
+        # compact clears tombstones; reload must drop the stale stat
+        # adjustments (n_docs/avgdl back to physical-only)
+        compact(idx)
+        local.reload()
+        assert local.n_tomb == 0 and local._global()[0] == 79
+        assert len(ids(local)) == 79
+    finally:
+        actor.shutdown()
+
+
+def test_reload_replicated(ray_session, tmp_path):
+    import ray.data as rd
+
+    from riot_ray.engine import ReplicatedSearcher
+
+    full = make_corpus(50, seed=22)
+    idx = _build(str(tmp_path), "liverep", full.slice(0, 40))
+    rs = ReplicatedSearcher(idx, replicas=2)
+    try:
+        n0 = rs.search(SearchReq(text="def")).num_docs
+        assert n0 == 40
+        add_docs(idx, rd.from_arrow(full.slice(40, 10)))
+        assert rs.search(SearchReq(text="def")).num_docs == 40  # snapshot
+        rs.reload()
+        # every replica serves the new state (round-robin both)
+        assert [rs.search(SearchReq(text="def")).num_docs for _ in range(2)] == [50, 50]
+    finally:
+        rs.shutdown()

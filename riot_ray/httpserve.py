@@ -196,6 +196,7 @@ class SearchHTTPServer:
             }
         )
         out = add_docs(self.index_dir, rd.from_arrow(row))
+        self._refresh_searcher()  # indexed docs are immediately searchable
         return {"code": 0, "timestamp": int(time.time()), "docs": None,
                 "n_added": out["n_added"], "n_replaced": out["n_replaced"]}
 
@@ -205,8 +206,17 @@ class SearchHTTPServer:
         from .updates import remove_docs
 
         out = remove_docs(self.index_dir, [p.get("docid") or ""])
+        self._refresh_searcher()
         return {"code": 0, "timestamp": int(time.time()),
                 "n_removed": out["n_removed"]}
+
+    def _refresh_searcher(self):
+        """After a mutate endpoint: advance the serving snapshot so /search
+        reflects the change immediately (riot's engine is always live; our
+        searchers reload explicitly)."""
+        reload_fn = getattr(self.searcher, "reload", None)
+        if reload_fn is not None:
+            reload_fn()
 
     def _status(self) -> dict:
         st = getattr(self.searcher, "stats", {})

@@ -112,14 +112,12 @@ def test_index_and_delete_roundtrip(ray_session, tmp_path):
     try:
         out = _get(f"{base}/index?docid=web/new/doc@1&query=zebra+quokka+parse")
         assert out["n_added"] == 1
-        # searcher state is per-request-fresh only for updates done via the
-        # engine; reload to observe the added doc
-        srv.searcher = LocalSearcher(idx)
+        # mutate endpoints reload the serving snapshot: the added doc is
+        # searchable on the very next request, no searcher swap needed
         hits = _get(f"{base}/search?query=zebra+quokka")
         assert [d["id"] for d in hits["docs"]] == ["web/new/doc@1"]
         out = _get(f"{base}/delete?docid=web/new/doc@1")
         assert out["n_removed"] == 1
-        srv.searcher = LocalSearcher(idx)
         hits = _get(f"{base}/search?query=zebra+quokka")
         assert hits["docs"] == []
     finally:

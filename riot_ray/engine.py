@@ -717,21 +717,36 @@ def _make_shard_worker():
         """Owns a contiguous slice of shards; query-path state loaded once
         in __init__ (actor-pool pattern, SURVEY.md §2.3 T2/T3)."""
 
-        def __init__(self, index_dir, shard_ids, hydrate, tombstones):
-            self._args = (index_dir, shard_ids, hydrate)
+        def __init__(self, index_dir, shard_ids, hydrate):
+            # tombstones load FROM DISK (not a ctor arg): a crash-restarted
+            # actor replays its ORIGINAL ctor args, so any state that can
+            # advance after construction (tombstones do, via remove_docs +
+            # reload) must be re-derived from the index dir or a restart
+            # would silently revert it
+            self._index_dir, self._hydrate = index_dir, hydrate
+            self._shard_ids = list(shard_ids)
             self.searchers = []
             stats = load_stats(index_dir)
             opts = EngineOpts.from_json_dict(stats["opts"])
-            for i in shard_ids:
+            tombstones = _load_tombstones(index_dir)
+            for i in self._shard_ids:
                 s = ShardData(i, index_dir, opts, hydrate)
-                if tombstones is not None and len(tombstones):
+                if tombstones.size:
                     s.set_tombstones(tombstones)
                 self.searchers.append(s)
 
-        def reload(self, tombstones):
+        def reload(self, shard_ids=None):
             """Re-open this worker's shard slice (new generations /
-            tombstones / compactions) without restarting the actor."""
-            self.__init__(*self._args, tombstones)
+            tombstones / compactions, optionally a changed slice when new
+            shard dirs appeared) without restarting the actor.  NOTE: the
+            post-reload slice does NOT survive a crash-restart (Ray replays
+            the original ctor args) — tombstones/generations do, since
+            __init__ reads them from disk."""
+            self.__init__(
+                self._index_dir,
+                self._shard_ids if shard_ids is None else shard_ids,
+                self._hydrate,
+            )
 
         def run(self, method, kwargs, rank, keep, count_only, orderless):
             out_hits, num_scored, num_found = [], 0, 0
@@ -791,12 +806,13 @@ class ActorSearcher(_SearcherBase):
         num_actors = max(1, min(num_actors, len(ids) or 1,
                                 _cpu_actor_cap(num_cpus_per_actor)))
         slices = [ids[i::num_actors] for i in range(num_actors)]
-        tomb = self._tomb if self._tomb.size else None
-        # read-only serving state -> crash-restartable (see ReplicatedSearcher)
+        # serving state is loaded from the index dir in each worker's
+        # __init__ (incl. tombstones) -> crash-restartable: a replayed
+        # ctor re-reads CURRENT disk state (see ReplicatedSearcher)
         self.actors = [
             ShardWorker.options(
                 num_cpus=num_cpus_per_actor, max_restarts=3, max_task_retries=-1
-            ).remote(index_dir, sl, hydrate, tomb)
+            ).remote(index_dir, sl, hydrate)
             for sl in slices
             if sl
         ]
@@ -810,14 +826,16 @@ class ActorSearcher(_SearcherBase):
         """Advance every worker (and the driver's stats/termstats/
         tombstones) to the index's current on-disk state — no actor
         restarts, no downtime between add_docs/remove_docs/compact and
-        serving.  Assumes the shard LAYOUT is unchanged (num_shards is
-        fixed per index); rebuild the searcher for a re-sharded index."""
+        serving.  Shard dirs that appeared since construction (a shard
+        that received its first postings via add_docs) are re-sliced
+        across the SAME workers; num_actors stays fixed."""
         import ray
 
         _SearcherBase.__init__(self, self.index_dir, self.hydrate,
                                self._tok_factory)
-        tomb = self._tomb if self._tomb.size else None
-        ray.get([a.reload.remote(tomb) for a in self.actors])
+        n = len(self.actors)
+        slices = [self.shard_ids[i::n] for i in range(n)]
+        ray.get([a.reload.remote(sl) for a, sl in zip(self.actors, slices)])
         if self._tomb.size:
             parts = ray.get([a.tombstone_len.remote(self._tomb) for a in self.actors])
             self.refresh_tombstone_stats(

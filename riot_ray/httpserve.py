@@ -27,12 +27,48 @@ own actor naming covers member discovery inside a cluster.
 from __future__ import annotations
 
 import json
+import threading
 import time
 import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .types import RankOpts, SearchReq
+
+
+class _RWLock:
+    """Minimal reader-writer lock: /search requests read shared; /index
+    and /delete mutate exclusively (they reload the searcher IN PLACE —
+    ThreadingHTTPServer runs handlers concurrently, and an un-guarded
+    reload would let a concurrent search read torn searcher state)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+
+    def acquire_read(self):
+        with self._cond:
+            while self._writer:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self):
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self):
+        with self._cond:
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writer = True
+
+    def release_write(self):
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
 
 
 def _doc_payload(hit) -> dict:
@@ -58,6 +94,7 @@ class SearchHTTPServer:
         self.dist_members = list(dist_members or [])
         self.index_dir = index_dir or getattr(searcher, "index_dir", None)
         self.dist_timeout_s = dist_timeout_s  # reference: 1000ms client timeout
+        self._lock = _RWLock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -84,16 +121,26 @@ class SearchHTTPServer:
                 path = urllib.parse.urlparse(self.path).path
                 p = self._params()
                 try:
-                    if path == "/search":
-                        self._reply(outer._search(p))
-                    elif path == "/dist":
-                        self._reply(outer._dist(p))
-                    elif path == "/index":
-                        self._reply(outer._add_index(p))
-                    elif path == "/delete":
-                        self._reply(outer._delete(p))
-                    elif path == "/status":
-                        self._reply(outer._status())
+                    if path in ("/search", "/dist", "/status"):
+                        outer._lock.acquire_read()
+                        try:
+                            if path == "/search":
+                                self._reply(outer._search(p))
+                            elif path == "/dist":
+                                self._reply(outer._dist(p))
+                            else:
+                                self._reply(outer._status())
+                        finally:
+                            outer._lock.release_read()
+                    elif path in ("/index", "/delete"):
+                        outer._lock.acquire_write()
+                        try:
+                            if path == "/index":
+                                self._reply(outer._add_index(p))
+                            else:
+                                self._reply(outer._delete(p))
+                        finally:
+                            outer._lock.release_write()
                     else:
                         self._reply({"code": 404, "error": "unknown route"}, 404)
                 except Exception as e:  # wire errors as JSON, like a service
@@ -196,7 +243,8 @@ class SearchHTTPServer:
             }
         )
         out = add_docs(self.index_dir, rd.from_arrow(row))
-        self._refresh_searcher()  # indexed docs are immediately searchable
+        if out["n_added"] or out.get("n_replaced"):
+            self._refresh_searcher()  # indexed docs are immediately searchable
         return {"code": 0, "timestamp": int(time.time()), "docs": None,
                 "n_added": out["n_added"], "n_replaced": out["n_replaced"]}
 
@@ -206,7 +254,8 @@ class SearchHTTPServer:
         from .updates import remove_docs
 
         out = remove_docs(self.index_dir, [p.get("docid") or ""])
-        self._refresh_searcher()
+        if out["n_removed"]:  # no-op delete leaves the snapshot current
+            self._refresh_searcher()
         return {"code": 0, "timestamp": int(time.time()),
                 "n_removed": out["n_removed"]}
 

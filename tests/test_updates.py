@@ -330,3 +330,30 @@ def test_reload_replicated(ray_session, tmp_path):
         assert [rs.search(SearchReq(text="def")).num_docs for _ in range(2)] == [50, 50]
     finally:
         rs.shutdown()
+
+
+def test_reload_survives_worker_restart(ray_session, tmp_path):
+    """Tombstones must survive a ShardWorker crash AFTER reload(): the
+    restarted actor replays its ORIGINAL ctor args, so serving state that
+    advanced post-construction (tombstones) is re-read from disk in
+    __init__ — a removed doc must NOT reappear on the restarted worker."""
+    import ray
+
+    from riot_ray.engine import ActorSearcher
+
+    idx = _build(str(tmp_path), "restart", make_corpus(60, seed=23))
+    se = ActorSearcher(idx, num_actors=2)
+    try:
+        req = SearchReq(text="def")
+        before = sorted(h.doc_id for h in se.search(req).docs)
+        victim = before[0]
+        remove_docs(idx, [victim])
+        se.reload()
+        assert victim not in {h.doc_id for h in se.search(req).docs}
+        for a in se.actors:  # hard-kill every worker; Ray restarts them
+            ray.kill(a, no_restart=False)
+        after = sorted(h.doc_id for h in se.search(req).docs)
+        assert victim not in after
+        assert after == sorted(set(before) - {victim})
+    finally:
+        se.shutdown()

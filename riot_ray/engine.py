@@ -354,7 +354,11 @@ class LocalSearcher(_SearcherBase):
         become visible without recreating the searcher — the rebuild's
         answer to riot's always-live in-process engine (searchers here
         are point-in-time snapshots by design; reload advances the
-        snapshot)."""
+        snapshot).
+
+        NOT safe under concurrent searches from other threads (state is
+        replaced in place) — callers coordinate; the HTTP facade holds
+        its write lock across mutate+reload."""
         self.__init__(self.index_dir, self.hydrate, self._tok_factory)
 
     def _dispatch(self, method, kwargs, req, rank, keep, orderless):

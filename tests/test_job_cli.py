@@ -56,3 +56,22 @@ def test_build_then_search_roundtrip(ray_session, corpus_index, tmp_path):
     again = json.loads(out.getvalue())
     assert again["shards_skipped"] == again["num_shards"]
     assert again["n_postings"] == stats["n_postings"]
+
+
+def test_build_with_toml_opts(ray_session, corpus_index, tmp_path):
+    toml = tmp_path / "engine.toml"
+    toml.write_text(
+        '[engine]\nmode = "code"\nnum_parts = 4\nnum_shards = 2\n'
+        "[bm25]\nk1 = 1.5\nb = 0.6\n"
+    )
+    p = make_parser()
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cmd_build(p.parse_args([
+            "build", "--source", corpus_index["src"],
+            "--index", str(tmp_path / "idx"), "--opts", str(toml),
+        ]))
+    assert rc == 0
+    stats = json.loads(out.getvalue())
+    assert stats["num_shards"] == 2
+    assert stats["opts"]["bm25"] == {"k1": 1.5, "b": 0.6}

@@ -4,6 +4,11 @@ segmentation + pinyin expansion from inline entries (no external files).
 Run from the repo root: python examples/dict_mode.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import ray
 
 ray.init(address="local", num_cpus=4, include_dashboard=False,

@@ -5,6 +5,11 @@ N independent node indexes, scatter-gather with riot's wire merge order
 Run from the repo root: python examples/dist.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import ray
 
 ray.init(address="local", num_cpus=8, include_dashboard=False,

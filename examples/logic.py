@@ -3,6 +3,11 @@
 Run from the repo root: python examples/logic.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import ray
 
 ray.init(address="local", num_cpus=8, include_dashboard=False,

@@ -5,6 +5,11 @@ re-running build() skips completed shards; remove/compact maintain it.
 Run from the repo root: python examples/store_resume.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import ray
 
 ray.init(address="local", num_cpus=8, include_dashboard=False,

@@ -46,6 +46,16 @@ def test_build_then_search_roundtrip(ray_session, corpus_index, tmp_path):
         scores = [d["score"] for d in x["docs"]]
         assert scores == sorted(scores, reverse=True)
 
+    # actor-pool path returns identical results
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert cmd_search(p.parse_args([
+            "search", "--index", idx, "--query", "parse", "merge sort",
+            "-k", "3", "--actors", "2",
+        ])) == 0
+    actor_lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert actor_lines == lines
+
     # resubmitting the same build resumes (shards skipped, same stats)
     out = io.StringIO()
     with redirect_stdout(out):

@@ -1,6 +1,7 @@
 """`python -m riot_ray.job` — the `ray job submit` entrypoint surface."""
 
 import io
+import os
 import json
 from contextlib import redirect_stdout
 
@@ -85,3 +86,32 @@ def test_build_with_toml_opts(ray_session, corpus_index, tmp_path):
     stats = json.loads(out.getvalue())
     assert stats["num_shards"] == 2
     assert stats["opts"]["bm25"] == {"k1": 1.5, "b": 0.6}
+
+
+def test_serve_subprocess(corpus_index):
+    """`python -m riot_ray.job serve` comes up, answers /status and
+    /search, and dies cleanly."""
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "riot_ray.job", "serve",
+         "--index", corpus_index["index_dir"], "--host", "127.0.0.1",
+         "--port", "0", "--actors", "0"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, env={**os.environ, "RAY_ADDRESS": ""},
+    )
+    try:
+        line = proc.stdout.readline()  # {"serving": "http://host:port"}
+        base = json.loads(line)["serving"]
+        st = json.loads(urllib.request.urlopen(f"{base}/status", timeout=10).read())
+        assert st["n_docs"] == corpus_index["stats"]["n_docs"]
+        out = json.loads(urllib.request.urlopen(
+            f"{base}/search?query=parse&maxOutputs=3", timeout=10).read())
+        assert out["code"] == 0 and len(out["docs"]) <= 3
+    finally:
+        proc.terminate()
+        proc.wait(timeout=60)

@@ -634,6 +634,12 @@ class DistSearcher:
             out.append(merge_dist_ts(replies, m, self.ts_field))
         return out
 
+    def reload(self):
+        """Advance every node to its index's current on-disk state."""
+        import ray
+
+        ray.get([n.reload.remote() for n in self.nodes])
+
     def shutdown(self):
         import ray
 

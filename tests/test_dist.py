@@ -222,3 +222,35 @@ def test_dist_search_many_matches_per_query(dist_nodes, ray_session):
             assert b.num_docs == s.num_docs
     finally:
         dist.shutdown()
+
+
+def test_dist_reload_advances_nodes(dist_nodes, ray_session, tmp_path):
+    """DistSearcher.reload(): a doc removed from one NODE's index
+    disappears from merged results without recreating the searcher."""
+    import shutil
+
+    from riot_ray.engine import DistSearcher
+    from riot_ray.updates import remove_docs
+
+    # private copies: this test MUTATES node indexes (module fixture is
+    # shared with the other dist tests)
+    dirs = []
+    for i, d in enumerate(dist_nodes["dirs"]):
+        c = str(tmp_path / f"n{i}")
+        shutil.copytree(d, c)
+        dirs.append(c)
+    dist_nodes = {"dirs": dirs}
+    dist = DistSearcher(dist_nodes["dirs"])
+    try:
+        req = SearchReq(text="def", rank_opts=RankOpts(max_outputs=6))
+        before = [h.doc_id for h in dist.search(req).docs]
+        victim = before[0]
+        node = 0 if remove_docs(dist_nodes["dirs"][0], [victim])["n_removed"] \
+            else 1
+        if node == 1:
+            assert remove_docs(dist_nodes["dirs"][1], [victim])["n_removed"]
+        assert victim in [h.doc_id for h in dist.search(req).docs]  # snapshot
+        dist.reload()
+        assert victim not in [h.doc_id for h in dist.search(req).docs]
+    finally:
+        dist.shutdown()

@@ -4,10 +4,7 @@ segmentation + pinyin expansion from inline entries (no external files).
 Run from the repo root: python examples/dict_mode.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _path  # noqa: F401  (repo-root sys.path bootstrap)
 
 import ray
 

@@ -5,10 +5,7 @@ N independent node indexes, scatter-gather with riot's wire merge order
 Run from the repo root: python examples/dist.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _path  # noqa: F401  (repo-root sys.path bootstrap)
 
 import ray
 

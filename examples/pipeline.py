@@ -4,10 +4,7 @@ exact dedup -> deterministic sample -> token-budget packing.
 Run from the repo root: python examples/pipeline.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _path  # noqa: F401  (repo-root sys.path bootstrap)
 
 import ray
 

@@ -3,10 +3,7 @@
 Run from the repo root: python examples/simple.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _path  # noqa: F401  (repo-root sys.path bootstrap)
 
 import ray
 

@@ -5,10 +5,7 @@ re-running build() skips completed shards; remove/compact maintain it.
 Run from the repo root: python examples/store_resume.py
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _path  # noqa: F401  (repo-root sys.path bootstrap)
 
 import ray
 

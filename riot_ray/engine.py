@@ -728,35 +728,39 @@ def _make_shard_worker():
         in __init__ (actor-pool pattern, SURVEY.md §2.3 T2/T3)."""
 
         def __init__(self, index_dir, shard_ids, hydrate):
-            # tombstones load FROM DISK (not a ctor arg): a crash-restarted
-            # actor replays its ORIGINAL ctor args, so any state that can
-            # advance after construction (tombstones do, via remove_docs +
-            # reload) must be re-derived from the index dir or a restart
-            # would silently revert it
+            # EVERYTHING that can advance after construction is re-derived
+            # from the index dir here: a crash-restarted actor replays its
+            # ORIGINAL ctor args, so anything else would silently revert
+            # on restart.  shard_ids is a slice of the FIXED universe
+            # range(num_shards) (immutable for the index's lifetime, so
+            # restart-safe); ids whose segment dir doesn't exist yet (a
+            # shard that has received no postings) load as nothing and are
+            # picked up by the next reload()/restart once the dir appears.
+            # Tombstones advance via remove_docs: re-reading them means a
+            # restarted worker may be NEWER than the driver's snapshot
+            # until the next reload() — the safe direction (a deleted doc
+            # never resurrects; the reverse would silently undo removals).
             self._index_dir, self._hydrate = index_dir, hydrate
             self._shard_ids = list(shard_ids)
             self.searchers = []
             stats = load_stats(index_dir)
             opts = EngineOpts.from_json_dict(stats["opts"])
             tombstones = _load_tombstones(index_dir)
+            seg = os.path.join(index_dir, "segments")
             for i in self._shard_ids:
+                if not os.path.isdir(os.path.join(seg, f"shard={i:05d}")):
+                    continue  # not materialized yet
                 s = ShardData(i, index_dir, opts, hydrate)
                 if tombstones.size:
                     s.set_tombstones(tombstones)
                 self.searchers.append(s)
 
-        def reload(self, shard_ids=None):
-            """Re-open this worker's shard slice (new generations /
-            tombstones / compactions, optionally a changed slice when new
-            shard dirs appeared) without restarting the actor.  NOTE: the
-            post-reload slice does NOT survive a crash-restart (Ray replays
-            the original ctor args) — tombstones/generations do, since
-            __init__ reads them from disk."""
-            self.__init__(
-                self._index_dir,
-                self._shard_ids if shard_ids is None else shard_ids,
-                self._hydrate,
-            )
+        def reload(self):
+            """Re-open this worker's FIXED shard slice (new generations /
+            tombstones / compactions / newly materialized shard dirs)
+            without restarting the actor.  The slice itself never changes,
+            so a crash-restart reconstructs the identical assignment."""
+            self.__init__(self._index_dir, self._shard_ids, self._hydrate)
 
         def run(self, method, kwargs, rank, keep, count_only, orderless):
             out_hits, num_scored, num_found = [], 0, 0
@@ -812,10 +816,16 @@ class ActorSearcher(_SearcherBase):
         import ray
 
         ShardWorker = _make_shard_worker()
-        ids = self.shard_ids
-        num_actors = max(1, min(num_actors, len(ids) or 1,
+        # slice the FIXED shard universe range(num_shards), not the shard
+        # dirs that happen to exist today: the assignment is then immutable
+        # for the index's lifetime — a crash-restarted worker reconstructs
+        # the identical slice, reload() needs no re-slicing, and shards
+        # materialized later (first postings via add_docs — including on an
+        # index built from an EMPTY source) already have an owner
+        universe = list(range(int(self.opts.num_shards) or 1))
+        num_actors = max(1, min(num_actors, len(universe),
                                 _cpu_actor_cap(num_cpus_per_actor)))
-        slices = [ids[i::num_actors] for i in range(num_actors)]
+        slices = [universe[i::num_actors] for i in range(num_actors)]
         # serving state is loaded from the index dir in each worker's
         # __init__ (incl. tombstones) -> crash-restartable: a replayed
         # ctor re-reads CURRENT disk state (see ReplicatedSearcher)
@@ -824,7 +834,6 @@ class ActorSearcher(_SearcherBase):
                 num_cpus=num_cpus_per_actor, max_restarts=3, max_task_retries=-1
             ).remote(index_dir, sl, hydrate)
             for sl in slices
-            if sl
         ]
         if self._tomb.size:
             parts = ray.get([a.tombstone_len.remote(self._tomb) for a in self.actors])
@@ -836,16 +845,17 @@ class ActorSearcher(_SearcherBase):
         """Advance every worker (and the driver's stats/termstats/
         tombstones) to the index's current on-disk state — no actor
         restarts, no downtime between add_docs/remove_docs/compact and
-        serving.  Shard dirs that appeared since construction (a shard
-        that received its first postings via add_docs) are re-sliced
-        across the SAME workers; num_actors stays fixed."""
+        serving.  Shard slices are fixed universe slices, so newly
+        materialized shard dirs are simply picked up by their owner.
+
+        Not transactional: driver state advances first, then workers; if
+        a worker reload raises (actor past max_restarts), the searcher is
+        torn — retry reload() or rebuild the searcher."""
         import ray
 
         _SearcherBase.__init__(self, self.index_dir, self.hydrate,
                                self._tok_factory)
-        n = len(self.actors)
-        slices = [self.shard_ids[i::n] for i in range(n)]
-        ray.get([a.reload.remote(sl) for a, sl in zip(self.actors, slices)])
+        ray.get([a.reload.remote() for a in self.actors])
         if self._tomb.size:
             parts = ray.get([a.tombstone_len.remote(self._tomb) for a in self.actors])
             self.refresh_tombstone_stats(

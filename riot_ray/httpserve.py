@@ -46,10 +46,13 @@ class _RWLock:
         self._cond = threading.Condition()
         self._readers = 0
         self._writer = False
+        self._writers_waiting = 0
 
     def acquire_read(self):
         with self._cond:
-            while self._writer:
+            # writer priority: new readers queue behind a WAITING writer,
+            # or sustained search traffic would starve /index //delete
+            while self._writer or self._writers_waiting:
                 self._cond.wait()
             self._readers += 1
 
@@ -61,8 +64,12 @@ class _RWLock:
 
     def acquire_write(self):
         with self._cond:
-            while self._writer or self._readers:
-                self._cond.wait()
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
             self._writer = True
 
     def release_write(self):
@@ -94,7 +101,8 @@ class SearchHTTPServer:
         self.dist_members = list(dist_members or [])
         self.index_dir = index_dir or getattr(searcher, "index_dir", None)
         self.dist_timeout_s = dist_timeout_s  # reference: 1000ms client timeout
-        self._lock = _RWLock()
+        self._lock = _RWLock()          # searcher snapshot: readers vs reload
+        self._mut_lock = threading.Lock()  # serializes /index //delete jobs
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -121,26 +129,24 @@ class SearchHTTPServer:
                 path = urllib.parse.urlparse(self.path).path
                 p = self._params()
                 try:
-                    if path in ("/search", "/dist", "/status"):
-                        outer._lock.acquire_read()
-                        try:
-                            if path == "/search":
-                                self._reply(outer._search(p))
-                            elif path == "/dist":
-                                self._reply(outer._dist(p))
-                            else:
-                                self._reply(outer._status())
-                        finally:
-                            outer._lock.release_read()
-                    elif path in ("/index", "/delete"):
-                        outer._lock.acquire_write()
-                        try:
-                            if path == "/index":
-                                self._reply(outer._add_index(p))
-                            else:
-                                self._reply(outer._delete(p))
-                        finally:
-                            outer._lock.release_write()
+                    # locking lives INSIDE the handlers: reads take the
+                    # shared lock only around the local searcher touch
+                    # (not across /dist member HTTP calls), mutations
+                    # serialize on a mutex and take the exclusive lock
+                    # only around the snapshot refresh — searches stay
+                    # live during the (seconds-long) indexing job itself
+                    if path == "/search":
+                        self._reply(outer._search(p))
+                    elif path == "/dist":
+                        self._reply(outer._dist(p))
+                    elif path == "/status":
+                        self._reply(outer._status())
+                    elif path == "/index":
+                        with outer._mut_lock:
+                            self._reply(outer._add_index(p))
+                    elif path == "/delete":
+                        with outer._mut_lock:
+                            self._reply(outer._delete(p))
                     else:
                         self._reply({"code": 404, "error": "unknown route"}, 404)
                 except Exception as e:  # wire errors as JSON, like a service
@@ -157,13 +163,18 @@ class SearchHTTPServer:
         offset = int(p.get("outputOffset") or 0)
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
         phrase = str(p.get("phrase") or "").lower() in ("1", "true", "yes")
-        resp = self.searcher.search(
-            SearchReq(
-                text=p.get("query") or "",
-                phrase=phrase,
-                rank_opts=RankOpts(output_offset=offset, max_outputs=max_outputs),
+        self._lock.acquire_read()
+        try:
+            resp = self.searcher.search(
+                SearchReq(
+                    text=p.get("query") or "",
+                    phrase=phrase,
+                    rank_opts=RankOpts(output_offset=offset,
+                                       max_outputs=max_outputs),
+                )
             )
-        )
+        finally:
+            self._lock.release_read()
         return [_doc_payload(h) for h in resp.docs], max_outputs
 
     def _search(self, p: dict) -> dict:
@@ -262,20 +273,29 @@ class SearchHTTPServer:
     def _refresh_searcher(self):
         """After a mutate endpoint: advance the serving snapshot so /search
         reflects the change immediately (riot's engine is always live; our
-        searchers reload explicitly)."""
+        searchers reload explicitly).  Holds the exclusive lock only for
+        the reload itself."""
         reload_fn = getattr(self.searcher, "reload", None)
         if reload_fn is not None:
-            reload_fn()
+            self._lock.acquire_write()
+            try:
+                reload_fn()
+            finally:
+                self._lock.release_write()
 
     def _status(self) -> dict:
-        st = getattr(self.searcher, "stats", {})
-        return {
-            "code": 0,
-            "n_docs": st.get("n_docs"),
-            "n_postings": st.get("n_postings"),
-            "num_shards": st.get("num_shards"),
-            "tombstones": getattr(self.searcher, "n_tomb", 0),
-        }
+        self._lock.acquire_read()
+        try:
+            st = getattr(self.searcher, "stats", {})
+            return {
+                "code": 0,
+                "n_docs": st.get("n_docs"),
+                "n_postings": st.get("n_postings"),
+                "num_shards": st.get("num_shards"),
+                "tombstones": getattr(self.searcher, "n_tomb", 0),
+            }
+        finally:
+            self._lock.release_read()
 
     # ---- lifecycle ------------------------------------------------------- #
     def serve_background(self):

@@ -105,6 +105,10 @@ def test_serve_subprocess(corpus_index):
         text=True, env={**os.environ, "RAY_ADDRESS": ""},
     )
     try:
+        import select
+
+        ready, _, _ = select.select([proc.stdout], [], [], 180)
+        assert ready, "serve subprocess printed nothing within 180s"
         line = proc.stdout.readline()  # {"serving": "http://host:port"}
         base = json.loads(line)["serving"]
         st = json.loads(urllib.request.urlopen(f"{base}/status", timeout=10).read())

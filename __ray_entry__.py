@@ -34,6 +34,10 @@ QUERY_TERMS = ("spark", "data", "table")
 SHOULD_TERMS = ("spark", "window")
 NOT_IN_TERMS = ("slow",)
 K = 10
+MLT_QUERY_IDS = (0, 1, 2, 3)  # more_like_this seed docs (exist at every sf)
+MLT_K = 5
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HORIZON_S = 7 * 86400
 
 _CACHE_ROOT = "/tmp/riot_ray_entry"
 
@@ -1011,6 +1015,20 @@ def _q_asof_attribution(sf_dir: str):
                             target_type="purchase", chunk_s=86_400)
 
 
+def _q_funnel_counts(sf_dir: str):
+    from riot_ray.pipelines import funnel_counts
+
+    return funnel_counts(_events(sf_dir), FUNNEL_STEPS,
+                         horizon_s=FUNNEL_HORIZON_S)
+
+
+def _q_more_like_this(sf_dir: str):
+    from riot_ray.pipelines import more_like_this
+
+    return more_like_this(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                          query_ids=MLT_QUERY_IDS, k=MLT_K)
+
+
 def _q_json_extract(sf_dir: str):
     from riot_ray.pipelines import extract_json_int
 
@@ -1089,7 +1107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "window_topk": _q_window_topk,
         "asof_attribution": _q_asof_attribution,
+        "funnel_counts": _q_funnel_counts,
         "json_extract": _q_json_extract,
+        # related-document search (documents table)
+        "more_like_this": _q_more_like_this,
     }
 
 
@@ -1733,6 +1754,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, attr_id AS src_event_id,
                (t - attr_t)::BIGINT AS lag_us
         FROM f WHERE event_type = 'purchase'
+        """
+    # ordered funnel: earliest-completion semantics — each step's time is
+    # the user's first qualifying event, every later step strictly after
+    # the previous one and inside the horizon of the user's FIRST step
+    h_us = FUNNEL_HORIZON_S * 1_000_000
+    s1, s2, s3 = FUNNEL_STEPS
+    out["funnel_counts"] = f"""
+        WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                    WHERE event_type = '{s1}' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = '{s2}' AND epoch_us(e.ts) > s1.t
+                 AND epoch_us(e.ts) <= s1.t + {h_us} GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = '{s3}' AND epoch_us(e.ts) > s2.t
+                 AND epoch_us(e.ts) <= s1.t + {h_us} GROUP BY 1)
+        SELECT * FROM (
+          SELECT 1::BIGINT AS step, '{s1}' AS step_name,
+                 count(*)::BIGINT AS n_users FROM s1
+          UNION ALL SELECT 2, '{s2}', count(*) FROM s2
+          UNION ALL SELECT 3, '{s3}', count(*) FROM s3) ORDER BY step
+        """
+    # more_like_this: integer micro-IDF sparse dot product (idf rounded to
+    # milli-nats FIRST, then tf-weighted — exact BIGINT arithmetic on both
+    # sides; <=0 scores excluded; ties by ascending neighbor id)
+    mlt_in = ", ".join(str(i) for i in MLT_QUERY_IDS)
+    out["more_like_this"] = f"""
+        WITH {_TOKS},
+        occ AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                GROUP BY 1, 2),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM occ GROUP BY 1),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        w AS (SELECT doc_id, term,
+                     tf * CAST(round(ln(n.n::DOUBLE / df.df) * 1000) AS BIGINT)
+                       AS w
+              FROM occ JOIN df USING (term), n),
+        q AS (SELECT * FROM w WHERE doc_id IN ({mlt_in})),
+        scores AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+                          sum(q.w * d.w)::BIGINT AS score
+                   FROM q JOIN w d USING (term) WHERE d.doc_id != q.doc_id
+                   GROUP BY 1, 2 HAVING sum(q.w * d.w) > 0)
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id)::BIGINT
+                 AS rank
+        FROM scores QUALIFY rank <= {MLT_K}
         """
     out["json_extract"] = r"""
         SELECT event_id,

@@ -886,6 +886,217 @@ def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
 
 
 # --------------------------------------------------------------------------- #
+# related-document search ("more like this")
+# --------------------------------------------------------------------------- #
+def more_like_this(ds, query_ids, k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Related-document search: for each query doc, the top-``k`` OTHER
+    docs ranked by the sparse TF-IDF dot product — the classic
+    "more like this" query a search engine offers next to a hit (the
+    reference engine has no analog; this is the LLM-pipeline variant used
+    to expand seed sets / find near-topical duplicates).
+
+    Scoring is EXACT integer arithmetic so the DuckDB oracle hash-matches:
+    per (doc, term) weight ``w = tf * idf_milli`` with
+    ``idf_milli = round(ln(n_docs / df) * 1e3)`` (idf rounded FIRST, like
+    :func:`tfidf_topk`), ``score(q, d) = Σ_shared w_q * w_d``; pairs whose
+    score is <= 0 (only zero-idf terms shared) are excluded on both
+    sides.  Ties break by ascending neighbor id.  Output:
+    ``(query_id, neighbor_id, score, rank)`` with rank 1..k per query.
+
+    Scale shape — two streaming passes over the corpus, NO all-to-all:
+
+    1. the query docs are pulled (bounded: ``len(query_ids)`` rows) and
+       tokenized on the driver;
+    2. df is computed ONLY for the query docs' vocabulary (a broadcast
+       membership probe + a vocab-bounded ``groupby`` of per-batch
+       partials — terms outside the query vocab contribute nothing and
+       never ship);
+    3. the corpus streams once: each batch intersects its per-doc-unique
+       terms with the broadcast (vocab, idf, query-weight) state, grouped
+       int64 sums score every (query, doc) pair sharing a term, and only
+       per-batch per-query top-k partials leave the task;
+    4. partials reduce to the global top-k — driver-side under the same
+       bounded-row gate :func:`riot_ray.pipelines.simsearch._reduce_topk`
+       uses, ``groupby(query_id)`` off-driver above it.
+    """
+    import ray
+
+    from .dedup import _join_parts
+    from .sampling import lookup_sorted
+    from .simsearch import _DRIVER_REDUCE_MAX_ROWS
+
+    qids = np.asarray(sorted({int(i) for i in query_ids}), np.int64)
+    if qids.size == 0 or k <= 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    n_docs = ds.count()
+
+    def _doc_unique_kh(batch: pa.Table):
+        """per-doc-unique (parents, kh, tf) for one batch (lexsort idiom)."""
+        flat, parents = _flatten_tokens(batch[text_col])
+        kh = _token_hashes(flat).view(np.int64)
+        order = np.lexsort((kh, parents))
+        ps, ks = parents[order], kh[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(order))).astype(np.int64)
+        return ps[starts], ks[starts], tf
+
+    # ---- 1) pull + tokenize the query docs (bounded rows) --------------- #
+    qset = ray.put(qids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = lookup_sorted(ray.get(qset), ids)
+        return batch.filter(pa.array(hit)).select([id_col, text_col])
+
+    qtabs = [t for t in ray.get(
+        ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not qtabs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    qtab = pa.concat_tables(qtabs).combine_chunks()
+    q_doc_ids = qtab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    qp, qk, qtf = _doc_unique_kh(qtab)
+    vq = np.unique(qk)  # sorted query vocabulary (hash domain)
+    if vq.size == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+
+    # ---- 2) df restricted to the query vocabulary ----------------------- #
+    vq_ref = ray.put(vq)
+    num_partitions = _join_parts(None)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        v = ray.get(vq_ref)
+        _ps, ks, _tf = _doc_unique_kh(batch)
+        _pos, hit = lookup_sorted(v, ks)
+        uniq, cnt = np.unique(ks[hit], return_counts=True)
+        part = (uniq.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"kh": pa.array(uniq, pa.int64()),
+                         "df": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def df_reduce(group: pa.Table) -> pa.Table:
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        dfp = group["df"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kh, return_inverse=True)
+        tot = np.bincount(inv, weights=dfp, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"kh": pa.array(uniq, pa.int64()),
+                         "df": pa.array(tot, pa.int64())})
+
+    df_tabs = [t for t in ray.get(
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("__part").map_groups(df_reduce, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    df_of = np.zeros(vq.size, np.int64)
+    for t in df_tabs:
+        pos, hit = lookup_sorted(vq, t["kh"].to_numpy(zero_copy_only=False))
+        df_of[pos[hit]] = t["df"].to_numpy(zero_copy_only=False)[hit]
+    # every query term occurs in its query doc, so df >= 1 always
+    idf = np.floor(np.log(float(n_docs) / df_of) * 1e3 + 0.5).astype(np.int64)
+
+    # query weight matrix (nq, |vq|): tf * idf, int64
+    W = np.zeros((len(q_doc_ids), vq.size), np.int64)
+    qpos = np.searchsorted(vq, qk)
+    W[qp, qpos] = qtf * idf[qpos]
+
+    # ---- 3) one streaming scoring pass over the corpus ------------------ #
+    state = ray.put((vq, idf, W, q_doc_ids))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        v, idf_, W_, qd = ray.get(state)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps, ks, tf = _doc_unique_kh(batch)
+        pos, hit = lookup_sorted(v, ks)
+        dsel, csel, wd = ps[hit], pos[hit], tf[hit] * idf_[pos[hit]]
+        nq, n_rows = len(qd), len(ids)
+        out_q, out_n, out_s = [], [], []
+        if dsel.size:
+            # (nq, nmatch) int64 contribution matrix, grouped-summed per
+            # doc with ONE reduceat over the doc-sorted match list — exact
+            # integer sums (order-independent, no float accumulation)
+            order = np.argsort(dsel, kind="stable")
+            sd = dsel[order]
+            starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+            M = W_[:, csel[order]] * wd[order][None, :]
+            acc_rows = np.add.reduceat(M, starts, axis=1)  # (nq, ndocs-hit)
+            doc_idx = sd[starts]
+            for qi in range(nq):
+                sc = acc_rows[qi]
+                keep = (sc > 0) & (ids[doc_idx] != qd[qi])
+                if not keep.any():
+                    continue
+                di, si = doc_idx[keep], sc[keep]
+                if len(si) > k:
+                    # integer scores tie OFTEN: the partial must keep the
+                    # k best under the GLOBAL order (score desc, id asc)
+                    # or a tie-winning smaller id could be dropped here
+                    # and the merged result diverge from the SQL oracle
+                    top = np.lexsort((ids[di], -si))[:k]
+                    di, si = di[top], si[top]
+                out_q.append(np.full(len(di), qd[qi], np.int64))
+                out_n.append(ids[di])
+                out_s.append(si)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                         "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                         "score": pa.array(np.concatenate(out_s), pa.int64())})
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # ---- 4) global per-query top-k reduce (integer scores) -------------- #
+    def topk_int(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((n, -s, q))
+        qs, ns, ss = q[order], n[order], s[order]
+        new = np.r_[True, qs[1:] != qs[:-1]]
+        seg = np.flatnonzero(new)
+        rank = (np.arange(len(qs))
+                - np.repeat(seg, np.diff(np.append(seg, len(qs)))) + 1)
+        keep = rank <= k
+        return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
+                         "neighbor_id": pa.array(ns[keep], pa.int64()),
+                         "score": pa.array(ss[keep], pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64())})
+
+    mat = partials.materialize()
+    if mat.count() <= _DRIVER_REDUCE_MAX_ROWS:
+        tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return topk_int(pa.table({"query_id": pa.array([], pa.int64()),
+                                      "neighbor_id": pa.array([], pa.int64()),
+                                      "score": pa.array([], pa.int64())}))
+        return topk_int(pa.concat_tables(tabs).combine_chunks())
+    reduced = mat.groupby("query_id").map_groups(topk_int, batch_format="pyarrow")
+    tabs = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return topk_int(pa.table({"query_id": pa.array([], pa.int64()),
+                                  "neighbor_id": pa.array([], pa.int64()),
+                                  "score": pa.array([], pa.int64())}))
+    out = pa.concat_tables(tabs).combine_chunks()
+    order = np.lexsort((out["rank"].to_numpy(zero_copy_only=False),
+                        out["query_id"].to_numpy(zero_copy_only=False)))
+    return out.take(pa.array(order, pa.int64()))
+
+
+# --------------------------------------------------------------------------- #
 # token-window chunking (training-sequence preparation)
 # --------------------------------------------------------------------------- #
 # single-StringArray capacity guards for chunk_docs' gathered token

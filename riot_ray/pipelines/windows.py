@@ -478,3 +478,149 @@ def asof_attribution(
         .map_groups(carry_in, batch_format="pyarrow")
     )
     return resolved.union(boundary)
+
+
+# --------------------------------------------------------------------------- #
+# ordered conversion funnel
+# --------------------------------------------------------------------------- #
+def funnel_counts(ds, steps, horizon_s: int,
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  user_col: str = "user_id") -> pa.Table:
+    """Ordered-funnel user counts: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY after it, then ``steps[2]`` strictly after
+    that, ... with every later step inside ``horizon_s`` seconds of the
+    user's FIRST step-1 event (the classic product-analytics funnel;
+    earliest-completion semantics — each step's time is the user's first
+    qualifying event).  Output: ``(step, step_name, n_users)`` — all
+    integers, so the DuckDB oracle hash-matches exactly.
+
+    Scale shape — one cheap streaming pass per step, never a raw-event
+    groupby: each pass filters the step's events, restricts them to users
+    still in the funnel (size-gated: the survivor table broadcasts under
+    ``BROADCAST_BYTES``, above it a distributed hash join ships only
+    (user, t_prev, t1)), and reduces per-batch per-user MIN partials
+    through a hash-partitioned groupby — the shuffle carries one row per
+    (batch, user), so a bot user with 10^9 events still ships one partial
+    per batch, not a timeline.  The survivor set shrinks monotonically
+    step over step."""
+    import ray
+
+    from .dedup import BROADCAST_BYTES, _join_parts
+    from .joins import hash_join
+    from .sampling import lookup_sorted
+
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    horizon_us = int(horizon_s) * _US
+    num_partitions = _join_parts(None)
+
+    row_schema = pa.schema([(user_col, pa.int64()), ("t", pa.int64()),
+                            ("t1", pa.int64())])
+
+    def _min_partial(batch: pa.Table) -> pa.Table:
+        """Per-batch per-user min(t) (t1 rides along: constant per user)."""
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        t1 = batch["t1"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        su = u[order]
+        starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        tmin = np.minimum.reduceat(t[order], starts)
+        part = (su[starts].view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({user_col: pa.array(su[starts], pa.int64()),
+                         "t": pa.array(tmin, pa.int64()),
+                         "t1": pa.array(t1[order][starts], pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def _min_reduce(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        t1 = group["t1"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        su = u[order]
+        starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        return pa.table({user_col: pa.array(su[starts], pa.int64()),
+                         "t": pa.array(np.minimum.reduceat(t[order], starts),
+                                       pa.int64()),
+                         "t1": pa.array(t1[order][starts], pa.int64())})
+
+    def _per_user_min(rows_ds):
+        return (rows_ds.map_batches(_min_partial, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(_min_reduce, batch_format="pyarrow"))
+
+    def _step_rows(step_name: str):
+        """(user, t, t1=t placeholder) rows of one step's events."""
+        def pick(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch[type_col], step_name)
+            b = batch.filter(keep)
+            t = _epoch_us(b, ts_col)
+            u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({user_col: pa.array(u, pa.int64()),
+                             "t": pa.array(t, pa.int64()),
+                             "t1": pa.array(t, pa.int64())})
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    # step 1: first event of steps[0] per user; t1 := that minimum
+    def fix_t1(batch: pa.Table) -> pa.Table:
+        return pa.table({user_col: batch[user_col], "t": batch["t"],
+                         "t1": batch["t"]})
+
+    prev = _per_user_min(_step_rows(steps[0])).map_batches(
+        fix_t1, batch_format="pyarrow").materialize()
+    n_users = [prev.count()]
+
+    for step_name in steps[1:]:
+        if n_users[-1] == 0:
+            n_users.append(0)
+            continue
+        if n_users[-1] * 24 <= BROADCAST_BYTES:
+            tabs = [t for t in ray.get(prev.to_arrow_refs()) if t.num_rows]
+            pt = pa.concat_tables(tabs).combine_chunks()
+            pu = pt[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(pu)
+            ref = ray.put((pu[order],
+                           pt["t"].to_numpy(zero_copy_only=False)[order],
+                           pt["t1"].to_numpy(zero_copy_only=False)[order]))
+
+            def gate(batch: pa.Table, _step=step_name) -> pa.Table:
+                users_s, tprev_s, t1_s = ray.get(ref)
+                keep = pc.equal(batch[type_col], _step)
+                b = batch.filter(keep)
+                t = _epoch_us(b, ts_col)
+                u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos, hit = lookup_sorted(users_s, u)
+                ok = hit & (t > tprev_s[pos]) & (t <= t1_s[pos] + horizon_us)
+                return pa.table({user_col: pa.array(u[ok], pa.int64()),
+                                 "t": pa.array(t[ok], pa.int64()),
+                                 "t1": pa.array(t1_s[pos][ok], pa.int64())})
+
+            cand = ds.map_batches(gate, batch_format="pyarrow")
+        else:
+            joined = hash_join(
+                _step_rows(step_name), prev, user_col, user_col,
+                payload={"t": "t_prev", "t1": "t1_prev"},
+                left_schema=row_schema,
+                right_schema=row_schema,
+            )
+
+            def gate(batch: pa.Table) -> pa.Table:
+                t = batch["t"].to_numpy(zero_copy_only=False)
+                tp = batch["t_prev"].to_numpy(zero_copy_only=False)
+                t1 = batch["t1_prev"].to_numpy(zero_copy_only=False)
+                ok = (t > tp) & (t <= t1 + horizon_us)
+                u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table({user_col: pa.array(u[ok], pa.int64()),
+                                 "t": pa.array(t[ok], pa.int64()),
+                                 "t1": pa.array(t1[ok], pa.int64())})
+
+            cand = joined.map_batches(gate, batch_format="pyarrow")
+        prev = _per_user_min(cand).materialize()
+        n_users.append(prev.count())
+
+    return pa.table({
+        "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+        "step_name": pa.array(steps, pa.string()),
+        "n_users": pa.array(np.asarray(n_users, np.int64), pa.int64()),
+    })

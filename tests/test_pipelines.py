@@ -2571,3 +2571,116 @@ def test_chunk_docs_sliced_gather_equals_single_slice(docs_ds, monkeypatch):
     assert len(one) == len(many) > 0
     for c in ("doc_id", "chunk_idx", "n_tokens", "chunk_text"):
         assert (one[c] == many[c]).all(), c
+
+
+# ---------------------------------------------------------------------------- #
+# ordered funnel (events table)
+# ---------------------------------------------------------------------------- #
+_FUNNEL_SQL = """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+             AND epoch_us(e.ts) <= s1.t + {h} GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+             AND epoch_us(e.ts) <= s1.t + {h} GROUP BY 1)
+    SELECT * FROM (
+      SELECT 1::BIGINT AS step, 'view' AS step_name,
+             count(*)::BIGINT AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3) ORDER BY step
+"""
+
+
+def test_funnel_counts_matches_sql(events_ds):
+    from riot_ray.pipelines import funnel_counts
+
+    h_s = 3 * 86_400
+    got = funnel_counts(events_ds, ["view", "click", "purchase"],
+                        horizon_s=h_s).to_pandas()
+    exp = _duck(_FUNNEL_SQL.format(h=h_s * 1_000_000)).to_pandas()
+    assert got["step"].tolist() == [1, 2, 3]
+    assert got["n_users"].tolist() == exp["n_users"].tolist()
+    # funnel must be monotone non-increasing
+    n = got["n_users"].to_numpy()
+    assert (n[1:] <= n[:-1]).all()
+
+
+def test_funnel_hash_join_path_matches_broadcast(events_ds, monkeypatch):
+    """Forcing the survivor table through the distributed hash join must
+    reproduce the broadcast path bit-for-bit."""
+    from riot_ray.pipelines import funnel_counts
+
+    base = funnel_counts(events_ds, ["view", "purchase"], horizon_s=86_400)
+    monkeypatch.setattr("riot_ray.pipelines.dedup.BROADCAST_BYTES", 1)
+    forced = funnel_counts(events_ds, ["view", "purchase"], horizon_s=86_400)
+    assert base.equals(forced)
+
+
+def test_funnel_single_step_is_distinct_users(events_ds):
+    from riot_ray.pipelines import funnel_counts
+
+    got = funnel_counts(events_ds, ["click"], horizon_s=1).to_pandas()
+    exp = _duck("SELECT count(DISTINCT user_id)::BIGINT AS n FROM events "
+                "WHERE event_type = 'click'").to_pandas()
+    assert got["n_users"].tolist() == exp["n"].tolist()
+
+
+# ---------------------------------------------------------------------------- #
+# more_like_this (documents table)
+# ---------------------------------------------------------------------------- #
+_MLT_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents),
+    occ AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM occ GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    w AS (SELECT doc_id, term,
+                 tf * CAST(round(ln(n.n::DOUBLE / df.df) * 1000) AS BIGINT) AS w
+          FROM occ JOIN df USING (term), n),
+    q AS (SELECT * FROM w WHERE doc_id IN ({ids})),
+    scores AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+                      sum(q.w * d.w)::BIGINT AS score
+               FROM q JOIN w d USING (term) WHERE d.doc_id != q.doc_id
+               GROUP BY 1, 2 HAVING sum(q.w * d.w) > 0)
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id)::BIGINT AS rank
+    FROM scores QUALIFY rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def test_more_like_this_matches_sql(docs_ds):
+    from riot_ray.pipelines import more_like_this
+
+    got = more_like_this(docs_ds, query_ids=[0, 1, 2], k=4).to_pandas()
+    got = _sorted(got, ["query_id", "rank"])
+    exp = _duck(_MLT_SQL.format(ids="0, 1, 2", k=4)).to_pandas()
+    assert got.shape == exp.shape
+    for c in ["query_id", "neighbor_id", "score", "rank"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_more_like_this_block_count_independent(docs_ds):
+    """Per-block partial top-k must merge to the same global result at any
+    block count — including integer-score ties at partial boundaries."""
+    from riot_ray.pipelines import more_like_this
+
+    one = more_like_this(docs_ds, query_ids=[0, 5], k=6)
+    many = more_like_this(docs_ds.repartition(17), query_ids=[0, 5], k=6)
+    assert one.equals(many)
+
+
+def test_more_like_this_absent_query_is_empty(docs_ds):
+    from riot_ray.pipelines import more_like_this
+
+    out = more_like_this(docs_ds, query_ids=[10_000_000], k=3)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "neighbor_id", "score", "rank"]

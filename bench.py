@@ -321,6 +321,17 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     knn_ivf(emb, Q, qids, k=10, n_lists=16, nprobe=6)
     q["knn_ivf"] = round(time.time() - t0, 3)
 
+    from riot_ray.pipelines import funnel_counts, more_like_this
+
+    t0 = time.time()
+    funnel_counts(ev, ("view", "click", "purchase"), horizon_s=7 * 86_400)
+    q["funnel_counts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    more_like_this(docs.select_columns(["doc_id", "text"]),
+                   query_ids=(0, 1, 2, 3), k=5)
+    q["more_like_this"] = round(time.time() - t0, 3)
+
     value = round(sum(q[k] for k in ("index_build", "search_total", "token_stats",
                                      "quality", "dedup_ngram_jaccard",
                                      "dedup_minhash", "knn_brute")), 3)

@@ -400,6 +400,45 @@ def _q_line_dedup_clean(sf_dir: str):
     return line_dedup_clean(enr)
 
 
+def _substr_enrich_ds(sf_dir: str):
+    """Shared input for the ExactSubstr queries: docs with a 63-char
+    footer in 3 variants appended (same concat in the SQL oracle), so
+    corpus-duplicated >=40-char substrings provably exist."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.binary_join_element_wise(
+            b["text"],
+            " common license footer text that recurs across documents rev ",
+            pa.array((ids % 3).astype("U")), "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+
+
+def _q_dup_spans(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2022), span-detection half: maximal
+    spans of text whose every 40-char window occurs >= 2 times corpus-
+    wide.  Footer enrichment guarantees planted duplicates; the natural
+    near-dup docs in the table contribute organic spans too."""
+    from riot_ray.pipelines import dup_spans
+
+    return dup_spans(_substr_enrich_ds(sf_dir), min_len=40)
+
+
+def _q_dup_span_clean(sf_dir: str):
+    """ExactSubstr dedup, removal half: every doc with its duplicated
+    spans cut out plus the removed-char count."""
+    from riot_ray.pipelines import dup_span_clean
+
+    return dup_span_clean(_substr_enrich_ds(sf_dir), min_len=40)
+
+
 def _q_hot_ngrams(sf_dir: str):
     """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
     docs (map-side per-doc dedup, one bucket shuffle)."""
@@ -1070,6 +1109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "line_dedup": _q_line_dedup,
         "line_dedup_clean": _q_line_dedup_clean,
+        "dup_spans": _q_dup_spans,
+        "dup_span_clean": _q_dup_span_clean,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1911,6 +1952,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
         FROM kept GROUP BY doc_id
+        """
+
+    # ExactSubstr (Lee et al. 2022) oracles: the same 40-char-window dup
+    # semantics in pure SQL — windows via unnest(range)+substr, dup test by
+    # GROUP BY window HAVING count>=2, span merge by gaps-and-islands.
+    _SUBSTR_DOCS = (
+        "docs AS (SELECT doc_id, text || "
+        "' common license footer text that recurs across documents rev '"
+        " || (doc_id % 3) AS t FROM documents)"
+    )
+    _SUBSTR_SPANS = f"""
+        {_SUBSTR_DOCS},
+        wins AS (
+          SELECT doc_id, unnest(range(greatest(len(t) - 39, 0))) AS pos, t
+          FROM docs),
+        w2 AS (SELECT doc_id, pos, substr(t, pos + 1, 40) AS w FROM wins),
+        dupw AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),
+        marked AS (SELECT doc_id, pos FROM w2
+                   WHERE w IN (SELECT w FROM dupw)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= 40
+                      THEN 0 ELSE 1 END AS brk
+          FROM marked),
+        grp AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM isl),
+        spans AS (
+          SELECT doc_id, min(pos)::BIGINT AS span_start,
+                 (max(pos) + 40)::BIGINT AS span_end,
+                 count(*)::BIGINT AS n_windows
+          FROM grp GROUP BY doc_id, g)
+    """
+    out["dup_spans"] = f"""
+        WITH {_SUBSTR_SPANS}
+        SELECT doc_id, span_start, span_end, n_windows FROM spans
+        """
+    out["dup_span_clean"] = f"""
+        WITH {_SUBSTR_SPANS},
+        segs AS (
+          SELECT doc_id,
+                 coalesce(lag(span_end) OVER
+                            (PARTITION BY doc_id ORDER BY span_start),
+                          0) AS s,
+                 span_start AS e
+          FROM spans
+          UNION ALL
+          SELECT sp.doc_id, max(sp.span_end) AS s, max(len(d.t)) AS e
+          FROM spans sp JOIN docs d USING (doc_id) GROUP BY sp.doc_id),
+        cleaned AS (
+          SELECT g.doc_id,
+                 string_agg(substr(d.t, g.s + 1, g.e - g.s),
+                            '' ORDER BY g.s) AS tc
+          FROM segs g JOIN docs d USING (doc_id) GROUP BY g.doc_id),
+        rem AS (SELECT doc_id, sum(span_end - span_start)::BIGINT AS nrem
+                FROM spans GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(c.tc, d.t) AS text_clean,
+               coalesce(r.nrem, 0)::BIGINT AS n_removed
+        FROM docs d LEFT JOIN cleaned c USING (doc_id)
+        LEFT JOIN rem r USING (doc_id)
         """
 
     out["normalize_text"] = r"""

@@ -2684,3 +2684,167 @@ def test_more_like_this_absent_query_is_empty(docs_ds):
     out = more_like_this(docs_ds, query_ids=[10_000_000], k=3)
     assert out.num_rows == 0
     assert out.column_names == ["query_id", "neighbor_id", "score", "rank"]
+
+
+# --------------------------------------------------------------------------- #
+# ExactSubstr: corpus-duplicated substring spans (substr.py)
+# --------------------------------------------------------------------------- #
+def _brute_dup_spans(texts, L):
+    """Reference: mark every length-L window occurring >=2 times, merge
+    starts <= L apart."""
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        t = t or ""
+        for i in range(len(t) - L + 1):
+            cnt[t[i : i + L]] += 1
+    dup = {w for w, c in cnt.items() if c >= 2}
+    out = []
+    for d, t in enumerate(texts):
+        t = t or ""
+        spans = []
+        for i in range(len(t) - L + 1):
+            if t[i : i + L] not in dup:
+                continue
+            if spans and i <= spans[-1][1] + L:
+                spans[-1] = (spans[-1][0], i, spans[-1][2] + 1)
+            else:
+                spans.append((i, i, 1))
+        out += [(d, a, last + L, n) for a, last, n in spans]
+    return sorted(out)
+
+
+def _substr_texts():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = "the quick brown fox jumps over the lazy dog near riverbanks "
+    texts = []
+    for i in range(40):
+        t = "".join(rng.choice(list("abcdefg "))
+                    for _ in range(int(rng.integers(0, 150))))
+        if i % 3 == 0:
+            t = t[:10] + base + t[10:]
+        if i % 5 == 0:
+            t += "shared tail boilerplate for the substring dedup test!!"
+        texts.append(t)
+    texts += [None, "", "tiny", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"]
+    return texts
+
+
+def test_dup_spans_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dup_spans
+
+    texts = _substr_texts()
+    L = 12
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(5)
+    got = dup_spans(ds, min_len=L).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    exp = _brute_dup_spans(texts, L)
+    assert list(map(tuple, got.to_numpy())) == exp
+
+
+def test_dup_spans_join_path_matches_broadcast(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import dup_spans
+
+    texts = _substr_texts()
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    base = dup_spans(ds, min_len=12).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force the hash-join path
+    joined = dup_spans(ds, min_len=12).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    assert base.equals(joined)
+    assert len(base) > 0
+
+
+def test_dup_span_clean_cuts_exactly(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dup_span_clean
+
+    texts = _substr_texts()
+    L = 12
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(5)
+    got = dup_span_clean(ds, min_len=L).to_pandas().set_index("doc_id")
+    spans = _brute_dup_spans(texts, L)
+    assert len(got) == len(texts)
+    for d, t in enumerate(texts):
+        t = t or ""
+        mine = [(a, b) for dd_, a, b, _n in spans if dd_ == d]
+        expect = "".join(
+            ch for i, ch in enumerate(t)
+            if not any(a <= i < b for a, b in mine)
+        )
+        assert got.loc[d, "text_clean"] == expect
+        assert got.loc[d, "n_removed"] == sum(b - a for a, b in mine)
+
+
+def test_dup_span_clean_group_path_matches_broadcast(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import dup_span_clean
+
+    texts = _substr_texts()
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    base = dup_span_clean(ds, min_len=12).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force co-group path
+    grouped = dup_span_clean(ds, min_len=12).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert base.equals(grouped)
+
+
+def test_dup_spans_block_count_independent(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dup_spans
+
+    texts = _substr_texts()
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    one = dup_spans(rd.from_arrow(t), min_len=12).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    many = dup_spans(rd.from_arrow(t).repartition(19),
+                     min_len=12).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    assert one.equals(many)
+
+
+def test_dup_spans_unicode_positions_are_codepoints(ray_session):
+    """Positions must count codepoints (SQL substr semantics), not bytes —
+    multi-byte chars before the duplicate shift byte offsets but not
+    codepoint offsets."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import dup_spans
+
+    dup = "0123456789abcdef"  # L=16 duplicated block
+    texts = ["日本語テキスト" + dup, "ein anderes präfix--" + dup]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    got = dup_spans(ds, min_len=16).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(got["span_start"]) == [7, 20]
+    assert list(got["span_end"]) == [7 + 16, 20 + 16]

@@ -439,6 +439,19 @@ def _q_dup_span_clean(sf_dir: str):
     return dup_span_clean(_substr_enrich_ds(sf_dir), min_len=40)
 
 
+def _q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes label recovery: fit on the documents
+    table's own lang labels (counting groupby), re-score every doc —
+    exact integer micro-nat arithmetic end to end, so the DuckDB oracle
+    hash-matches scores, not just predictions."""
+    from riot_ray.pipelines import nb_classify
+
+    return nb_classify(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+        text_col="text", label_col="lang", id_col="doc_id",
+    )
+
+
 def _q_hot_ngrams(sf_dir: str):
     """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
     docs (map-side per-doc dedup, one bucket shuffle)."""
@@ -1111,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_clean": _q_line_dedup_clean,
         "dup_spans": _q_dup_spans,
         "dup_span_clean": _q_dup_span_clean,
+        "nb_classify": _q_nb_classify,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -2013,6 +2027,48 @@ def oracle_sql() -> dict[str, str]:
                coalesce(r.nrem, 0)::BIGINT AS n_removed
         FROM docs d LEFT JOIN cleaned c USING (doc_id)
         LEFT JOIN rem r USING (doc_id)
+        """
+
+    # Multinomial NB label recovery: identical add-one-smoothed integer
+    # micro-nat model in SQL; prediction = rank 1 by (score desc, class asc)
+    out["nb_classify"] = """
+        WITH occ AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS tok
+          FROM documents),
+        cnts AS (SELECT lang AS c, tok, count(*)::BIGINT AS cnt
+                 FROM occ GROUP BY 1, 2),
+        tot AS (SELECT c, sum(cnt)::BIGINT AS tot FROM cnts GROUP BY c),
+        vocab AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM occ),
+        classes AS (SELECT DISTINCT lang AS c FROM documents),
+        priors AS (
+          SELECT lang AS c,
+                 CAST(FLOOR(ln(count(*)::DOUBLE /
+                        (SELECT count(*) FROM documents)) * 1000000 + 0.5)
+                      AS BIGINT) AS pmicro
+          FROM documents GROUP BY 1),
+        doctok AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                   FROM occ GROUP BY 1, 2),
+        scores AS (
+          SELECT d.doc_id, cl.c,
+                 p.pmicro + sum(d.tf * CAST(FLOOR(
+                     ln((coalesce(cn.cnt, 0) + 1)::DOUBLE /
+                        (coalesce(t.tot, 0) + (SELECT v FROM vocab)))
+                     * 1000000 + 0.5) AS BIGINT)) AS score,
+                 sum(d.tf)::BIGINT AS n_tokens
+          FROM doctok d
+          CROSS JOIN classes cl
+          LEFT JOIN tot t ON t.c = cl.c
+          LEFT JOIN cnts cn ON cn.c = cl.c AND cn.tok = d.tok
+          JOIN priors p ON p.c = cl.c
+          GROUP BY d.doc_id, cl.c, p.pmicro)
+        SELECT doc_id, c AS pred, score::BIGINT AS score_micro, n_tokens
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+              FROM scores)
+        WHERE rn = 1
         """
 
     out["normalize_text"] = r"""

@@ -2848,3 +2848,142 @@ def test_dup_spans_unicode_positions_are_codepoints(ray_session):
         "doc_id").reset_index(drop=True)
     assert list(got["span_start"]) == [7, 20]
     assert list(got["span_end"]) == [7 + 16, 20 + 16]
+
+
+# --------------------------------------------------------------------------- #
+# Multinomial Naive Bayes (classify.py)
+# --------------------------------------------------------------------------- #
+def _nb_rows():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    langs = {"en": "the cat sat on a mat with milk and fish".split(),
+             "de": "die katze sass auf der matte mit milch und fisch".split(),
+             "fr": "le chat est sur le tapis avec du lait et poisson".split()}
+    rows = []
+    for i in range(120):
+        lab = ["en", "de", "fr"][i % 3]
+        words = [str(rng.choice(langs[lab]))
+                 for _ in range(int(rng.integers(3, 30)))]
+        if i % 4 == 0:
+            words += ["data", "42"]
+        rows.append((i, " ".join(words), lab))
+    rows.append((900, "", "en"))
+    rows.append((901, None, "de"))
+    return rows
+
+
+def _nb_brute(train_rows, predict_rows):
+    import math
+    import re
+
+    tokre = re.compile("[^a-z0-9]+")
+
+    def toks(s):
+        return [w for w in tokre.split((s or "").lower()) if w]
+
+    classes = sorted({r[2] for r in train_rows})
+    nd = {c: 0 for c in classes}
+    cnt = {c: {} for c in classes}
+    vocab = set()
+    for _i, s, c in train_rows:
+        nd[c] += 1
+        for w in toks(s):
+            cnt[c][w] = cnt[c].get(w, 0) + 1
+            vocab.add(w)
+    V = len(vocab)
+    tot = {c: sum(cnt[c].values()) for c in classes}
+    N = sum(nd.values())
+    prior = {c: math.floor(math.log(nd[c] / N) * 1e6 + 0.5) for c in classes}
+    out = {}
+    for i, s, _c in predict_rows:
+        tk = toks(s)
+        if not tk:
+            continue
+        best = None
+        for c in classes:
+            sc = prior[c]
+            for w in tk:
+                sc += math.floor(
+                    math.log((cnt[c].get(w, 0) + 1) / (tot[c] + V)) * 1e6 + 0.5
+                )
+            if best is None or sc > best[1]:
+                best = (c, sc)
+        out[i] = (best[0], best[1], len(tk))
+    return out
+
+
+def _nb_table(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "label": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_nb_classify_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import nb_classify
+
+    rows = _nb_rows()
+    exp = _nb_brute(rows, rows)
+    got = (
+        nb_classify(rd.from_arrow(_nb_table(rows)).repartition(6))
+        .to_pandas().set_index("doc_id")
+    )
+    assert len(got) == len(exp)   # token-less docs drop out
+    for i, (c, sc, n) in exp.items():
+        row = got.loc[i]
+        assert (row["pred"], row["score_micro"], row["n_tokens"]) == (c, sc, n)
+
+
+def test_nb_classify_join_path_matches_broadcast(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import nb_classify
+
+    ds = rd.from_arrow(_nb_table(_nb_rows())).repartition(6)
+    base = nb_classify(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force the hash-join path
+    joined = nb_classify(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert base.equals(joined)
+
+
+def test_nb_classify_holdout_with_oov(ray_session, monkeypatch):
+    """Predicting NEW docs: unseen tokens take the smoothed cnt=0 term;
+    an all-OOV doc still classifies (priors + V*default) on BOTH paths."""
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import nb_classify
+
+    train = _nb_rows()
+    test = [(5000, "the cat drank milk zzzunseen", "en"),
+            (5001, "zzz qqq www", "de"),          # every token OOV
+            (5002, "katze milch fisch", "de")]
+    exp = _nb_brute(train, test)
+    tr = rd.from_arrow(_nb_table(train)).repartition(4)
+    te = rd.from_arrow(_nb_table(test))
+    got = nb_classify(tr, predict_ds=te).to_pandas().set_index("doc_id")
+    assert len(got) == 3
+    for i, (c, sc, n) in exp.items():
+        row = got.loc[i]
+        assert (row["pred"], row["score_micro"], row["n_tokens"]) == (c, sc, n)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)
+    got2 = nb_classify(tr, predict_ds=te).to_pandas().set_index("doc_id")
+    assert got.sort_index().equals(got2.sort_index())
+
+
+def test_nb_classify_block_count_independent(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import nb_classify
+
+    t = _nb_table(_nb_rows())
+    one = nb_classify(rd.from_arrow(t)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    many = nb_classify(rd.from_arrow(t).repartition(17)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert one.equals(many)

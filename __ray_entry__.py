@@ -777,6 +777,27 @@ def _q_knn_ivf_persisted(sf_dir: str):
     return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    """Persisted IVF-PQ index (product-quantized codes, 16x smaller than
+    the raw vectors) queried via ADC lookup tables over the probed lists
+    only.  Approximate by construction (quantization error) — rows-only
+    driver check; recall and read-pruning are pinned in pytest."""
+    from riot_ray.pipelines import build_pq_index, knn_pq_query
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    idx = os.path.join(
+        _CACHE_ROOT,
+        f"ivfpq-{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{hashlib.sha256(fp.encode()).hexdigest()[:12]}",
+    )
+    build_pq_index(_emb(sf_dir), idx, fingerprint=fp, n_lists=16,
+                   pq_m=16, pq_ks=64, seed=42)
+    Q, qids = _query_vectors(sf_dir)
+    return knn_pq_query(idx, Q, qids, k=K, nprobe=4)
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Binary media column plumbing made oracle-checkable: documents wrapped
     as fake payloads with md5-derived dims, decoded by the actor-pool stage;
@@ -1150,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_topk": _q_knn_ivf,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_ivf_persisted": _q_knn_ivf_persisted,
+        "knn_ivfpq_topk": _q_knn_ivfpq,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,

@@ -566,6 +566,266 @@ def knn_ivf_query(
 
 
 # --------------------------------------------------------------------------- #
+# persisted IVF-PQ index (product-quantized codes: the 100 TB memory path)
+# --------------------------------------------------------------------------- #
+def _kmeans(X: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd k-means (Euclidean) on a bounded sample; empty
+    clusters keep their previous centroid; ties in assignment break to the
+    lowest centroid index (np.argmin)."""
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X * X).sum(1, keepdims=True)
+              - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        n = np.bincount(a, minlength=len(C))
+        live = n > 0
+        C[live] = sums[live] / n[live, None]
+    return C
+
+
+def _pq_encode(Vn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 codes for unit-norm rows: per subspace, the nearest
+    codebook centroid (argmin squared distance == argmax dot - norm/2)."""
+    n, d = Vn.shape
+    M, ks, dsub = books.shape
+    codes = np.empty((n, M), np.uint8)
+    for m in range(M):
+        sub = Vn[:, m * dsub: (m + 1) * dsub]
+        cb = books[m]
+        score = sub @ cb.T - 0.5 * (cb * cb).sum(1)[None, :]
+        codes[:, m] = np.argmax(score, axis=1).astype(np.uint8)
+    return codes
+
+
+def build_pq_index(
+    ds,
+    out_dir: str,
+    fingerprint: str = "",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    pq_m: int = 4,
+    pq_ks: int = 16,
+    sample_n: int = 4096,
+    seed: int = 42,
+    train_iters: int = 10,
+) -> dict:
+    """Persist an IVF-PQ index (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): the coarse quantizer partitions the
+    corpus into ``n_lists`` list-partitioned parquet dirs exactly like
+    :func:`build_ivf_index`, but each partition stores ``pq_m``-byte PQ
+    CODES instead of raw float vectors — a dim*4/pq_m-fold size cut (32x
+    for 32-dim float32 at M=4), which at 100 TB is the difference between
+    an index that fits the cluster's storage/page cache and one that
+    doesn't.  Queries scan codes with ADC lookup tables and never touch
+    the raw vectors.
+
+    Trainer: spherical k-means coarse centroids + per-subspace Lloyd
+    codebooks (``pq_ks`` <= 256 centroids each), all on one bounded
+    driver-side sample; codes are assigned in a single streaming corpus
+    pass.  Same fingerprint/manifest/atomic-commit contract as the IVF
+    index (resume skips committed partitions; a crash between partition
+    and meta commits is detected at query time)."""
+    import glob as _glob
+    import json as _json
+
+    import ray
+
+    from .checkpoint import MANIFEST, _PartWriter, sweep_foreign_parts
+
+    if pq_ks > 256:
+        raise ValueError("pq_ks must fit a uint8 code (<= 256)")
+    eff_fp = (
+        f"{fingerprint}|ivfpq:nl={n_lists}:m={pq_m}:ks={pq_ks}"
+        f":sn={sample_n}:ti={train_iters}:sd={seed}"
+    )
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                old = _json.load(f)
+            if old.get("fingerprint") == eff_fp:
+                manifests = _glob.glob(
+                    os.path.join(out_dir, "part=" + "[0-9]" * 5, MANIFEST))
+                ok = all(
+                    _json.load(open(m)).get("fingerprint") == eff_fp
+                    for m in manifests
+                )
+                if ok and manifests:
+                    return {"n_lists": old["n_lists"], "n_rows": None,
+                            "out_dir": out_dir, "skipped": True}
+        except (OSError, ValueError):
+            pass
+
+    sample = ds.select_columns([vec_col]).limit(sample_n).take_all()
+    X = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
+    dim = X.shape[1]
+    if dim % pq_m:
+        raise ValueError(f"pq_m={pq_m} must divide dim={dim}")
+    dsub = dim // pq_m
+    C = _spherical_kmeans(X, n_lists, seed, train_iters)
+    n_lists = len(C)
+    books = np.stack([
+        _kmeans(X[:, m * dsub: (m + 1) * dsub], pq_ks, seed + 1 + m,
+                train_iters)
+        for m in range(pq_m)
+    ])  # (M, ks', dsub) — ks' may shrink on tiny samples
+    bref = ray.put((C, books))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g_C, g_books = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _normalize(
+            np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        lists = np.argmax(V @ g_C.T, axis=1).astype(np.int32)
+        codes = _pq_encode(V, g_books)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "list_id": pa.array(lists, pa.int32()),
+            "codes": pa.array(list(codes), pa.list_(pa.uint8(), pq_m)),
+            "__part": pa.array(lists, pa.int32()),
+        })
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_PartWriter(out_dir, eff_fp, n_lists, seed),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    sweep_foreign_parts(out_dir, eff_fp, n_lists, seed)
+    meta = {
+        "kind": "ivfpq",
+        "n_lists": int(n_lists),
+        "pq_m": int(pq_m),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "fingerprint": eff_fp,
+        "centroids": C.tolist(),
+        "codebooks": books.tolist(),
+    }
+    tmp = os.path.join(out_dir, f"meta.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return {"n_lists": int(n_lists), "n_rows": int(rows["n_rows"].sum()),
+            "out_dir": out_dir}
+
+
+def knn_pq_query(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+):
+    """ADC search over a persisted IVF-PQ index: only the probed list
+    partitions are READ (same pruning as :func:`knn_ivf_query`) and only
+    the ``pq_m``-byte codes are scanned — approx cosine(q, v) =
+    sum_m LUT[m, code_m] with LUT[m, j] = q_m . codebook[m][j], the
+    asymmetric-distance trick from the PQ paper.  Approximate by
+    construction (quantization error + nprobe recall) — tests pin recall
+    against :func:`knn_brute`."""
+    import json as _json
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    n_lists, id_col = meta["n_lists"], meta["id_col"]
+    M = books.shape[0]
+    dsub = books.shape[2]
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    nprobe = min(nprobe, n_lists)
+    qsims = Q @ C.T
+    probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qids), n_lists), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    needed = sorted(int(l) for l in np.unique(probe))
+    # per-query ADC tables: LUT[q, m, j] = Q_m . cb[m][j]
+    LUT = np.stack([
+        Q[:, m * dsub: (m + 1) * dsub] @ books[m].T for m in range(M)
+    ], axis=1)  # (nq, M, ks)
+
+    files = []
+    for l in needed:
+        pdir = os.path.join(index_dir, f"part={l:05d}")
+        fpath = os.path.join(pdir, "data.parquet")
+        if not os.path.exists(fpath):
+            continue
+        try:
+            with open(os.path.join(pdir, "manifest.json")) as mf:
+                pfp = _json.load(mf).get("fingerprint")
+        except (OSError, ValueError):
+            pfp = None
+        if pfp != meta.get("fingerprint"):
+            raise ValueError(
+                f"IVF-PQ index {index_dir} is inconsistent: partition {l} "
+                f"has fingerprint {pfp!r} but meta.json has "
+                f"{meta.get('fingerprint')!r} — rebuild the index"
+            )
+        files.append(fpath)
+    if not files:
+        return _empty_result()
+    bref = ray.put((qids, LUT, probe_mask))
+
+    def local(batch: pa.Table) -> pa.Table:
+        g_qids, g_LUT, g_mask = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes_col = batch["codes"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = np.asarray(
+            codes_col.flatten().to_numpy(zero_copy_only=False), np.int64
+        ).reshape(-1, M)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        cand_mask = g_mask[:, lists]
+        if not cand_mask.any():
+            return _empty_partials()
+        # ADC: one gather-add per subspace, vectorized over (nq, batch)
+        sims = np.zeros((len(g_qids), len(ids)), np.float64)
+        for m in range(M):
+            sims += g_LUT[:, m, :][:, codes[:, m]]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(g_qids):
+            cand = np.flatnonzero(cand_mask[qi])
+            if cand.size == 0:
+                continue
+            s = sims[qi, cand]
+            kk = min(k, cand.size)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_v.append(ids[cand[part]])
+            out_s.append(s[part])
+        if not out_q:
+            return _empty_partials()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_raw": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    return _reduce_topk(
+        rd.read_parquet(files, columns=[id_col, "codes", "list_id"])
+        .map_batches(local, batch_format="pyarrow"),
+        k,
+    )
+
+
+# --------------------------------------------------------------------------- #
 # PCA over the embedding column (dimension reduction before LSH/IVF)
 # --------------------------------------------------------------------------- #
 def embedding_pca_fit(ds, k: int = 8, emb_col: str = "embedding"):

@@ -2987,3 +2987,87 @@ def test_nb_classify_block_count_independent(ray_session):
     many = nb_classify(rd.from_arrow(t).repartition(17)).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert one.equals(many)
+
+
+# --------------------------------------------------------------------------- #
+# IVF-PQ: persisted product-quantized index (simsearch.py)
+# --------------------------------------------------------------------------- #
+def test_ivfpq_persisted_index(emb_ds, tmp_path):
+    """build_pq_index + knn_pq_query: recall vs brute at full probe, self-
+    retrieval top-1, and read pruning (unprobed partition deleted ->
+    result unchanged)."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    from riot_ray.pipelines import build_pq_index, knn_brute, knn_pq_query
+
+    rows = emb_ds.take(5)
+    Q = np.stack([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    dim = Q.shape[1]
+    pq_m = 16 if dim % 16 == 0 else 4   # 4-dim subspaces on the 64-d table
+
+    idx = str(tmp_path / "ivfpq")
+    st = build_pq_index(emb_ds, idx, fingerprint="t", n_lists=8,
+                        pq_m=pq_m, pq_ks=64, seed=42)
+    assert st["n_rows"] == emb_ds.count()
+    # the stored index is codes-only: pq_m bytes of payload per vector
+    import pyarrow.parquet as papq
+    sch = papq.read_schema(os.path.join(idx, "part=00000", "data.parquet"))
+    assert "codes" in sch.names and "embedding" not in sch.names
+
+    brute = knn_brute(emb_ds, Q, qids, k=8).to_pandas()
+    full = knn_pq_query(idx, Q, qids, k=8, nprobe=8).to_pandas()
+    bp = {tuple(x) for x in brute[["query_id", "vec_id"]].to_numpy()}
+    ap = {tuple(x) for x in full[["query_id", "vec_id"]].to_numpy()}
+    recall = len(bp & ap) / len(bp)
+    assert recall >= 0.5, recall           # quantization error only
+    # ADC of a vector against its own codes is the max over its list
+    top1 = full[full["rank"] == 1]
+    assert set(top1["query_id"]) == set(qids)
+
+    part = knn_pq_query(idx, Q, qids, k=8, nprobe=3).to_pandas()
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    C = np.asarray(meta["centroids"])
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probed = set()
+    for qi in range(len(qids)):
+        probed |= set(np.argsort(-(qn[qi] @ C.T))[:3].tolist())
+    unprobed = [l for l in range(meta["n_lists"]) if l not in probed]
+    if unprobed:
+        shutil.rmtree(os.path.join(idx, f"part={unprobed[0]:05d}"))
+        again = knn_pq_query(idx, Q, qids, k=8, nprobe=3).to_pandas()
+        assert again[["query_id", "vec_id"]].values.tolist() == \
+            part[["query_id", "vec_id"]].values.tolist()
+
+
+def test_ivfpq_resume_and_stale_meta(emb_ds, tmp_path):
+    """Second build with identical knobs skips the corpus pass; a partition
+    whose fingerprint disagrees with meta.json is refused at query time."""
+    import json
+    import os
+
+    import numpy as np
+
+    from riot_ray.pipelines import build_pq_index, knn_pq_query
+
+    idx = str(tmp_path / "ivfpq2")
+    build_pq_index(emb_ds, idx, fingerprint="a", n_lists=4, pq_m=2,
+                   pq_ks=16, seed=1)
+    again = build_pq_index(emb_ds, idx, fingerprint="a", n_lists=4, pq_m=2,
+                           pq_ks=16, seed=1)
+    assert again.get("skipped") is True
+
+    # tamper one partition manifest -> inconsistent index must raise
+    mpath = os.path.join(idx, "part=00000", "manifest.json")
+    m = json.load(open(mpath))
+    m["fingerprint"] = "other-build"
+    json.dump(m, open(mpath, "w"))
+    rows = emb_ds.take(2)
+    Q = np.stack([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    with pytest.raises(ValueError, match="inconsistent"):
+        knn_pq_query(idx, Q, qids, k=4, nprobe=4)

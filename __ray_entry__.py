@@ -234,6 +234,26 @@ def _q_count_and(sf_dir: str):
     return pa.table({"n_docs": pa.array([resp.num_docs], pa.int64())})
 
 
+def _q_facet_counts(sf_dir: str):
+    """Engine-side faceted search (the aggregation Elasticsearch bolts on,
+    absent from riot): one AND query, facet counts over the FULL matching
+    set per forward-table attribute, merged across shards by summation."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    resp = s.search(SearchReq(text=" ".join(QUERY_TERMS),
+                              count_docs_only=True,
+                              facets=("lang", "source")))
+    rows = [(f, v, n) for f in ("lang", "source")
+            for v, n in sorted(resp.facets[f].items())]
+    return pa.table({
+        "facet": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def _q_logic_should_notin(sf_dir: str):
     from riot_ray.engine import LocalSearcher
     from riot_ray.types import Expr, Logic, SearchReq
@@ -1146,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "dup_span_clean": _q_dup_span_clean,
         "nb_classify": _q_nb_classify,
+        "facet_counts": _q_facet_counts,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1271,6 +1292,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
+            """,
+        "facet_counts": f"""
+            WITH {_TOKS},
+            tf AS (
+              SELECT doc_id, term
+              FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN ({_TERMS_IN})),
+            hits AS (
+              SELECT doc_id FROM tf GROUP BY doc_id
+              HAVING count(DISTINCT term) = {len(QUERY_TERMS)})
+            SELECT 'lang' AS facet, d.lang AS value, count(*)::BIGINT AS n_docs
+            FROM documents d JOIN hits h USING (doc_id) GROUP BY d.lang
+            UNION ALL
+            SELECT 'source', d.source, count(*)::BIGINT
+            FROM documents d JOIN hits h USING (doc_id) GROUP BY d.source
             """,
         "count_and": f"""
             WITH {_TOKS},

@@ -185,11 +185,13 @@ class _SearcherBase:
                          pattern=phrase_pattern(phrase_toks, self.opts.mode),
                          allow_ids=req.doc_ids,
                          count_only=req.count_docs_only,
-                         dtype_name=self.opts.score_dtype),
+                         dtype_name=self.opts.score_dtype,
+                         facets=tuple(req.facets)),
                     rank, keep, req.orderless, False)
             return plan, resp
         use_wand = (
             req.approx_count
+            and not req.facets
             and keep > 0
             and not labels
             and req.doc_ids is None
@@ -209,14 +211,23 @@ class _SearcherBase:
                     dict(tokens=tokens, labels=labels, idfs=idfs,
                          avgdl=float(avgdl), allow_ids=req.doc_ids,
                          count_only=req.count_docs_only,
-                         dtype_name=self.opts.score_dtype),
+                         dtype_name=self.opts.score_dtype,
+                         facets=tuple(req.facets)),
                     rank, keep, req.orderless, False)
         return plan, resp
+
+    @staticmethod
+    def _short_circuit_facets(req: SearchReq, resp: SearchResp) -> SearchResp:
+        """Short-circuited (no-kernel) responses still honor the facets
+        contract: every requested column present, all counts empty."""
+        if req.facets and resp.facets is None:
+            resp.facets = {c: {} for c in req.facets}
+        return resp
 
     def search(self, req: SearchReq) -> SearchResp:
         plan, resp = self._plan(req)
         if plan is None:
-            return resp
+            return self._short_circuit_facets(req, resp)
         return self._exec_plan(plan, req, resp)
 
     def _exec_plan(self, plan, req: SearchReq, resp: SearchResp) -> SearchResp:
@@ -241,11 +252,11 @@ class _SearcherBase:
         # a must-keyword missing globally empties the result
         for k in must:
             if not self.termstats.get(k):
-                return resp
+                return self._short_circuit_facets(req, resp)
         # should-keywords missing are dropped; all missing -> empty
         should_present = [k for k in should if self.termstats.get(k)]
         if should and not should_present:
-            return resp
+            return self._short_circuit_facets(req, resp)
         not_in_present = [k for k in not_in if self.termstats.get(k)]
         keep = 0 if rank.max_outputs == 0 else rank.output_offset + rank.max_outputs
         results = self._dispatch(
@@ -256,6 +267,7 @@ class _SearcherBase:
                 not_in=not_in_present,
                 allow_ids=req.doc_ids,
                 count_only=req.count_docs_only,
+                facets=tuple(req.facets),
             ),
             req,
             rank,
@@ -265,7 +277,11 @@ class _SearcherBase:
         return self._collect(results, req, rank, resp)
 
     def _collect(self, results, req, rank, resp):
-        per_shard, num_scored, num_found, timed_out = results
+        per_shard, num_scored, num_found, timed_out = results[:4]
+        if req.facets:
+            fc = results[4] if len(results) > 4 else None
+            resp.facets = {c: dict(sorted((fc or {}).get(c, {}).items()))
+                           for c in req.facets}
         resp.timeout = timed_out
         if req.count_docs_only:
             resp.num_docs = num_found
@@ -314,7 +330,7 @@ class _SearcherBase:
         for i, req in enumerate(reqs):
             plan, resp = self._plan(req)
             if plan is None:
-                results[i] = resp
+                results[i] = self._short_circuit_facets(req, resp)
                 continue
             key = None if plan[0] == "logic" else self._plan_key(
                 plan, req.count_docs_only
@@ -362,9 +378,12 @@ class LocalSearcher(_SearcherBase):
         self.__init__(self.index_dir, self.hydrate, self._tok_factory)
 
     def _dispatch(self, method, kwargs, req, rank, keep, orderless):
-        per_shard, num_scored, num_found = [], 0, 0
+        per_shard, num_scored, num_found, facets = [], 0, 0, None
         for s in self.shards:
-            hits, num = getattr(s, method)(**kwargs)
+            out = getattr(s, method)(**kwargs)
+            hits, num = out[0], out[1]
+            if len(out) > 2:
+                facets = merge_facets(facets, out[2])
             num_found += num
             if req.count_docs_only:
                 continue
@@ -374,7 +393,21 @@ class LocalSearcher(_SearcherBase):
             ranked, n_scored = rank_hits(hits, rank, s, keep)
             num_scored += n_scored
             per_shard.append(ranked)
-        return per_shard, num_scored, num_found, False
+        return per_shard, num_scored, num_found, False, facets
+
+
+def merge_facets(acc, fc):
+    """Shard/node facet-count merge: per-column, per-value summation (the
+    same merge a multi-node deployment applies at the coordinator)."""
+    if fc is None:
+        return acc
+    if acc is None:
+        acc = {}
+    for col, d in fc.items():
+        tgt = acc.setdefault(col, {})
+        for v, n in d.items():
+            tgt[v] = tgt.get(v, 0) + n
+    return acc
 
 
 def rank_hit_passthrough(hits):
@@ -574,6 +607,10 @@ def merge_dist_ts(replies: list, max_outputs: int,
     out.docs = docs
     out.num_docs = len(docs)
     out.timeout = any(r.timeout for r in replies)
+    fc = None
+    for r in replies:
+        fc = merge_facets(fc, r.facets)
+    out.facets = fc
     return out
 
 
@@ -763,9 +800,12 @@ def _make_shard_worker():
             self.__init__(self._index_dir, self._shard_ids, self._hydrate)
 
         def run(self, method, kwargs, rank, keep, count_only, orderless):
-            out_hits, num_scored, num_found = [], 0, 0
+            out_hits, num_scored, num_found, facets = [], 0, 0, None
             for s in self.searchers:
-                hits, num = getattr(s, method)(**kwargs)
+                out = getattr(s, method)(**kwargs)
+                hits, num = out[0], out[1]
+                if len(out) > 2:
+                    facets = merge_facets(facets, out[2])
                 num_found += num
                 if count_only:
                     continue
@@ -775,7 +815,7 @@ def _make_shard_worker():
                 ranked, n_sc = rank_hits(hits, rank, s, keep)
                 num_scored += n_sc
                 out_hits.append(ranked)
-            return out_hits, num_scored, num_found
+            return out_hits, num_scored, num_found, facets
 
         def run_many(self, items):
             """Batched entry: one RPC carrying many planned queries —
@@ -870,7 +910,7 @@ class ActorSearcher(_SearcherBase):
         for i, req in enumerate(reqs):
             plan, resp = self._plan(req)
             if plan is None:
-                results[i] = resp
+                results[i] = self._short_circuit_facets(req, resp)
             elif plan[0] == "logic":
                 results[i] = self.search(req)  # logic: per-query path
             else:
@@ -899,14 +939,16 @@ class ActorSearcher(_SearcherBase):
                 if uq in done:
                     results[i] = done[uq]
                     continue
-                per_shard, num_scored, num_found = [], 0, 0
+                per_shard, num_scored, num_found, fc_all = [], 0, 0, None
                 for actor_out in per_actor:
-                    hits_list, n_sc, n_f = actor_out[uq]
+                    hits_list, n_sc, n_f, fc = actor_out[uq]
                     per_shard.extend(hits_list)
                     num_scored += n_sc
                     num_found += n_f
+                    fc_all = merge_facets(fc_all, fc)
                 out = self._collect(
-                    (per_shard, num_scored, num_found, False), reqs[i], rank, resp
+                    (per_shard, num_scored, num_found, False, fc_all),
+                    reqs[i], rank, resp
                 )
                 if is_wand:
                     out.num_docs = num_found  # wand counts SCORED docs only
@@ -930,12 +972,13 @@ class ActorSearcher(_SearcherBase):
                 timed_out = True  # partial results + Timeout flag
             futs = ready
         results = ray.get(futs)
-        per_shard, num_scored, num_found = [], 0, 0
-        for hits_list, n_sc, n_f in results:
+        per_shard, num_scored, num_found, facets = [], 0, 0, None
+        for hits_list, n_sc, n_f, fc in results:
             per_shard.extend(hits_list)
             num_scored += n_sc
             num_found += n_f
-        return per_shard, num_scored, num_found, timed_out
+            facets = merge_facets(facets, fc)
+        return per_shard, num_scored, num_found, timed_out, facets
 
     def shutdown(self):
         import ray

@@ -159,32 +159,37 @@ class SearchHTTPServer:
         self.host, self.port = self._httpd.server_address
 
     # ---- handlers -------------------------------------------------------- #
-    def _search_docs(self, p: dict) -> tuple[list[dict], int]:
+    def _search_docs(self, p: dict) -> tuple[list[dict], int, dict | None]:
         offset = int(p.get("outputOffset") or 0)
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
         phrase = str(p.get("phrase") or "").lower() in ("1", "true", "yes")
+        facets = tuple(f for f in (p.get("facets") or "").split(",") if f)
         self._lock.acquire_read()
         try:
             resp = self.searcher.search(
                 SearchReq(
                     text=p.get("query") or "",
                     phrase=phrase,
+                    facets=facets,
                     rank_opts=RankOpts(output_offset=offset,
                                        max_outputs=max_outputs),
                 )
             )
         finally:
             self._lock.release_read()
-        return [_doc_payload(h) for h in resp.docs], max_outputs
+        return [_doc_payload(h) for h in resp.docs], max_outputs, resp.facets
 
     def _search(self, p: dict) -> dict:
-        docs, _ = self._search_docs(p)
-        return {
+        docs, _, facets = self._search_docs(p)
+        out = {
             "code": 0,
             "len": len(docs),
             "timestamp": int(time.time()),
             "docs": docs,
         }
+        if facets is not None:
+            out["facets"] = facets
+        return out
 
     def _dist(self, p: dict) -> dict:
         """Scatter to members (plus this node), merge, truncate.
@@ -198,7 +203,7 @@ class SearchHTTPServer:
           docs exceed maxOutputs and more than one reply contributed —
           the same off-by-one `end := maxOuts - 1` the gRPC path has."""
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
-        docs, _ = self._search_docs(p)
+        docs, _, _facets = self._search_docs(p)
         replies = 1
         qs = urllib.parse.urlencode({**p, "maxOutputs": str(max_outputs)})
         for base in self.dist_members:

@@ -20,6 +20,7 @@ import os
 import re
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .codecs import decode_varbyte
@@ -192,6 +193,8 @@ class ShardData:
         self.hydrate_cols: dict = {}
         self.tombstones = np.empty(0, dtype=np.uint64)  # sorted u64
         self._cache: dict[str, tuple] = {}
+        self._fw_files: list[str] = []
+        self._facet_cache: dict[str, tuple] = {}
         self._load_forward(index_dir, opts, hydrate)
 
     def _load_forward(self, index_dir, opts, hydrate):
@@ -200,6 +203,7 @@ class ShardData:
             part = int(re.search(r"part=(\d+)", f).group(1))
             if shard_of_part(part, opts.num_parts, opts.num_shards) == self.shard_id:
                 files.append(f)
+        self._fw_files = files
         extra = []
         if hydrate:
             extra = [c for c in list(opts.meta_cols)] + (
@@ -274,6 +278,50 @@ class ShardData:
         i = int(np.searchsorted(self.fw_doc, np.uint64(doc)))
         return {c: v[i] for c, v in self.hydrate_cols.items()}
 
+    # -- facets ------------------------------------------------------------ #
+    def _facet_col(self, col: str):
+        """Lazy per-shard facet column: (int32 dictionary codes aligned to
+        ``fw_doc`` order, category strings).  Loaded ONCE per shard per
+        column, value-coded — ~4 bytes/doc regardless of string length, so
+        a node's shard slice stays facetable at billions of docs without
+        holding the raw strings."""
+        hit = self._facet_cache.get(col)
+        if hit is not None:
+            return hit
+        import pyarrow.compute as pc
+
+        if not self._fw_files:
+            out = (np.empty(0, np.int64), [])
+            self._facet_cache[col] = out
+            return out
+        t = pq.read_table(self._fw_files, columns=["doc", col])
+        doc = t["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(doc)
+        vals = pc.fill_null(t[col].cast("string"), "")
+        enc = vals.combine_chunks().dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        cats = enc.dictionary.to_pylist()
+        out = (codes, cats)
+        self._facet_cache[col] = out
+        return out
+
+    def facet_counts(self, cand: np.ndarray, cols) -> dict:
+        """{col: {value: n_docs}} over a candidate doc array (the FULL
+        matching set, not the top-k) — one searchsorted gather + bincount
+        per column."""
+        out: dict = {}
+        for col in cols:
+            codes, cats = self._facet_col(col)
+            if cand.size == 0 or not cats:
+                out[col] = {}
+                continue
+            i = np.searchsorted(self.fw_doc, cand)
+            bc = np.bincount(codes[i], minlength=len(cats))
+            out[col] = {cats[j]: int(bc[j]) for j in np.flatnonzero(bc)}
+        return out
+
     # -- lookup kernels --------------------------------------------------- #
     def _alive(self, cand: np.ndarray) -> np.ndarray:
         if self.tombstones.size:
@@ -315,14 +363,24 @@ class ShardData:
         allow_ids,
         count_only: bool,
         dtype_name: str = "float32",
+        facets=(),
     ):
         """AND lookup + BM25 (+proximity in locs mode).  Returns
-        (hits: list[dict], num_docs) — hits unranked, driver/actor ranks."""
+        (hits: list[dict], num_docs) — hits unranked, driver/actor ranks —
+        plus a {col: {value: n}} dict over the FULL candidate set as a
+        third element when ``facets`` is non-empty."""
         opts = self.opts
         dtype = np.float32 if dtype_name == "float32" else np.float64
         keywords = list(tokens) + list(labels)
+
+        def ret(hits, num, cand=None):
+            if not facets:
+                return hits, num
+            c = cand if cand is not None else np.empty(0, np.uint64)
+            return hits, num, self.facet_counts(c, facets)
+
         if not keywords:
-            return HitBlock.empty(), 0
+            return ret(HitBlock.empty(), 0)
         cand = self.and_candidates(keywords)
         cand = self._alive(cand)
         if allow_ids is not None and cand.size:
@@ -331,10 +389,10 @@ class ShardData:
             )
             cand = cand[keep]
         if cand.size == 0:
-            return HitBlock.empty(), 0
+            return ret(HitBlock.empty(), 0)
         num_docs = int(cand.size)
         if count_only:
-            return HitBlock.empty(), num_docs
+            return ret(HitBlock.empty(), num_docs, cand)
 
         n = cand.size
         bm25 = np.zeros(n, dtype=dtype)
@@ -382,10 +440,15 @@ class ShardData:
                     prox[i] = p
                     snippet[i] = sn
                     tlocs[i] = tuple(tuple(x) for x in locs)
-        return HitBlock(cand, doc_ids, np.asarray(bm25, np.float64), prox, snippet, tlocs), num_docs
+        return ret(
+            HitBlock(cand, doc_ids, np.asarray(bm25, np.float64), prox,
+                     snippet, tlocs),
+            num_docs, cand,
+        )
 
     def phrase_search(self, tokens, labels, idfs, avgdl, pattern,
-                      allow_ids=None, count_only=False, dtype_name="float32"):
+                      allow_ids=None, count_only=False, dtype_name="float32",
+                      facets=()):
         """Exact-phrase lookup: the regular AND+BM25 kernel prunes to docs
         containing every token, then the phrase is verified exactly by one
         vectorized RE2 match over the candidates' hydrated content (built
@@ -403,12 +466,18 @@ class ShardData:
                 "phrase search needs hydrated content: build the searcher "
                 "with hydrate=True over an index with store_content=True"
             )
+        def ret(hits, num, cand=None):
+            if not facets:
+                return hits, num
+            c = cand if cand is not None else np.empty(0, np.uint64)
+            return hits, num, self.facet_counts(c, facets)
+
         hits, _ = self.search(
             tokens, labels, idfs, avgdl, allow_ids=allow_ids,
             count_only=False, dtype_name=dtype_name,
         )
         if len(hits) == 0:
-            return HitBlock.empty(), 0
+            return ret(HitBlock.empty(), 0)
         rows = np.searchsorted(self.fw_doc, hits.doc)
         texts = pa.array(
             [t if t is not None else "" for t in self.hydrate_cols[content_col][rows]],
@@ -421,22 +490,32 @@ class ShardData:
         )
         n = int(mask.sum())
         if count_only:
-            return HitBlock.empty(), n
-        return hits.take(mask), n
+            return ret(HitBlock.empty(), n, hits.doc[mask])
+        return ret(hits.take(mask), n, hits.doc[mask])
 
-    def logic_search(self, must, should, not_in, allow_ids, count_only):
+    def logic_search(self, must, should, not_in, allow_ids, count_only,
+                     facets=()):
         """LogicLookup semantics (/root/reference/core/indexer.go:560-685):
         Must: all must-lists contain doc (a must-term missing from the GLOBAL
         index empties the result — driver enforces); Should: >=1 contains;
         NotIn: anti; Should-only: union minus NotIn; NotIn-only quirk:
-        returns the concatenation of the NotIn lists themselves."""
+        returns the concatenation of the NotIn lists themselves.  With
+        ``facets`` the counts run over the final candidate set (the quirk's
+        duplicates count twice, matching the duplicated hits)."""
+
+        def ret(hits, num, cand=None):
+            if not facets:
+                return hits, num
+            c = cand if cand is not None else np.empty(0, np.uint64)
+            return hits, num, self.facet_counts(c, facets)
+
         if must:
             lists = []
             for k in must:
                 docs, _ = self.postings(k)
                 lists.append(docs)
             if any(d.size == 0 for d in lists):
-                return HitBlock.empty(), 0
+                return ret(HitBlock.empty(), 0)
             lists.sort(key=len)
             cand = lists[0]
             for arr in lists[1:]:
@@ -450,7 +529,7 @@ class ShardData:
         elif should:
             cand = self._union(should)
             if cand.size == 0:
-                return HitBlock.empty(), 0
+                return ret(HitBlock.empty(), 0)
             if not_in:
                 ni = self._union(not_in)
                 cand = cand[~np.isin(cand, ni, assume_unique=True)]
@@ -459,7 +538,7 @@ class ShardData:
             parts = [self.postings(k)[0] for k in not_in]
             cand = np.concatenate(parts) if parts else np.empty(0, np.uint64)
         else:
-            return HitBlock.empty(), 0
+            return ret(HitBlock.empty(), 0)
         cand = self._alive(cand)
         if allow_ids is not None and cand.size:
             keep = np.fromiter(
@@ -468,9 +547,11 @@ class ShardData:
             cand = cand[keep]
         num = int(cand.size)
         if count_only:
-            return HitBlock.empty(), num
+            return ret(HitBlock.empty(), num, cand)
         doc_ids = self.doc_ids_of(cand)
-        return HitBlock(cand, doc_ids, np.zeros(len(cand), np.float64)), num
+        return ret(
+            HitBlock(cand, doc_ids, np.zeros(len(cand), np.float64)), num, cand
+        )
 
     def _union(self, keywords):
         arrs = [self.postings(k)[0] for k in keywords]

@@ -70,6 +70,12 @@ class SearchReq:
     # searcher built with hydrate=True and modes 'simple' or 'space'.
     # riot has no phrase operator — this extends its AND semantics.
     phrase: bool = False
+    # facet columns (forward-table attribute names): the response carries
+    # {col: {value: n_docs}} counted over the FULL matching set (before
+    # offset/limit), merged across shards by summation.  Not combinable
+    # with approx_count (WAND never sees the full set).  riot has no
+    # facet operator — this is the aggregation search engines bolt on.
+    facets: tuple = ()
 
 
 @dataclass
@@ -96,6 +102,7 @@ class SearchResp:
     docs: list = field(default_factory=list)   # list[ScoredHit]
     num_docs: int = 0
     timeout: bool = False
+    facets: dict | None = None  # {col: {value: n_docs}} when requested
 
 
 def _cmp_hits(a: ScoredHit, b: ScoredHit) -> int:

@@ -258,3 +258,69 @@ def test_actor_search_many_matches_per_query(ray_session, corpus_index):
         assert [h.doc_id for h in s.docs] == [h.doc_id for h in b.docs]
         assert [round(h.bm25, 6) for h in s.docs] == [round(h.bm25, 6) for h in b.docs]
     se.shutdown()
+
+
+# --------------------------------------------------------------------------- #
+# facets: {col: {value: n}} over the FULL matching set
+# --------------------------------------------------------------------------- #
+def test_facets_match_bruteforce(corpus_index, ray_session):
+    """Facet counts equal a brute-force recount of the matching docs from
+    the source table, across Local and Actor searchers, batched and
+    count_only variants, logic queries and short-circuits."""
+    import pyarrow.parquet as pq
+
+    from riot_ray.engine import ActorSearcher
+    from riot_ray.types import Expr, Logic
+
+    idx = corpus_index["index_dir"]
+    ls = LocalSearcher(idx)
+    req = SearchReq(text="parse json", facets=("lang", "repo"),
+                    rank_opts=RankOpts(max_outputs=5))
+    resp = ls.search(req)
+    assert resp.num_docs > 0
+
+    # brute force: docs whose hit set the engine returns at max_outputs=0
+    # is not available — recount via an unlimited search
+    full = ls.search(SearchReq(text="parse json",
+                               rank_opts=RankOpts(max_outputs=resp.num_docs)))
+    src = pq.read_table(corpus_index["src"])
+    lang_of = dict(zip(
+        (f"{r}:{p}" for r, p in zip(src["repo"].to_pylist(),
+                                    src["path"].to_pylist())),
+        src["lang"].to_pylist(),
+    ))
+    # doc_id format: check against forward dump instead (id scheme-agnostic)
+    from riot_ray.engine import all_docs
+    fwd = all_docs(idx).to_pandas().set_index("doc_id")
+    exp_lang = {}
+    for h in full.docs:
+        v = fwd.loc[h.doc_id, "lang"]
+        exp_lang[v] = exp_lang.get(v, 0) + 1
+    assert resp.facets["lang"] == dict(sorted(exp_lang.items()))
+    assert sum(resp.facets["repo"].values()) == resp.num_docs
+    del lang_of
+
+    se = ActorSearcher(idx, num_actors=3)
+    try:
+        r2 = se.search(req)
+        assert r2.facets == resp.facets
+        rb = se.search_many([req, req])
+        assert rb[0].facets == resp.facets and rb[1].facets == resp.facets
+    finally:
+        se.shutdown()
+
+    rc = ls.search(SearchReq(text="parse json", facets=("lang",),
+                             count_docs_only=True))
+    assert rc.facets["lang"] == resp.facets["lang"]
+    assert rc.num_docs == resp.num_docs
+
+    rl = ls.search(SearchReq(text="parse json",
+                             logic=Logic(expr=Expr(not_in=("uuid",))),
+                             facets=("lang",)))
+    assert sum(rl.facets["lang"].values()) == rl.num_docs
+    assert all(rl.facets["lang"].get(k, 0) <= v
+               for k, v in resp.facets["lang"].items())
+
+    rm = ls.search(SearchReq(text="zzz_absent_term", facets=("lang",)))
+    assert rm.facets == {"lang": {}}
+    assert rm.num_docs == 0

@@ -151,3 +151,19 @@ def test_search_phrase_param(ray_session, tmp_path):
         assert out["len"] < plain["len"]  # phrase is stricter than AND
     finally:
         srv.shutdown()
+
+
+def test_search_facets_param(server, corpus_index):
+    """/search?facets=lang,repo returns summed facet counts matching the
+    in-process searcher; absent param omits the key entirely."""
+    base, _ = server
+    out = _get(f"{base}/search?query=parse+batch&maxOutputs=3&facets=lang,repo")
+    assert "facets" in out and set(out["facets"]) == {"lang", "repo"}
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(corpus_index["index_dir"])
+    resp = s.search(SearchReq(text="parse batch", facets=("lang", "repo"),
+                              rank_opts=RankOpts(max_outputs=3)))
+    assert out["facets"] == resp.facets
+    plain = _get(f"{base}/search?query=parse+batch&maxOutputs=3")
+    assert "facets" not in plain

@@ -472,6 +472,19 @@ def _q_nb_classify(sf_dir: str):
     )
 
 
+def _q_bpe_counts(sf_dir: str):
+    """BPE tokenizer trained ON the corpus (distributed word-frequency
+    shuffle + bounded driver merge loop), then per-doc subword counts via
+    the actor-pool encode stage.  Training is iterative (not SQL-
+    expressible) — rows-only; the trainer is pinned against a brute-force
+    reference in pytest."""
+    from riot_ray.pipelines import bpe_encode_counts, bpe_train
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=128)
+    return bpe_encode_counts(docs, merges)
+
+
 def _q_hot_ngrams(sf_dir: str):
     """Corpus-level boilerplate phrases: trigrams present in >= 4 distinct
     docs (map-side per-doc dedup, one bucket shuffle)."""
@@ -1167,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_clean": _q_dup_span_clean,
         "nb_classify": _q_nb_classify,
         "facet_counts": _q_facet_counts,
+        "bpe_subword_counts": _q_bpe_counts,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,

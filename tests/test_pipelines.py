@@ -3071,3 +3071,96 @@ def test_ivfpq_resume_and_stale_meta(emb_ds, tmp_path):
     qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     with pytest.raises(ValueError, match="inconsistent"):
         knn_pq_query(idx, Q, qids, k=4, nprobe=4)
+
+
+# --------------------------------------------------------------------------- #
+# BPE tokenizer training (bpe.py)
+# --------------------------------------------------------------------------- #
+def _bpe_brute_train(words, counts, n_merges):
+    from riot_ray.pipelines.bpe import _EOW
+
+    seqs = [list(w[:-1]) + [w[-1] + _EOW] if w else [] for w in words]
+    merges = []
+    for _ in range(n_merges):
+        pc_ = {}
+        for seq, c in zip(seqs, counts):
+            for a, b in zip(seq, seq[1:]):
+                pc_[(a, b)] = pc_.get((a, b), 0) + int(c)
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for i, seq in enumerate(seqs):
+            new, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                    new.append(a + b)
+                    j += 2
+                else:
+                    new.append(seq[j])
+                    j += 1
+            seqs[i] = new
+    return merges, seqs
+
+
+def test_bpe_indexed_trainer_matches_bruteforce():
+    import numpy as np
+
+    from riot_ray.pipelines.bpe import _train_merges, encode_word
+
+    rng = np.random.default_rng(5)
+    words = ["low", "lower", "lowest", "new", "newer", "wider", "wide",
+             "mid", "widget", "xx", "a", "banana", "bandana"]
+    counts = rng.integers(1, 50, size=len(words)).astype(np.int64)
+    exp_merges, exp_seqs = _bpe_brute_train(list(words), counts, 60)
+    got = _train_merges(list(words), counts, 60)
+    assert got == exp_merges
+    # greedy rank-order encoding reproduces the training-time segmentation
+    rank = {p: i for i, p in enumerate(got)}
+    for w, seq in zip(words, exp_seqs):
+        assert encode_word(w, rank) == seq
+
+
+def test_bpe_train_block_count_independent(docs_ds):
+    from riot_ray.pipelines import bpe_train
+
+    sub = docs_ds.select_columns(["doc_id", "text"])
+    one = bpe_train(sub.limit(120), n_merges=64)
+    many = bpe_train(sub.limit(120).repartition(13), n_merges=64)
+    assert one == many
+    assert len(one) == 64
+
+
+def test_bpe_encode_counts_match_reference(docs_ds):
+    import re
+
+    from riot_ray.pipelines import bpe_encode_counts, bpe_train
+    from riot_ray.pipelines.bpe import encode_word
+
+    sub = docs_ds.select_columns(["doc_id", "text"]).limit(60)
+    merges = bpe_train(sub, n_merges=48)
+    got = bpe_encode_counts(sub, merges).to_pandas().set_index("doc_id")
+    rank = {tuple(p): i for i, p in enumerate(merges)}
+    tokre = re.compile("[^a-z0-9]+")
+    rows = sub.take_all()
+    assert len(got) == len(rows)
+    for r in rows:
+        toks = [w for w in tokre.split((r["text"] or "").lower()) if w]
+        n_sub = sum(len(encode_word(w, rank)) for w in toks)
+        assert got.loc[r["doc_id"], "n_words"] == len(toks)
+        assert got.loc[r["doc_id"], "n_subwords"] == n_sub
+
+
+def test_bpe_word_counts_cap_is_deterministic(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import word_counts
+
+    t = pa.table({"text": pa.array(
+        ["aa bb aa cc", "bb aa dd", "cc cc bb ee", "ff gg aa"] * 5, pa.string()
+    )})
+    wc = word_counts(rd.from_arrow(t).repartition(4), max_words=3).to_pandas()
+    wc = wc.sort_values(["cnt", "word"], ascending=[False, True])
+    # global winners survive per-partition caps (cap >= per-partition need)
+    assert list(wc.head(3)["word"]) == ["aa", "bb", "cc"]

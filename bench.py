@@ -26,6 +26,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -331,6 +332,36 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     more_like_this(docs.select_columns(["doc_id", "text"]),
                    query_ids=(0, 1, 2, 3), k=5)
     q["more_like_this"] = round(time.time() - t0, 3)
+
+    # ExactSubstr span detection (same footer enrichment as line_dedup's —
+    # guarantees corpus-duplicated >=40-char windows exist)
+    from riot_ray.pipelines import dup_spans, nb_classify
+
+    t0 = time.time()
+    dup_spans(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            _with_lines, batch_format="pyarrow"
+        ),
+        min_len=40,
+    ).count()
+    q["dup_spans"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    nb_classify(docs.select_columns(["doc_id", "text", "lang"]),
+                label_col="lang").count()
+    q["nb_classify"] = round(time.time() - t0, 3)
+
+    from riot_ray.pipelines import build_pq_index, knn_pq_query
+
+    pq_dir = os.path.join(tempfile.gettempdir(), "bench_ivfpq")
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    t0 = time.time()
+    build_pq_index(emb, pq_dir, fingerprint=emb_path, n_lists=16,
+                   pq_m=16, pq_ks=64, seed=42)
+    q["ivfpq_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    knn_pq_query(pq_dir, Q, qids, k=10, nprobe=4)
+    q["knn_ivfpq"] = round(time.time() - t0, 3)
 
     value = round(sum(q[k] for k in ("index_build", "search_total", "token_stats",
                                      "quality", "dedup_ngram_jaccard",

@@ -472,6 +472,17 @@ def _q_nb_classify(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters with exact verification: tokens whose
+    count exceeds 1/35 of the corpus.  Only k-sized summaries move —
+    never the vocabulary — yet the verified output is exact, so the SQL
+    GROUP BY/HAVING oracle hash-matches."""
+    from riot_ray.pipelines import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir).select_columns(["text"]),
+                         one_over=35)
+
+
 def _q_bpe_counts(sf_dir: str):
     """BPE tokenizer trained ON the corpus (distributed word-frequency
     shuffle + bounded driver merge loop), then per-doc subword counts via
@@ -1181,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "facet_counts": _q_facet_counts,
         "bpe_subword_counts": _q_bpe_counts,
+        "heavy_hitters": _q_heavy_hitters,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1306,6 +1318,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
+            """,
+        "heavy_hitters": f"""
+            WITH {_TOKS},
+            occ AS (SELECT unnest(t) AS tok FROM toks),
+            n AS (SELECT count(*) AS n FROM occ)
+            SELECT tok AS token, count(*)::BIGINT AS cnt
+            FROM occ GROUP BY tok
+            HAVING count(*) * 35 > (SELECT n FROM n)
             """,
         "facet_counts": f"""
             WITH {_TOKS},

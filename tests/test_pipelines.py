@@ -3164,3 +3164,56 @@ def test_bpe_word_counts_cap_is_deterministic(ray_session):
     wc = wc.sort_values(["cnt", "word"], ascending=[False, True])
     # global winners survive per-partition caps (cap >= per-partition need)
     assert list(wc.head(3)["word"]) == ["aa", "bb", "cc"]
+
+
+# --------------------------------------------------------------------------- #
+# Misra-Gries heavy hitters (heavy.py)
+# --------------------------------------------------------------------------- #
+def test_heavy_hitters_exact_at_tightest_k(ray_session):
+    """k == one_over is the tightest width the exactness proof allows; the
+    verified output must still equal the brute-force GROUP BY/HAVING."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import heavy_hitters
+
+    rng = np.random.default_rng(1)
+    vocab = [f"w{i}" for i in range(500)]
+    w = np.array([100 if i < 5 else (20 if i < 20 else 1)
+                  for i in range(500)], float)
+    w /= w.sum()
+    texts = [" ".join(rng.choice(vocab, p=w, size=int(rng.integers(5, 60))))
+             for _ in range(800)]
+    tokre = re.compile("[^a-z0-9]+")
+    cnt = Counter(t for s in texts for t in tokre.split(s.lower()) if t)
+    n = sum(cnt.values())
+    exp = sorted(((t, c) for t, c in cnt.items() if c * 100 > n),
+                 key=lambda x: (-x[1], x[0]))
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = heavy_hitters(ds.repartition(7), one_over=100, k=100)
+    assert list(zip(got["token"].to_pylist(), got["cnt"].to_pylist())) == exp
+    assert len(exp) > 0
+
+
+def test_heavy_hitters_empty_and_validation(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import heavy_hitters
+
+    empty = rd.from_arrow(pa.table({"text": pa.array([None, ""], pa.string())}))
+    assert heavy_hitters(empty, one_over=10).num_rows == 0
+    with pytest.raises(ValueError, match="k must be >= one_over"):
+        heavy_hitters(empty, one_over=100, k=10)
+
+
+def test_heavy_hitters_block_count_independent(docs_ds):
+    from riot_ray.pipelines import heavy_hitters
+
+    sub = docs_ds.select_columns(["text"])
+    one = heavy_hitters(sub, one_over=35)
+    many = heavy_hitters(sub.repartition(23), one_over=35, reduce_partitions=5)
+    assert one.equals(many)
+    assert one.num_rows > 0

@@ -483,6 +483,30 @@ def _q_heavy_hitters(sf_dir: str):
                          one_over=35)
 
 
+def _q_spell_correct(sf_dir: str):
+    """SymSpell spell correction over the index's term dictionary:
+    deletes-key pruning + exact Levenshtein verify, one streaming pass
+    over (term, df) with bounded top-k partials.  Oracled against
+    DuckDB's levenshtein over the same df table."""
+    from riot_ray.export import termstats_dataset
+    from riot_ray.pipelines import spell_correct
+
+    return spell_correct(
+        termstats_dataset(_index_for(sf_dir)),
+        queries=["tabl", "joim", "scann", "tible", "qzzqx"],
+        k=5,
+    )
+
+
+def _q_suggest_terms(sf_dir: str):
+    """Autocomplete from the term dictionary: top-10 's'-prefixed terms
+    by document frequency."""
+    from riot_ray.export import termstats_dataset
+    from riot_ray.pipelines import suggest_terms
+
+    return suggest_terms(termstats_dataset(_index_for(sf_dir)), "s", k=10)
+
+
 def _q_bpe_counts(sf_dir: str):
     """BPE tokenizer trained ON the corpus (distributed word-frequency
     shuffle + bounded driver merge loop), then per-doc subword counts via
@@ -1193,6 +1217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "bpe_subword_counts": _q_bpe_counts,
         "heavy_hitters": _q_heavy_hitters,
+        "spell_correct": _q_spell_correct,
+        "suggest_terms": _q_suggest_terms,
         "hot_ngrams": _q_hot_ngrams,
         "hash_sample": _q_hash_sample,
         "stratified_cap": _q_stratified_cap,
@@ -1318,6 +1344,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
+            """,
+        "spell_correct": f"""
+            WITH {_TOKS},
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              GROUP BY term),
+            q(query) AS (VALUES ('tabl'), ('joim'), ('scann'), ('tible'),
+                                ('qzzqx')),
+            cand AS (
+              SELECT q.query, d.term,
+                     levenshtein(q.query, d.term)::BIGINT AS dist, d.df
+              FROM q CROSS JOIN df d
+              WHERE levenshtein(q.query, d.term) <= 1)
+            SELECT query, term, dist, df FROM (
+              SELECT *, row_number() OVER
+                (PARTITION BY query
+                 ORDER BY dist, df DESC, term) AS rn
+              FROM cand)
+            WHERE rn <= 5
+            """,
+        "suggest_terms": f"""
+            WITH {_TOKS},
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              GROUP BY term)
+            SELECT term, df FROM df
+            WHERE term LIKE 's%'
+            ORDER BY df DESC, term
+            LIMIT 10
             """,
         "heavy_hitters": f"""
             WITH {_TOKS},

@@ -3217,3 +3217,79 @@ def test_heavy_hitters_block_count_independent(docs_ds):
     many = heavy_hitters(sub.repartition(23), one_over=35, reduce_partitions=5)
     assert one.equals(many)
     assert one.num_rows > 0
+
+
+# --------------------------------------------------------------------------- #
+# spell correction + autocomplete (spell.py)
+# --------------------------------------------------------------------------- #
+def _lev_ref(a, b):
+    import itertools
+
+    dp = {(0, 0): 0}
+    for i, j in itertools.product(range(len(a) + 1), range(len(b) + 1)):
+        if i == j == 0:
+            continue
+        cands = []
+        if i:
+            cands.append(dp[(i - 1, j)] + 1)
+        if j:
+            cands.append(dp[(i, j - 1)] + 1)
+        if i and j:
+            cands.append(dp[(i - 1, j - 1)] + (a[i - 1] != b[j - 1]))
+        dp[(i, j)] = min(cands)
+    return dp[(len(a), len(b))]
+
+
+def test_spell_lev_matches_reference():
+    from riot_ray.pipelines.spell import _lev
+
+    words = ["", "a", "ab", "table", "tabel", "tabl", "stable", "tible",
+             "join", "joim", "jon", "jjoin", "scan", "scann"]
+    for a in words:
+        for b in words:
+            assert _lev(a, b) == _lev_ref(a, b), (a, b)
+
+
+def test_spell_correct_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import spell_correct
+    from riot_ray.pipelines.spell import _lev
+
+    vocab = [("table", 50), ("tables", 20), ("cable", 9), ("tale", 8),
+             ("stable", 7), ("join", 60), ("coin", 10), ("joint", 9),
+             ("jot", 1), ("scan", 30), ("scans", 12), ("span", 11),
+             ("zzz", 2)]
+    t = pa.table({"term": pa.array([v[0] for v in vocab], pa.string()),
+                  "df": pa.array([v[1] for v in vocab], pa.int64())})
+    queries = ["tabl", "joim", "scann", "tible", "absent"]
+    got = spell_correct(rd.from_arrow(t).repartition(4), queries, k=3)
+    rows = list(zip(got["query"].to_pylist(), got["term"].to_pylist(),
+                    got["dist"].to_pylist(), got["df"].to_pylist()))
+    exp = []
+    for q in queries:
+        cand = [(q, w, _lev(q, w), df) for w, df in vocab if _lev(q, w) <= 1]
+        cand.sort(key=lambda r: (r[2], -r[3], r[1]))
+        exp += cand[:3]
+    # operator's global order follows per-query blocks in query order too
+    assert sorted(rows) == sorted(exp)
+    assert not any(q == "absent" for q, *_ in rows)
+    # covers substitution, insertion AND deletion candidates
+    assert ("tible", "table", 1, 50) in rows
+    assert ("scann", "scan", 1, 30) in rows
+    assert ("tabl", "table", 1, 50) in rows
+
+
+def test_suggest_terms_ranking(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import suggest_terms
+
+    t = pa.table({"term": pa.array(["scan", "scans", "scatter", "span",
+                                    "scale", "zebra"], pa.string()),
+                  "df": pa.array([30, 12, 12, 99, 1, 5], pa.int64())})
+    got = suggest_terms(rd.from_arrow(t).repartition(3), "sc", k=3)
+    assert got["term"].to_pylist() == ["scan", "scans", "scatter"]
+    assert got["df"].to_pylist() == [30, 12, 12]
+    empty = suggest_terms(rd.from_arrow(t), "qq", k=3)
+    assert empty.num_rows == 0

@@ -866,6 +866,18 @@ def _q_knn_ivfpq(sf_dir: str):
     return knn_pq_query(idx, Q, qids, k=K, nprobe=4)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Full-corpus distributed Lloyd k-means over the embeddings table
+    (every iteration ONE streaming sufficient-stats pass), then the
+    assignment scan.  Float centroids — rows-only; exact-recovery and
+    block-count-stability are pinned in pytest."""
+    from riot_ray.pipelines import kmeans_assign, kmeans_fit
+
+    emb = _emb(sf_dir)
+    C, _iters, _inertia = kmeans_fit(emb, k=8, iters=10, seed=42)
+    return kmeans_assign(emb, C).select_columns(["vec_id", "cluster"])
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Binary media column plumbing made oracle-checkable: documents wrapped
     as fake payloads with md5-derived dims, decoded by the actor-pool stage;
@@ -1245,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_ivf_persisted": _q_knn_ivf_persisted,
         "knn_ivfpq_topk": _q_knn_ivfpq,
+        "kmeans_clusters": _q_kmeans_clusters,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "multimodal_decode": _q_multimodal,

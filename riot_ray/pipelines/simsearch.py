@@ -826,6 +826,122 @@ def knn_pq_query(
 
 
 # --------------------------------------------------------------------------- #
+# full-corpus distributed k-means (Lloyd over streaming sufficient stats)
+# --------------------------------------------------------------------------- #
+def kmeans_fit(
+    ds,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    sample_n: int = 4096,
+    tol: float = 1e-6,
+    spherical: bool = False,
+):
+    """Lloyd k-means over the FULL corpus (vs the bounded-sample trainer
+    :func:`_spherical_kmeans` the IVF builders use): initialization is
+    k-means++ on a bounded driver-side sample, then each Lloyd iteration
+    is ONE streaming pass — every batch emits (k x d sums, k counts)
+    sufficient statistics (size independent of row count), the driver
+    reduces and rebroadcasts.  Stops early when max centroid movement
+    drops below ``tol``.  ``spherical=True`` renormalizes rows and
+    centroids each step (cosine metric, the IVF-compatible variant).
+
+    Returns (centroids [k, d] float64, n_iters_run, inertia_proxy) —
+    floats, so the driver contract carries k-means rows-only; pytest pins
+    exact recovery on separated blobs and sample-vs-full agreement."""
+    import ray
+
+    sample = ds.select_columns([vec_col]).limit(sample_n).take_all()
+    X = np.stack([r[vec_col] for r in sample]).astype(np.float64)
+    if spherical:
+        X = _normalize(X)
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sample (deterministic given seed)
+    C = np.empty((k, X.shape[1]))
+    C[0] = X[rng.integers(len(X))]
+    d2 = ((X - C[0]) ** 2).sum(1)
+    for j in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1 / len(X))
+        C[j] = X[rng.choice(len(X), p=p)]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(1))
+
+    it = 0
+    inertia = float("inf")
+    for it in range(1, iters + 1):
+        cref = ray.put(C)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            g_C = ray.get(cref)
+            V = np.stack(
+                batch[vec_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            if spherical:
+                V = _normalize(V)
+            d2b = ((V * V).sum(1, keepdims=True)
+                   - 2.0 * (V @ g_C.T) + (g_C * g_C).sum(1)[None, :])
+            a = np.argmin(d2b, axis=1)
+            sums = np.zeros_like(g_C)
+            np.add.at(sums, a, V)
+            cnt = np.bincount(a, minlength=len(g_C)).astype(np.int64)
+            return pa.table({
+                "s": pa.array([sums.reshape(-1)], pa.list_(pa.float64())),
+                "c": pa.array([cnt], pa.list_(pa.int64())),
+                "j": pa.array([float(np.take_along_axis(
+                    d2b, a[:, None], axis=1).sum())], pa.float64()),
+            })
+
+        sums = np.zeros_like(C)
+        cnt = np.zeros(k, np.int64)
+        inertia = 0.0
+        for ref in ds.map_batches(stats, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            for row in t["s"].to_pylist():
+                sums += np.asarray(row).reshape(C.shape)
+            for row in t["c"].to_pylist():
+                cnt += np.asarray(row, np.int64)
+            inertia += float(np.asarray(t["j"].to_pylist()).sum())
+        newC = C.copy()
+        live = cnt > 0
+        newC[live] = sums[live] / cnt[live, None]
+        if spherical:
+            n = np.linalg.norm(newC, axis=1)
+            pos = n > 0
+            newC[pos] = newC[pos] / n[pos, None]
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+    return C, it, inertia
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id", spherical: bool = False):
+    """(id_col, cluster int64, dist float64) per row — centroids broadcast
+    once, one matmul-shaped pass."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g_C = ray.get(cref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        if spherical:
+            V = _normalize(V)
+        d2 = ((V * V).sum(1, keepdims=True)
+              - 2.0 * (V @ g_C.T) + (g_C * g_C).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        d = np.sqrt(np.maximum(np.take_along_axis(d2, a[:, None], 1)[:, 0], 0))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                         "dist": pa.array(d, pa.float64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
 # PCA over the embedding column (dimension reduction before LSH/IVF)
 # --------------------------------------------------------------------------- #
 def embedding_pca_fit(ds, k: int = 8, emb_col: str = "embedding"):

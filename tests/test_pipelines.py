@@ -3293,3 +3293,63 @@ def test_suggest_terms_ranking(ray_session):
     assert got["df"].to_pylist() == [30, 12, 12]
     empty = suggest_terms(rd.from_arrow(t), "qq", k=3)
     assert empty.num_rows == 0
+
+
+# --------------------------------------------------------------------------- #
+# full-corpus distributed k-means (simsearch.py)
+# --------------------------------------------------------------------------- #
+def test_kmeans_recovers_separated_blobs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0],
+                        [-10.0, -10.0, 0]])
+    X = np.concatenate([c + 0.1 * rng.standard_normal((200, 3))
+                        for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(7)
+    C, iters, inertia = kmeans_fit(ds, k=4, iters=20, seed=1)
+    # every true center has a fitted centroid within the blob radius
+    for c in centers:
+        assert np.min(np.linalg.norm(C - c, axis=1)) < 0.5
+    a = kmeans_assign(ds, C).to_pandas().sort_values("vec_id")
+    lab = a["cluster"].to_numpy()
+    # blob purity: all 200 members of each blob share one cluster id
+    for b in range(4):
+        assert len(set(lab[b * 200:(b + 1) * 200])) == 1
+    assert a["dist"].max() < 1.0
+
+
+def test_kmeans_spherical_matches_full_probe_semantics(emb_ds):
+    import numpy as np
+
+    from riot_ray.pipelines import kmeans_fit
+
+    C, iters, _ = kmeans_fit(emb_ds, k=8, iters=5, seed=42, spherical=True)
+    assert C.shape[0] == 8 and iters >= 1
+    n = np.linalg.norm(C, axis=1)
+    assert np.allclose(n[n > 0], 1.0)  # spherical centroids unit-norm
+
+
+def test_kmeans_block_count_stable(ray_session):
+    """Driver reduce sums float partials in deterministic block order, so
+    identical input at DIFFERENT block counts converges to the same
+    clustering (tolerance: float-sum association)."""
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((500, 4))
+    t = pa.table({"embedding": pa.array(list(X.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    C1, _, _ = kmeans_fit(rd.from_arrow(t), k=5, iters=8, seed=9)
+    C2, _, _ = kmeans_fit(rd.from_arrow(t).repartition(11), k=5, iters=8, seed=9)
+    assert np.allclose(np.sort(C1, axis=0), np.sort(C2, axis=0), atol=1e-6)

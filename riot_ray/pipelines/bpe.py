@@ -52,9 +52,13 @@ def word_counts(ds, text_col: str = "text", max_words: int = 200_000,
     num_partitions = _join_parts(num_partitions)
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         flat, _parents = _flatten_tokens(batch[text_col])
-        arr = flat.to_pylist()
-        words, cnt = np.unique(np.asarray(arr, dtype=object), return_counts=True)
+        # C-level unique+count: only UNIQUE tokens ever become python strs
+        vc = pc.value_counts(flat)
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         # deterministic cross-process hash (python's hash() is per-process
         # randomized — it would split one word across partitions)
         h = _token_hashes(pa.array(words, pa.string()))

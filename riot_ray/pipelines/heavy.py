@@ -62,10 +62,15 @@ def heavy_hitters(ds, text_col: str = "text", one_over: int = 200,
         raise ValueError("heavy_hitters: k must be >= one_over for exactness")
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         flat, _parents = _flatten_tokens(batch[text_col])
-        words = np.asarray(flat.to_pylist(), dtype=object)
-        uniq, tot = _sum_trim(words, np.ones(len(words), np.int64), k)
-        n = len(words)
+        # C-level unique+count: only UNIQUE tokens ever become python strs
+        vc = pc.value_counts(flat)
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        wcnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, tot = _sum_trim(words, wcnt, k)
+        n = len(flat)
         return pa.table({"token": pa.array(uniq, pa.string()),
                          "cnt": pa.array(tot, pa.int64()),
                          "__n": pa.array([n] + [0] * (len(uniq) - 1)
@@ -107,15 +112,19 @@ def heavy_hitters(ds, text_col: str = "text", one_over: int = 200,
     cref = ray.put(cands_sorted)
 
     def recount(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cs = ray.get(cref)
         flat, _parents = _flatten_tokens(batch[text_col])
-        words = np.asarray(flat.to_pylist(), dtype=object)
+        vc = pc.value_counts(flat)
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        wcnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         out = np.zeros(len(cs), np.int64)
         if len(words):
             pos = np.searchsorted(cs, words)
             ok = pos < len(cs)
             ok[ok] = cs[pos[ok]] == words[ok]
-            np.add.at(out, pos[ok], 1)
+            np.add.at(out, pos[ok], wcnt[ok])
         return pa.table({"v": pa.array([out], pa.list_(pa.int64()))})
 
     counts = np.zeros(len(cands_sorted), np.int64)

@@ -3353,3 +3353,46 @@ def test_kmeans_block_count_stable(ray_session):
     C1, _, _ = kmeans_fit(rd.from_arrow(t), k=5, iters=8, seed=9)
     C2, _, _ = kmeans_fit(rd.from_arrow(t).repartition(11), k=5, iters=8, seed=9)
     assert np.allclose(np.sort(C1, axis=0), np.sort(C2, axis=0), atol=1e-6)
+
+
+def test_dup_spans_prefilter_equals_exact(ray_session):
+    """The winnowed-anchor candidate prefilter must be lossless, including
+    the adversarial cases: overlapping SELF-duplicates (periodic text)
+    and duplicates barely >= min_len."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import dup_spans
+
+    texts = _substr_texts() + [
+        "ab" * 40,                          # periodic: overlapping self-dup
+        "x" * 13,                           # exactly min_len+1 run
+        "qq" + "0123456789ab" + "zz" + "0123456789ab",  # dup == min_len
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(6)
+    fast = dup_spans(ds, min_len=12, prefilter=True).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    slow = dup_spans(ds, min_len=12, prefilter=False).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    assert fast.equals(slow)
+    assert len(fast) > 0
+    # brute-force ground truth too
+    exp = _brute_dup_spans(texts, 12)
+    assert list(map(tuple, fast.to_numpy())) == exp
+
+
+def test_dup_spans_prefilter_no_dups_short_circuits(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dup_spans
+
+    texts = [f"totally unique document number {i} with its own words {i*7}"
+             for i in range(30)]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = dup_spans(ds, min_len=40, prefilter=True).to_pandas()
+    assert len(out) == 0

@@ -10,7 +10,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("name", ["simple", "dist"])
+@pytest.mark.parametrize("name", ["simple", "dist", "search_ux"])
 def test_example_runs(name):
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", f"{name}.py")],

@@ -472,6 +472,17 @@ def _q_nb_classify(sf_dir: str):
     )
 
 
+def _q_pmi_pairs(sf_dir: str):
+    """Windowed co-occurrence + PMI (window 5, min_count 20): the
+    word-association table under GloVe-style embeddings.  Exact integer
+    micro-nats from float64 products written identically in the SQL
+    oracle."""
+    from riot_ray.pipelines import pmi_pairs
+
+    return pmi_pairs(_docs(sf_dir).select_columns(["text"]),
+                     window=5, min_count=20)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters with exact verification: tokens whose
     count exceeds 1/35 of the corpus.  Only k-sized summaries move —
@@ -1229,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "bpe_subword_counts": _q_bpe_counts,
         "heavy_hitters": _q_heavy_hitters,
+        "pmi_pairs": _q_pmi_pairs,
         "spell_correct": _q_spell_correct,
         "suggest_terms": _q_suggest_terms,
         "hot_ngrams": _q_hot_ngrams,
@@ -1357,6 +1369,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
+            """,
+        "pmi_pairs": f"""
+            WITH {_TOKS},
+            occ AS (SELECT doc_id, unnest(t) AS tok,
+                           generate_subscripts(t, 1) AS pos
+                    FROM toks),
+            pairs AS (
+              SELECT least(o1.tok, o2.tok) AS a,
+                     greatest(o1.tok, o2.tok) AS b,
+                     count(*)::BIGINT AS cnt
+              FROM occ o1 JOIN occ o2
+                ON o1.doc_id = o2.doc_id
+               AND o2.pos > o1.pos AND o2.pos <= o1.pos + 5
+              GROUP BY 1, 2),
+            n AS (SELECT sum(cnt)::BIGINT AS n FROM pairs),
+            marg AS (
+              SELECT tok, sum(cnt)::BIGINT AS m FROM (
+                SELECT a AS tok, cnt FROM pairs
+                UNION ALL SELECT b, cnt FROM pairs)
+              GROUP BY tok)
+            SELECT p.a AS tok_a, p.b AS tok_b, p.cnt,
+                   CAST(FLOOR(ln((p.cnt::DOUBLE *
+                                  (SELECT n FROM n)::DOUBLE) /
+                                 (ma.m::DOUBLE * mb.m::DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+            FROM pairs p
+            JOIN marg ma ON ma.tok = p.a
+            JOIN marg mb ON mb.tok = p.b
+            WHERE p.cnt >= 20
             """,
         "spell_correct": f"""
             WITH {_TOKS},

@@ -3396,3 +3396,89 @@ def test_dup_spans_prefilter_no_dups_short_circuits(ray_session):
     )
     out = dup_spans(ds, min_len=40, prefilter=True).to_pandas()
     assert len(out) == 0
+
+
+# --------------------------------------------------------------------------- #
+# windowed co-occurrence + PMI (cooc.py)
+# --------------------------------------------------------------------------- #
+def _brute_pmi(texts, window, min_count):
+    import math
+    import re
+    from collections import Counter
+
+    tokre = re.compile("[^a-z0-9]+")
+    pairs = Counter()
+    for s in texts:
+        toks = [w for w in tokre.split((s or "").lower()) if w]
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window + 1, len(toks))):
+                a, b = sorted((toks[i], toks[j]))
+                pairs[(a, b)] += 1
+    N = sum(pairs.values())
+    marg = Counter()
+    for (a, b), c in pairs.items():
+        marg[a] += c
+        marg[b] += c
+    out = []
+    for (a, b), c in pairs.items():
+        if c >= min_count:
+            pmi = math.floor(
+                math.log((float(c) * float(N)) /
+                         (float(marg[a]) * float(marg[b]))) * 1e6 + 0.5)
+            out.append((a, b, c, pmi))
+    return sorted(out)
+
+
+def test_pmi_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import pmi_pairs
+
+    rng = np.random.default_rng(2)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for _ in range(300):
+        toks = list(rng.choice(vocab, size=int(rng.integers(2, 15))))
+        if rng.random() < 0.4:
+            toks[: 2] = ["alpha", "beta"]   # planted collocation
+        texts.append(" ".join(toks))
+    texts += [None, "", "solo"]
+    exp = _brute_pmi(texts, window=3, min_count=4)
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = pmi_pairs(ds.repartition(6), window=3, min_count=4).to_pandas()
+    rows = sorted(map(tuple, got.to_numpy()))
+    assert rows == exp
+    assert len(rows) > 0
+
+
+def test_pmi_pairs_join_path_matches_broadcast(ray_session, monkeypatch):
+    import numpy as np
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import pmi_pairs
+
+    rng = np.random.default_rng(2)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, size=8)) for _ in range(200)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    base = pmi_pairs(ds, window=2, min_count=3).to_pandas().sort_values(
+        ["tok_a", "tok_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force the two-join path
+    joined = pmi_pairs(ds, window=2, min_count=3).to_pandas().sort_values(
+        ["tok_a", "tok_b"]).reset_index(drop=True)
+    assert base.equals(joined)
+    assert len(base) > 0
+
+
+def test_cooc_window_respects_doc_boundaries(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import cooc_pairs
+
+    # "x y" in doc0, "y x" in doc1: pair counted per doc, never across
+    ds = rd.from_arrow(pa.table({"text": pa.array(["x y", "y x", "z"],
+                                                  pa.string())}))
+    got = cooc_pairs(ds, window=5).to_pandas().sort_values(["a", "b"])
+    assert list(map(tuple, got.to_numpy())) == [("x", "y", 2)]

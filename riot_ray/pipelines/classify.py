@@ -198,6 +198,11 @@ def nb_classify(
     num_partitions = _join_parts(num_partitions)
     classes, prior_micro, counts, tot, V = nb_fit(
         ds, text_col, label_col, num_partitions)
+    if V == 0:
+        raise ValueError(
+            "nb_classify: training corpus has no tokens — the smoothed "
+            "likelihood (cnt+1)/(tot+V) is undefined at V=0"
+        )
     if predict_ds is None:
         predict_ds = ds
     C = len(classes)

@@ -3482,3 +3482,17 @@ def test_cooc_window_respects_doc_boundaries(ray_session):
                                                   pa.string())}))
     got = cooc_pairs(ds, window=5).to_pandas().sort_values(["a", "b"])
     assert list(map(tuple, got.to_numpy())) == [("x", "y", 2)]
+
+
+def test_nb_classify_rejects_tokenless_training(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import nb_classify
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", None], pa.string()),
+        "label": pa.array(["a", "b"], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="no tokens"):
+        nb_classify(ds).materialize()

@@ -163,7 +163,8 @@ class SearchHTTPServer:
         offset = int(p.get("outputOffset") or 0)
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
         phrase = str(p.get("phrase") or "").lower() in ("1", "true", "yes")
-        facets = tuple(f for f in (p.get("facets") or "").split(",") if f)
+        facets = tuple(f.strip() for f in (p.get("facets") or "").split(",")
+                       if f.strip())
         self._lock.acquire_read()
         try:
             resp = self.searcher.search(
@@ -203,15 +204,19 @@ class SearchHTTPServer:
           docs exceed maxOutputs and more than one reply contributed —
           the same off-by-one `end := maxOuts - 1` the gRPC path has."""
         max_outputs = int(p.get("maxOutputs") or 0) or self.default_max_outputs
-        docs, _, _facets = self._search_docs(p)
+        docs, _, facets = self._search_docs(p)
         replies = 1
         qs = urllib.parse.urlencode({**p, "maxOutputs": str(max_outputs)})
+        from .engine import merge_facets
+
         for base in self.dist_members:
             try:
                 with urllib.request.urlopen(
                     f"{base}/search?{qs}", timeout=self.dist_timeout_s
                 ) as r:
-                    docs.extend(json.loads(r.read().decode()).get("docs", []))
+                    reply = json.loads(r.read().decode())
+                    docs.extend(reply.get("docs", []))
+                    facets = merge_facets(facets, reply.get("facets"))
                     replies += 1
             except Exception:
                 continue  # member down: partial results (dist.go:40-44)
@@ -226,7 +231,11 @@ class SearchHTTPServer:
         else:
             docs.sort(key=lambda d: (-max(d["score"]) if d["score"] else 0.0, d["id"]))
             docs = docs[:max_outputs]
-        return {"code": 0, "len": len(docs), "timestamp": int(time.time()), "docs": docs}
+        out = {"code": 0, "len": len(docs), "timestamp": int(time.time()),
+               "docs": docs}
+        if facets is not None:
+            out["facets"] = facets  # node counts merged by summation
+        return out
 
     def _add_index(self, p: dict) -> dict:
         if not self.index_dir:

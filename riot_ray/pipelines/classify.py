@@ -261,11 +261,24 @@ def nb_classify(
 
     # over the broadcast gate: model rows (kh, C micros) hash-join the
     # per-doc (kh, tf) occurrence rows; a zero-contribution marker row per
-    # doc keeps all-OOV docs in the (inner) join
-    def model_rows(batch: pa.Table) -> pa.Table:
+    # doc keeps all-OOV docs in the (inner) join.  Model rows are built
+    # per kh-hash GROUP (map_groups hands each group whole), never per
+    # batch — a kh's C class rows straddling a batch/block boundary would
+    # otherwise yield two partial model rows and _hash_join (right side
+    # must be unique on the key) would join only the first, scoring the
+    # straddled classes with the unseen-token default.
+    def tag_kh(batch: pa.Table) -> pa.Table:
         kh = batch["kh"].to_numpy(zero_copy_only=False)
-        lab = batch["lab"].to_numpy(zero_copy_only=False)
-        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        part = (kh.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__mpart", pa.array(part, pa.int32()))
+
+    def model_rows(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"kh": pa.array([], pa.int64()),
+                             "micros": pa.array([], pa.list_(pa.int64()))})
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        lab = group["lab"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
         kh_u, inv = np.unique(kh, return_inverse=True)
         M = np.tile(default_micro, (len(kh_u), 1))
         M[inv, lab] = np.floor(
@@ -279,8 +292,12 @@ def nb_classify(
                                           pa.list_(pa.int64()))})
     import ray.data as rd
 
-    model_ds = counts.map_batches(model_rows, batch_format="pyarrow").union(
-        rd.from_arrow(marker))
+    model_ds = (
+        counts.map_batches(tag_kh, batch_format="pyarrow")
+        .groupby("__mpart")
+        .map_groups(model_rows, batch_format="pyarrow")
+        .union(rd.from_arrow(marker))
+    )
 
     def occ(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -61,6 +61,19 @@ def heavy_hitters(ds, text_col: str = "text", one_over: int = 200,
     if k < one_over:
         raise ValueError("heavy_hitters: k must be >= one_over for exactness")
 
+    def _emit(uniq: np.ndarray, tot: np.ndarray, n: int) -> pa.Table:
+        """Summary rows + ONE dedicated null-token mass row carrying the
+        batch's total token count — a trim that empties the summary (all
+        counts tied at the (k+1)-th largest) must still contribute its
+        mass to n_total, or the final > n/one_over threshold would drop
+        and the output would over-admit vs the SQL oracle."""
+        return pa.table({
+            "token": pa.array(list(uniq) + [None], pa.string()),
+            "cnt": pa.array(np.concatenate((tot, [0])).astype(np.int64),
+                            pa.int64()),
+            "__n": pa.array([0] * len(uniq) + [int(n)], pa.int64()),
+        })
+
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -70,26 +83,20 @@ def heavy_hitters(ds, text_col: str = "text", one_over: int = 200,
         words = np.asarray(vc.field("values").to_pylist(), dtype=object)
         wcnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, tot = _sum_trim(words, wcnt, k)
-        n = len(flat)
-        return pa.table({"token": pa.array(uniq, pa.string()),
-                         "cnt": pa.array(tot, pa.int64()),
-                         "__n": pa.array([n] + [0] * (len(uniq) - 1)
-                                         if len(uniq) else [],
-                                         pa.int64())})
+        return _emit(uniq, tot, len(flat))
 
     def merge(batch: pa.Table) -> pa.Table:
-        words = np.asarray(batch["token"].to_pylist(), dtype=object)
-        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        valid = batch.filter(pc.is_valid(batch["token"]))
+        words = np.asarray(valid["token"].to_pylist(), dtype=object)
+        cnt = valid["cnt"].to_numpy(zero_copy_only=False)
         nn = batch["__n"].to_numpy(zero_copy_only=False)
         uniq, tot = _sum_trim(words, cnt, k)
-        tot_n = int(nn.sum())
-        return pa.table({"token": pa.array(uniq, pa.string()),
-                         "cnt": pa.array(tot, pa.int64()),
-                         "__n": pa.array([tot_n] + [0] * (len(uniq) - 1)
-                                         if len(uniq) else [],
-                                         pa.int64())})
+        return _emit(uniq, tot, int(nn.sum()))
 
-    # batches with zero tokens emit zero rows — their __n mass is 0 anyway
+    # every batch emits its null-token mass row, even when the trim (or an
+    # empty batch) leaves no counters — n_total must be exact
     partials = ds.map_batches(partial, batch_format="pyarrow")
     lvl1 = partials.repartition(reduce_partitions).map_batches(
         merge, batch_format="pyarrow", batch_size=None)
@@ -100,8 +107,11 @@ def heavy_hitters(ds, text_col: str = "text", one_over: int = 200,
         return pa.table({"token": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
     ft = pa.concat_tables(tabs).combine_chunks()
-    cands = np.asarray(ft["token"].to_pylist(), dtype=object)
     n_total = int(ft["__n"].to_numpy(zero_copy_only=False).sum())
+    import pyarrow.compute as pc
+
+    ft = ft.filter(pc.is_valid(ft["token"]))  # drop the mass rows
+    cands = np.asarray(ft["token"].to_pylist(), dtype=object)
     if len(cands) == 0 or n_total == 0:
         return pa.table({"token": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})

@@ -294,6 +294,12 @@ class ShardData:
             out = (np.empty(0, np.int64), [])
             self._facet_cache[col] = out
             return out
+        have = pq.read_schema(self._fw_files[0]).names
+        if col not in have:
+            raise ValueError(
+                f"unknown facet column {col!r}; forward table columns: "
+                f"{sorted(c for c in have if c != 'doc')}"
+            )
         t = pq.read_table(self._fw_files, columns=["doc", col])
         doc = t["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(doc)
@@ -306,6 +312,15 @@ class ShardData:
         out = (codes, cats)
         self._facet_cache[col] = out
         return out
+
+    def _with_facets(self, facets, hits, num, cand=None):
+        """Kernel return shape: (hits, num) plain, or with a third
+        facet-count element when ``facets`` is non-empty — the single
+        contract all three query kernels share."""
+        if not facets:
+            return hits, num
+        c = cand if cand is not None else np.empty(0, np.uint64)
+        return hits, num, self.facet_counts(c, facets)
 
     def facet_counts(self, cand: np.ndarray, cols) -> dict:
         """{col: {value: n_docs}} over a candidate doc array (the FULL
@@ -372,13 +387,7 @@ class ShardData:
         opts = self.opts
         dtype = np.float32 if dtype_name == "float32" else np.float64
         keywords = list(tokens) + list(labels)
-
-        def ret(hits, num, cand=None):
-            if not facets:
-                return hits, num
-            c = cand if cand is not None else np.empty(0, np.uint64)
-            return hits, num, self.facet_counts(c, facets)
-
+        ret = lambda hits, num, cand=None: self._with_facets(facets, hits, num, cand)  # noqa: E731
         if not keywords:
             return ret(HitBlock.empty(), 0)
         cand = self.and_candidates(keywords)
@@ -466,12 +475,7 @@ class ShardData:
                 "phrase search needs hydrated content: build the searcher "
                 "with hydrate=True over an index with store_content=True"
             )
-        def ret(hits, num, cand=None):
-            if not facets:
-                return hits, num
-            c = cand if cand is not None else np.empty(0, np.uint64)
-            return hits, num, self.facet_counts(c, facets)
-
+        ret = lambda hits, num, cand=None: self._with_facets(facets, hits, num, cand)  # noqa: E731
         hits, _ = self.search(
             tokens, labels, idfs, avgdl, allow_ids=allow_ids,
             count_only=False, dtype_name=dtype_name,
@@ -502,13 +506,7 @@ class ShardData:
         returns the concatenation of the NotIn lists themselves.  With
         ``facets`` the counts run over the final candidate set (the quirk's
         duplicates count twice, matching the duplicated hits)."""
-
-        def ret(hits, num, cand=None):
-            if not facets:
-                return hits, num
-            c = cand if cand is not None else np.empty(0, np.uint64)
-            return hits, num, self.facet_counts(c, facets)
-
+        ret = lambda hits, num, cand=None: self._with_facets(facets, hits, num, cand)  # noqa: E731
         if must:
             lists = []
             for k in must:

@@ -3496,3 +3496,29 @@ def test_nb_classify_rejects_tokenless_training(ray_session):
     }))
     with pytest.raises(ValueError, match="no tokens"):
         nb_classify(ds).materialize()
+
+
+def test_heavy_hitters_counts_mass_of_trimmed_batches(ray_session):
+    """A batch whose counts all tie at the (k+1)-th largest trims to an
+    EMPTY summary — its token mass must still reach n_total, or the final
+    threshold over-admits (regression: the mass rode on the first summary
+    row and vanished with it)."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from riot_ray.pipelines import heavy_hitters
+
+    # one hot doc + many all-distinct docs (each trims to empty at k=10)
+    texts = ["hot " * 50] + [
+        " ".join(f"u{i}x{j}" for j in range(40)) for i in range(40)
+    ]
+    tokre = re.compile("[^a-z0-9]+")
+    cnt = Counter(t for s in texts for t in tokre.split(s.lower()) if t)
+    n = sum(cnt.values())
+    exp = sorted(((t, c) for t, c in cnt.items() if c * 10 > n),
+                 key=lambda x: (-x[1], x[0]))
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = heavy_hitters(ds.repartition(41), one_over=10, k=10)
+    assert list(zip(got["token"].to_pylist(), got["cnt"].to_pylist())) == exp

@@ -351,6 +351,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
                 label_col="lang").count()
     q["nb_classify"] = round(time.time() - t0, 3)
 
+    from riot_ray.pipelines import heavy_hitters, pmi_pairs
+
+    t0 = time.time()
+    heavy_hitters(docs.select_columns(["text"]), one_over=35)
+    q["heavy_hitters"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pmi_pairs(docs.select_columns(["text"]), window=5, min_count=20).count()
+    q["pmi_pairs"] = round(time.time() - t0, 3)
+
     from riot_ray.pipelines import build_pq_index, knn_pq_query
 
     pq_dir = os.path.join(tempfile.gettempdir(), "bench_ivfpq")

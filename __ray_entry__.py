@@ -483,6 +483,32 @@ def _q_pmi_pairs(sf_dir: str):
                      window=5, min_count=20)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental-ingest dedup: a 'seen' digest set is persisted from
+    every third doc (write_digests — atomic, resumable), then the whole
+    table filters against it (filter_seen).  Oracle: SQL anti-join on
+    text equality."""
+    from riot_ray.pipelines import filter_seen, write_digests
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}:seen3"
+    seen_dir = os.path.join(
+        _CACHE_ROOT,
+        f"seen-{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{hashlib.sha256(fp.encode()).hexdigest()[:12]}",
+    )
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def third(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    write_digests(docs.map_batches(third, batch_format="pyarrow"),
+                  seen_dir, fingerprint=fp)
+    return filter_seen(docs, seen_dir).select_columns(["doc_id"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters with exact verification: tokens whose
     count exceeds 1/35 of the corpus.  Only k-sized summaries move —
@@ -1240,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "bpe_subword_counts": _q_bpe_counts,
         "heavy_hitters": _q_heavy_hitters,
+        "incremental_dedup": _q_incremental_dedup,
         "pmi_pairs": _q_pmi_pairs,
         "spell_correct": _q_spell_correct,
         "suggest_terms": _q_suggest_terms,
@@ -1369,6 +1396,13 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
+            """,
+        "incremental_dedup": """
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents s
+              WHERE s.doc_id % 3 = 0
+                AND coalesce(s.text, '') = coalesce(d.text, ''))
             """,
         "pmi_pairs": f"""
             WITH {_TOKS},

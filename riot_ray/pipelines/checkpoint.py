@@ -138,6 +138,11 @@ def checkpointed_write(
 
     sweep_foreign_parts(out_dir, fingerprint, num_partitions, seed)
 
+    if rows.empty:  # empty input: no partitions at all (valid — e.g. an
+        return {    # initial 'seen' digest set before any release)
+            "parts_written": 0, "parts_skipped": 0, "n_rows": 0,
+            "bytes": 0, "out_dir": out_dir,
+        }
     return {
         "parts_written": int((~rows["skipped"]).sum()),
         "parts_skipped": int(rows["skipped"].sum()),

@@ -41,6 +41,7 @@ tiny by construction) and (b) thresholded pair/cluster survivor sets.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -382,6 +383,161 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
     )
     return agg.select_columns([id_col, "n_copies"])
+
+
+def _digest_cols(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """First 128 bits of sha256(text) as two int64 columns — numpy-native
+    membership keys, collision-ignorable at any corpus size."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    digs = [hashlib.sha256((t or "").encode()).digest()[:16]
+            for t in texts.to_pylist()]
+    if not digs:
+        z = np.empty(0, np.int64)
+        return z, z
+    arr = np.frombuffer(b"".join(digs), np.int64).reshape(-1, 2)
+    return arr[:, 0].copy(), arr[:, 1].copy()
+
+
+def write_digests(ds, out_dir: str, fingerprint: str = "",
+                  text_col: str = "text", num_partitions: int = 16) -> dict:
+    """Persist a corpus's content-digest set as hash-partitioned parquet
+    (atomic per-partition commit via the checkpoint writer — resumable,
+    same-fingerprint re-runs skip).  This is the 'seen' side of
+    incremental ingest: build it once per released snapshot, then
+    :func:`filter_seen` each new delivery against it."""
+    from .checkpoint import checkpointed_write
+
+    def digest(batch: pa.Table) -> pa.Table:
+        d1, d2 = _digest_cols(batch[text_col])
+        order = np.lexsort((d2, d1))
+        s1, s2 = d1[order], d2[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        else:
+            first = first[:0]
+        return pa.table({"d1": pa.array(s1[first], pa.int64()),
+                         "d2": pa.array(s2[first], pa.int64())})
+
+    return checkpointed_write(
+        ds.map_batches(digest, batch_format="pyarrow"),
+        out_dir, fingerprint or out_dir, partition_col="d1",
+        num_partitions=num_partitions,
+    )
+
+
+def filter_seen(ds, seen, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None):
+    """Incremental-ingest dedup: drop every doc whose exact content digest
+    appears in ``seen`` (a :func:`write_digests` directory path, or any
+    Dataset with (d1, d2) digest columns).  Returns the surviving rows
+    unchanged.
+
+    Size-gated: under ``BROADCAST_BYTES`` the sorted digest pair arrays
+    broadcast once and membership is a map-side searchsorted; above it,
+    docs and seen digests co-group by digest hash partition and the
+    anti-join resolves per group (both paths pinned equal)."""
+    import ray
+    import ray.data as rd
+
+    from .substr import _pair_member
+
+    num_partitions = _join_parts(num_partitions)
+    if isinstance(seen, str):
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(seen, "part=*", "data.parquet")))
+        if not files:
+            return ds  # empty seen set: everything is new
+        seen_ds = rd.read_parquet(files, columns=["d1", "d2"])
+    else:
+        seen_ds = seen.select_columns(["d1", "d2"])
+    seen_ds = seen_ds.materialize()
+    n_seen = seen_ds.count()
+
+    if n_seen * 16 <= BROADCAST_BYTES:
+        if n_seen:
+            tabs = [t for t in ray.get(seen_ds.to_arrow_refs()) if t.num_rows]
+            st = pa.concat_tables(tabs).combine_chunks()
+            s1 = st["d1"].to_numpy(zero_copy_only=False)
+            s2 = st["d2"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((s2, s1))
+            sref = ray.put((s1[order], s2[order]))
+        else:
+            z = np.empty(0, np.int64)
+            sref = ray.put((z, z))
+
+        def drop_seen(batch: pa.Table) -> pa.Table:
+            g1, g2 = ray.get(sref)
+            d1, d2 = _digest_cols(batch[text_col])
+            hit = _pair_member(d1, d2, g1, g2)
+            return batch.filter(pa.array(~hit))
+
+        return ds.map_batches(drop_seen, batch_format="pyarrow")
+
+    # seen set over the gate: co-group docs and digests by d1 hash
+    # partition; a doc survives when its group holds no matching digest.
+    # Schema-aligned union: seen rows carry a null id.
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        d1, d2 = _digest_cols(batch[text_col])
+        part = (d1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "d1": pa.array(d1, pa.int64()),
+            "d2": pa.array(d2, pa.int64()),
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    def seen_rows(batch: pa.Table) -> pa.Table:
+        d1 = batch["d1"].to_numpy(zero_copy_only=False)
+        part = (d1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: pa.nulls(batch.num_rows, pa.int64()),
+            "d1": batch["d1"],
+            "d2": batch["d2"],
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    both = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        seen_ds.map_batches(seen_rows, batch_format="pyarrow"))
+
+    def matched(group: pa.Table) -> pa.Table:
+        """Ids of docs whose digest has a seen partner in this group —
+        the OVERLAP, the small side of an incremental delivery (shipping
+        survivors instead would centralize ~every new doc)."""
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        is_doc = pc.is_valid(group[id_col])
+        docs_t = group.filter(is_doc)
+        seen_t = group.filter(pc.invert(is_doc))
+        q1 = docs_t["d1"].to_numpy(zero_copy_only=False)
+        q2 = docs_t["d2"].to_numpy(zero_copy_only=False)
+        s1 = seen_t["d1"].to_numpy(zero_copy_only=False)
+        s2 = seen_t["d2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s2, s1))
+        hit = _pair_member(q1, q2, s1[order], s2[order])
+        return pa.table({id_col: docs_t[id_col].filter(pa.array(hit))})
+
+    dropped = both.groupby("__part").map_groups(matched, batch_format="pyarrow")
+    from .sampling import lookup_sorted
+
+    tabs = [t for t in ray.get(dropped.materialize().to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        return ds
+    drop_ids = np.sort(np.concatenate(
+        [t[id_col].to_numpy(zero_copy_only=False) for t in tabs]))
+    dref = ray.put(drop_ids)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        g = ray.get(dref)
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = lookup_sorted(g, bid)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
 
 
 def line_dedup(

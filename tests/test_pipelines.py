@@ -3522,3 +3522,54 @@ def test_heavy_hitters_counts_mass_of_trimmed_batches(ray_session):
     ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
     got = heavy_hitters(ds.repartition(41), one_over=10, k=10)
     assert list(zip(got["token"].to_pylist(), got["cnt"].to_pylist())) == exp
+
+
+# --------------------------------------------------------------------------- #
+# incremental-ingest dedup (write_digests + filter_seen)
+# --------------------------------------------------------------------------- #
+def test_filter_seen_matches_bruteforce(ray_session, tmp_path, monkeypatch):
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import filter_seen, write_digests
+
+    old = [f"released doc {i} stays the same" for i in range(40)]
+    new = [f"fresh doc {i} arriving now" for i in range(30)]
+    delivery = old[:15] + new + [None, ""]   # overlap + fresh + degenerate
+    seen_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(old)), pa.int64()),
+        "text": pa.array(old, pa.string()),
+    }))
+    st = write_digests(seen_ds, str(tmp_path / "seen"), fingerprint="v1")
+    assert st["n_rows"] == len(set(old))
+    again = write_digests(seen_ds, str(tmp_path / "seen"), fingerprint="v1")
+    assert again["parts_skipped"] > 0 and again["parts_written"] == 0
+
+    deliv = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1000 + len(delivery)), pa.int64()),
+        "text": pa.array(delivery, pa.string()),
+    })).repartition(4)
+    got = filter_seen(deliv, str(tmp_path / "seen")).to_pandas()
+    exp_ids = [1000 + i for i, t in enumerate(delivery) if (t or "") not in old]
+    assert sorted(got["doc_id"]) == exp_ids
+
+    # forced co-group anti-join path must match the broadcast path
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)
+    got2 = filter_seen(deliv, str(tmp_path / "seen")).to_pandas()
+    assert sorted(got2["doc_id"]) == exp_ids
+
+
+def test_filter_seen_empty_seen_passthrough(ray_session, tmp_path):
+    import ray.data as rd
+
+    from riot_ray.pipelines import filter_seen, write_digests
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    write_digests(empty, str(tmp_path / "seen0"), fingerprint="e")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string()),
+    }))
+    out = filter_seen(docs, str(tmp_path / "seen0")).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]

@@ -509,6 +509,21 @@ def _q_incremental_dedup(sf_dir: str):
     return filter_seen(docs, seen_dir).select_columns(["doc_id"])
 
 
+def _q_word_embeddings(sf_dir: str):
+    """PPMI-SVD word embeddings trained on the corpus itself (Levy &
+    Goldberg 2014): distributed co-occurrence, bounded driver
+    factorization.  Floats — rows-only; geometry pinned in pytest."""
+    from riot_ray.pipelines import ppmi_embeddings
+
+    toks, E = ppmi_embeddings(_docs(sf_dir).select_columns(["text"]),
+                              dim=16, window=5, min_count=5)
+    return pa.table({
+        "token": pa.array(toks, pa.string()),
+        "vector": pa.array([list(map(float, row)) for row in E],
+                           pa.list_(pa.float64())),
+    })
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters with exact verification: tokens whose
     count exceeds 1/35 of the corpus.  Only k-sized summaries move —
@@ -1268,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "incremental_dedup": _q_incremental_dedup,
         "pmi_pairs": _q_pmi_pairs,
+        "word_embeddings": _q_word_embeddings,
         "spell_correct": _q_spell_correct,
         "suggest_terms": _q_suggest_terms,
         "hot_ngrams": _q_hot_ngrams,

@@ -115,6 +115,70 @@ def cooc_pairs(ds, text_col: str = "text", window: int = 5,
     )
 
 
+def ppmi_embeddings(ds, dim: int = 32, window: int = 5,
+                    min_count: int = 2, top_vocab: int = 2048,
+                    text_col: str = "text",
+                    num_partitions: int | None = None):
+    """Word embeddings from the corpus itself: truncated eigendecomposition
+    of the positive-PMI co-occurrence matrix (Levy & Goldberg 2014 showed
+    skip-gram factorizes exactly this).  The co-occurrence table is built
+    distributed (:func:`cooc_pairs`); only the ``top_vocab`` x
+    ``top_vocab`` PPMI block (tokens ranked by co-occurrence marginal)
+    centralizes — a bounded dense symmetric matrix, eigendecomposed on the
+    driver with a deterministic sign convention.
+
+    Returns ``(tokens [V], vectors [V, dim] float64)`` with rows aligned;
+    vectors = U_k * sqrt(lambda_k) over the top-``dim`` non-negative
+    eigenvalues.  Floats => rows-only in the driver contract; pytest pins
+    planted-collocation geometry and block-count determinism."""
+    import ray
+
+    from .dedup import _join_parts
+
+    num_partitions = _join_parts(num_partitions)
+    pairs_tabs = [t for t in ray.get(
+        cooc_pairs(ds, text_col, window, num_partitions)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not pairs_tabs:
+        return [], np.empty((0, dim))
+    pt = pa.concat_tables(pairs_tabs).combine_chunks()
+    a = np.asarray(pt["a"].to_pylist(), dtype=object)
+    b = np.asarray(pt["b"].to_pylist(), dtype=object)
+    cnt = pt["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    keep = cnt >= min_count
+    a, b, cnt = a[keep], b[keep], cnt[keep]
+    if not len(a):
+        return [], np.empty((0, dim))
+    N = cnt.sum()
+    toks, inv_a = np.unique(np.concatenate((a, b)), return_inverse=True)
+    ia, ib = inv_a[: len(a)], inv_a[len(a):]
+    marg = np.zeros(len(toks))
+    np.add.at(marg, ia, cnt)
+    np.add.at(marg, ib, cnt)
+    # top-V vocabulary by marginal (ties: token asc via stable lexsort)
+    order = np.lexsort((toks, -marg))[:top_vocab]
+    sel = np.zeros(len(toks), bool)
+    sel[order] = True
+    remap = np.full(len(toks), -1, np.int64)
+    remap[order] = np.arange(len(order))
+    m = sel[ia] & sel[ib]
+    ra, rb = remap[ia[m]], remap[ib[m]]
+    V = len(order)
+    M = np.zeros((V, V))
+    pmi = np.log((cnt[m] * N) / (marg[ia[m]] * marg[ib[m]]))
+    ppmi = np.maximum(pmi, 0.0)
+    M[ra, rb] = ppmi
+    M[rb, ra] = ppmi
+    vals, vecs = np.linalg.eigh(M)           # ascending
+    top = np.argsort(vals)[::-1][:dim]
+    lam = np.maximum(vals[top], 0.0)
+    E = vecs[:, top] * np.sqrt(lam)[None, :]
+    # deterministic sign: largest-|coefficient| entry of each axis positive
+    flip = E[np.abs(E).argmax(axis=0), np.arange(E.shape[1])] < 0
+    E[:, flip] *= -1.0
+    return toks[order].tolist(), E
+
+
 def pmi_pairs(ds, text_col: str = "text", window: int = 5,
               min_count: int = 5, num_partitions: int | None = None):
     """(tok_a, tok_b, cnt, pmi_micro) for pairs with cnt >= min_count.

@@ -3573,3 +3573,53 @@ def test_filter_seen_empty_seen_passthrough(ray_session, tmp_path):
     }))
     out = filter_seen(docs, str(tmp_path / "seen0")).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_ppmi_embeddings_collocation_geometry(ray_session):
+    """Tokens that co-occur (planted collocation) must be closer in the
+    PPMI-SVD space than unrelated tokens; same input at a different block
+    count produces identical embeddings (deterministic eigh + sign
+    convention)."""
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import ppmi_embeddings
+
+    rng = np.random.default_rng(4)
+    filler = [f"f{i}" for i in range(50)]
+    texts = []
+    for _ in range(400):
+        toks = list(rng.choice(filler, size=10))
+        if rng.random() < 0.5:
+            toks[3:5] = ["salt", "pepper"]     # always adjacent
+        if rng.random() < 0.5:
+            toks[7] = "quartz"                 # never near salt/pepper... mostly
+        texts.append(" ".join(toks))
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    toks, E = ppmi_embeddings(rd.from_arrow(t), dim=16, window=2,
+                              min_count=2)
+    idx = {w: i for i, w in enumerate(toks)}
+    assert {"salt", "pepper", "quartz"} <= set(idx)
+
+    def cos(u, v):
+        return float(np.dot(u, v) /
+                     (np.linalg.norm(u) * np.linalg.norm(v) + 1e-12))
+
+    sp = cos(E[idx["salt"]], E[idx["pepper"]])
+    sq = cos(E[idx["salt"]], E[idx["quartz"]])
+    assert sp > sq + 0.1, (sp, sq)
+
+    toks2, E2 = ppmi_embeddings(rd.from_arrow(t).repartition(9), dim=16,
+                                window=2, min_count=2)
+    assert toks2 == toks
+    assert np.allclose(E2, E, atol=1e-8)
+
+
+def test_ppmi_embeddings_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import ppmi_embeddings
+
+    t = pa.table({"text": pa.array([None, "", "solo"], pa.string())})
+    toks, E = ppmi_embeddings(rd.from_arrow(t), dim=8)
+    assert toks == [] and E.shape == (0, 8)

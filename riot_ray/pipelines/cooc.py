@@ -136,47 +136,114 @@ def ppmi_embeddings(ds, dim: int = 32, window: int = 5,
     from .dedup import _join_parts
 
     num_partitions = _join_parts(num_partitions)
-    pairs_tabs = [t for t in ray.get(
-        cooc_pairs(ds, text_col, window, num_partitions)
-        .materialize().to_arrow_refs()) if t.num_rows]
-    if not pairs_tabs:
+    pairs = cooc_pairs(ds, text_col, window, num_partitions).materialize()
+    N = float(pairs.sum("cnt") or 0)         # UNFILTERED total (definition)
+    if not N:
         return [], np.empty((0, dim))
-    pt = pa.concat_tables(pairs_tabs).combine_chunks()
-    a = np.asarray(pt["a"].to_pylist(), dtype=object)
-    b = np.asarray(pt["b"].to_pylist(), dtype=object)
-    cnt = pt["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-    keep = cnt >= min_count
-    a, b, cnt = a[keep], b[keep], cnt[keep]
-    if not len(a):
+
+    # marginals from the UNFILTERED pair table (matching pmi_pairs),
+    # computed distributed; the driver sees only per-batch top-V partials
+    # (batches x top_vocab rows), never the vocabulary or the pair table
+    def marg_partial(batch: pa.Table) -> pa.Table:
+        toks = np.concatenate([
+            np.asarray(batch["a"].to_pylist(), dtype=object),
+            np.asarray(batch["b"].to_pylist(), dtype=object),
+        ])
+        cnt2 = np.concatenate([
+            batch["cnt"].to_numpy(zero_copy_only=False),
+            batch["cnt"].to_numpy(zero_copy_only=False),
+        ])
+        uniq, inv = np.unique(toks, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cnt2)
+        part = (_token_hashes(pa.array(uniq, pa.string()))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"tok": pa.array(uniq, pa.string()),
+                         "m": pa.array(tot, pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def marg_reduce_top(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "m": pa.array([], pa.int64())})
+        toks = np.asarray(group["tok"].to_pylist(), dtype=object)
+        m = group["m"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, m)
+        keep = np.lexsort((uniq, -tot))[:top_vocab]  # partial pre-cap
+        return pa.table({"tok": pa.array(uniq[keep], pa.string()),
+                         "m": pa.array(tot[keep], pa.int64())})
+
+    marg_tabs = [t for t in ray.get(
+        pairs.map_batches(marg_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(marg_reduce_top, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not marg_tabs:
         return [], np.empty((0, dim))
-    N = cnt.sum()
-    toks, inv_a = np.unique(np.concatenate((a, b)), return_inverse=True)
-    ia, ib = inv_a[: len(a)], inv_a[len(a):]
-    marg = np.zeros(len(toks))
-    np.add.at(marg, ia, cnt)
-    np.add.at(marg, ib, cnt)
-    # top-V vocabulary by marginal (ties: token asc via stable lexsort)
-    order = np.lexsort((toks, -marg))[:top_vocab]
-    sel = np.zeros(len(toks), bool)
-    sel[order] = True
-    remap = np.full(len(toks), -1, np.int64)
-    remap[order] = np.arange(len(order))
-    m = sel[ia] & sel[ib]
-    ra, rb = remap[ia[m]], remap[ib[m]]
-    V = len(order)
+    mt = pa.concat_tables(marg_tabs).combine_chunks()
+    mtoks = np.asarray(mt["tok"].to_pylist(), dtype=object)
+    mm = mt["m"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((mtoks, -mm))[:top_vocab]
+    sel_toks = mtoks[order]
+    sel_m = mm[order].astype(np.float64)
+    vref = ray.put(np.sort(sel_toks))
+
+    # map-side block filter: only (a, b) pairs with BOTH tokens in the
+    # top-V set (and cnt >= min_count) reach the driver — <= V^2/2 rows
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        g_t = ray.get(vref)
+        keep = pc.greater_equal(batch["cnt"], min_count)
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        a = np.asarray(t["a"].to_pylist(), dtype=object)
+        b = np.asarray(t["b"].to_pylist(), dtype=object)
+
+        def member(x):
+            pos = np.searchsorted(g_t, x)
+            ok = pos < len(g_t)
+            ok[ok] = g_t[pos[ok]] == x[ok]
+            return ok
+
+        m = member(a) & member(b)
+        return t.filter(pa.array(m))
+
+    blk_tabs = [t for t in ray.get(
+        pairs.map_batches(block_pairs, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    V = len(sel_toks)
     M = np.zeros((V, V))
-    pmi = np.log((cnt[m] * N) / (marg[ia[m]] * marg[ib[m]]))
-    ppmi = np.maximum(pmi, 0.0)
-    M[ra, rb] = ppmi
-    M[rb, ra] = ppmi
+    # row index in the OUTPUT order (sel_toks order): map token -> row
+    tok_row = {t_: i for i, t_ in enumerate(sel_toks.tolist())}
+    m_of = {t_: sel_m[i] for i, t_ in enumerate(sel_toks.tolist())}
+    for t in blk_tabs:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ra = np.fromiter((tok_row[x] for x in a), np.int64, count=len(a))
+        rb = np.fromiter((tok_row[x] for x in b), np.int64, count=len(b))
+        ma = np.fromiter((m_of[x] for x in a), np.float64, count=len(a))
+        mb = np.fromiter((m_of[x] for x in b), np.float64, count=len(b))
+        ppmi = np.maximum(np.log((cnt * N) / (ma * mb)), 0.0)
+        M[ra, rb] = ppmi
+        M[rb, ra] = ppmi
     vals, vecs = np.linalg.eigh(M)           # ascending
     top = np.argsort(vals)[::-1][:dim]
     lam = np.maximum(vals[top], 0.0)
     E = vecs[:, top] * np.sqrt(lam)[None, :]
+    if E.shape[1] < dim:                      # V < dim: pad to [V, dim]
+        E = np.concatenate(
+            (E, np.zeros((V, dim - E.shape[1]))), axis=1)
     # deterministic sign: largest-|coefficient| entry of each axis positive
-    flip = E[np.abs(E).argmax(axis=0), np.arange(E.shape[1])] < 0
-    E[:, flip] *= -1.0
-    return toks[order].tolist(), E
+    for j in range(E.shape[1]):
+        col = E[:, j]
+        if len(col) and col[np.abs(col).argmax()] < 0:
+            E[:, j] = -col
+    return sel_toks.tolist(), E
 
 
 def pmi_pairs(ds, text_col: str = "text", window: int = 5,

@@ -399,14 +399,29 @@ def _digest_cols(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return arr[:, 0].copy(), arr[:, 1].copy()
 
 
-def write_digests(ds, out_dir: str, fingerprint: str = "",
+def write_digests(ds, out_dir: str, fingerprint: str,
                   text_col: str = "text", num_partitions: int = 16) -> dict:
     """Persist a corpus's content-digest set as hash-partitioned parquet
     (atomic per-partition commit via the checkpoint writer — resumable,
     same-fingerprint re-runs skip).  This is the 'seen' side of
     incremental ingest: build it once per released snapshot, then
-    :func:`filter_seen` each new delivery against it."""
+    :func:`filter_seen` each new delivery against it.
+
+    ``fingerprint`` must identify the INPUT (source path + mtime, an
+    options hash, ...) — it is what lets a changed corpus invalidate the
+    committed partitions, so a constant default would silently skip every
+    rewrite (checkpointed_write's contract).  Digests are globally
+    deduplicated (per-batch unique, then per-partition unique) before the
+    write, so the stored set size equals the distinct-content count."""
+    if not fingerprint:
+        raise ValueError(
+            "write_digests: fingerprint must identify the input corpus "
+            "(e.g. source path + size + mtime) — an empty value would "
+            "make re-runs with changed input silently no-ops"
+        )
     from .checkpoint import checkpointed_write
+
+    num_partitions = max(1, int(num_partitions))
 
     def digest(batch: pa.Table) -> pa.Table:
         d1, d2 = _digest_cols(batch[text_col])
@@ -418,12 +433,33 @@ def write_digests(ds, out_dir: str, fingerprint: str = "",
             first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
         else:
             first = first[:0]
+        u1, u2 = s1[first], s2[first]
+        part = (u1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"d1": pa.array(u1, pa.int64()),
+                         "d2": pa.array(u2, pa.int64()),
+                         "__dpart": pa.array(part, pa.int32())})
+
+    def uniq(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"d1": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        d1 = group["d1"].to_numpy(zero_copy_only=False)
+        d2 = group["d2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d2, d1))
+        s1, s2 = d1[order], d2[order]
+        first = np.empty(len(order), bool)
+        first[0] = True
+        first[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
         return pa.table({"d1": pa.array(s1[first], pa.int64()),
                          "d2": pa.array(s2[first], pa.int64())})
 
+    deduped = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("__dpart")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
     return checkpointed_write(
-        ds.map_batches(digest, batch_format="pyarrow"),
-        out_dir, fingerprint or out_dir, partition_col="d1",
+        deduped, out_dir, fingerprint, partition_col="d1",
         num_partitions=num_partitions,
     )
 
@@ -448,7 +484,11 @@ def filter_seen(ds, seen, text_col: str = "text", id_col: str = "doc_id",
     if isinstance(seen, str):
         import glob as _glob
 
-        files = sorted(_glob.glob(os.path.join(seen, "part=*", "data.parquet")))
+        # 5-digit pattern: a crashed writer's part=NNNNN.tmp-<uuid> dirs
+        # hold UNCOMMITTED (possibly stale-fingerprint) digests and must
+        # never be read (same exclusion as checkpoint.read_checkpointed)
+        files = sorted(_glob.glob(
+            os.path.join(seen, "part=" + "[0-9]" * 5, "data.parquet")))
         if not files:
             return ds  # empty seen set: everything is new
         seen_ds = rd.read_parquet(files, columns=["d1", "d2"])
@@ -479,12 +519,22 @@ def filter_seen(ds, seen, text_col: str = "text", id_col: str = "doc_id",
 
     # seen set over the gate: co-group docs and digests by d1 hash
     # partition; a doc survives when its group holds no matching digest.
-    # Schema-aligned union: seen rows carry a null id.
+    # Schema-aligned union with an explicit role column; this path tracks
+    # dropped docs by id, so it REQUIRES non-null integer ids (validated —
+    # the broadcast path below the gate has no such requirement).
     def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if ids.null_count:
+            raise ValueError(
+                "filter_seen: the co-grouped (over-broadcast-gate) path "
+                f"requires non-null integer {id_col!r} values to track "
+                "dropped docs"
+            )
         d1, d2 = _digest_cols(batch[text_col])
         part = (d1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
-            id_col: batch[id_col].cast(pa.int64()),
+            id_col: ids.cast(pa.int64()),
+            "__role": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
             "d1": pa.array(d1, pa.int64()),
             "d2": pa.array(d2, pa.int64()),
             "__part": pa.array(part, pa.int32()),
@@ -495,6 +545,7 @@ def filter_seen(ds, seen, text_col: str = "text", id_col: str = "doc_id",
         part = (d1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
             id_col: pa.nulls(batch.num_rows, pa.int64()),
+            "__role": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
             "d1": batch["d1"],
             "d2": batch["d2"],
             "__part": pa.array(part, pa.int32()),
@@ -509,7 +560,7 @@ def filter_seen(ds, seen, text_col: str = "text", id_col: str = "doc_id",
         survivors instead would centralize ~every new doc)."""
         if group.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64())})
-        is_doc = pc.is_valid(group[id_col])
+        is_doc = pc.equal(group["__role"], 0)
         docs_t = group.filter(is_doc)
         seen_t = group.filter(pc.invert(is_doc))
         q1 = docs_t["d1"].to_numpy(zero_copy_only=False)

@@ -3623,3 +3623,41 @@ def test_ppmi_embeddings_empty_corpus(ray_session):
     t = pa.table({"text": pa.array([None, "", "solo"], pa.string())})
     toks, E = ppmi_embeddings(rd.from_arrow(t), dim=8)
     assert toks == [] and E.shape == (0, 8)
+
+
+def test_write_digests_durability_contract(ray_session, tmp_path):
+    """Requires an input fingerprint; never reads a crashed writer's tmp
+    partition; dedupes digests across batches."""
+    import os
+
+    import ray.data as rd
+
+    from riot_ray.pipelines import filter_seen, write_digests
+
+    texts = ["same boilerplate everywhere"] * 50 + ["one unique doc"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(8)
+    with pytest.raises(ValueError, match="fingerprint"):
+        write_digests(ds, str(tmp_path / "seen"), "")
+    st = write_digests(ds, str(tmp_path / "seen"), fingerprint="v1")
+    assert st["n_rows"] == 2  # cross-batch dedup: 2 distinct texts
+
+    # a crashed run's tmp partition must be invisible to filter_seen
+    tmp_dir = tmp_path / "seen" / "part=00099.tmp-deadbeef"
+    os.makedirs(tmp_dir)
+    import pyarrow.parquet as papq
+
+    from riot_ray.pipelines.dedup import _digest_cols
+
+    d1, d2 = _digest_cols(pa.array(["fresh doc 7 arriving"], pa.string()))
+    papq.write_table(pa.table({"d1": pa.array(d1, pa.int64()),
+                               "d2": pa.array(d2, pa.int64())}),
+                     str(tmp_dir / "data.parquet"))
+    newdocs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["fresh doc 7 arriving"], pa.string()),
+    }))
+    out = filter_seen(newdocs, str(tmp_path / "seen")).to_pandas()
+    assert list(out["doc_id"]) == [7]  # tmp digests never count as seen

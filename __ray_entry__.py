@@ -524,6 +524,18 @@ def _q_word_embeddings(sf_dir: str):
     })
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-language exact n_chars quantiles: one (key, value) histogram
+    shuffle, quantiles resolved inside each key's partition — DuckDB
+    GROUP BY quantile_disc semantics, hash-exact."""
+    from riot_ray.pipelines import grouped_quantiles
+
+    return grouped_quantiles(
+        _docs(sf_dir).select_columns(["lang", "n_chars"]),
+        col="n_chars", key_col="lang", qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters with exact verification: tokens whose
     count exceeds 1/35 of the corpus.  Only k-sized summaries move —
@@ -1281,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "bpe_subword_counts": _q_bpe_counts,
         "heavy_hitters": _q_heavy_hitters,
+        "grouped_quantiles": _q_grouped_quantiles,
         "incremental_dedup": _q_incremental_dedup,
         "pmi_pairs": _q_pmi_pairs,
         "word_embeddings": _q_word_embeddings,
@@ -1413,6 +1426,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
             """,
+        "grouped_quantiles": " UNION ALL ".join(
+            f"SELECT lang AS key, {q} AS q, "
+            f"quantile_disc(n_chars, {q})::BIGINT AS value "
+            "FROM documents GROUP BY lang"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
         "incremental_dedup": """
             SELECT d.doc_id FROM documents d
             WHERE NOT EXISTS (

@@ -1589,6 +1589,97 @@ def hll_count(ds, col: str = "doc_id", p: int = 12, seed: int = 0,
 # --------------------------------------------------------------------------- #
 # exact distributed quantiles (order statistics without a global sort)
 # --------------------------------------------------------------------------- #
+def grouped_quantiles(ds, col: str, key_col: str,
+                      qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                      num_partitions: int | None = None):
+    """EXACT per-key discrete quantiles of an integer column — DuckDB
+    ``GROUP BY key: quantile_disc(col, q)`` semantics (0-based rank
+    ``max(ceil(q*n_key), 1) - 1`` within the key's sorted values).
+
+    Scale shape: ONE hash-partitioned shuffle of per-batch-combined
+    (key, value, cnt) rows — the exchange carries the per-key VALUE
+    HISTOGRAM (bounded by keys x distinct values; right for categorical
+    keys over discrete columns like lengths/counts), never the rows —
+    and each key's quantiles resolve inside its partition by a
+    cumulative-count rank walk, emitting (key, q, value) directly: no
+    driver-side state at all.  For continuous/high-cardinality values
+    use :func:`exact_quantiles` per key instead."""
+    import math
+
+    from .dedup import _join_parts
+
+    num_partitions = _join_parts(num_partitions)
+    qs = tuple(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pc.fill_null(batch[key_col].cast(pa.string()), "")
+        enc = keys.combine_chunks().dictionary_encode() \
+            if isinstance(keys, pa.ChunkedArray) else keys.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, codes))
+        ck, cv = codes[order], v[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
+        else:
+            first = first[:0]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate((starts, [len(order)])))
+        uk = cats[ck[starts]]
+        kh = _token_hashes(pa.array(uk, pa.string()))
+        part = (kh % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"key": pa.array(uk, pa.string()),
+                         "value": pa.array(cv[starts], pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def per_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.int64())})
+        keys = np.asarray(group["key"].to_pylist(), dtype=object)
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        sk, sv, sc = keys[order], vals[order], cnt[order]
+        # combine duplicate (key, value) rows from different batches
+        first = np.empty(len(order), bool)
+        first[0] = True
+        first[1:] = (sk[1:] != sk[:-1]) | (sv[1:] != sv[:-1])
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(sc, starts)
+        sk, sv = sk[starts], sv[starts]
+        kfirst = np.empty(len(sk), bool)
+        kfirst[0] = True
+        kfirst[1:] = sk[1:] != sk[:-1]
+        kstarts = np.flatnonzero(kfirst)
+        kends = np.concatenate((kstarts[1:], [len(sk)]))
+        out_k, out_q, out_v = [], [], []
+        for s, e in zip(kstarts, kends):
+            c = np.cumsum(tot[s:e])
+            n = int(c[-1])
+            for q in qs:
+                r = max(math.ceil(q * n), 1) - 1
+                out_k.append(sk[s])
+                out_q.append(float(q))
+                out_v.append(int(sv[s:e][np.searchsorted(c, r + 1)]))
+        return pa.table({"key": pa.array(out_k, pa.string()),
+                         "q": pa.array(out_q, pa.float64()),
+                         "value": pa.array(out_v, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_key, batch_format="pyarrow")
+    )
+
+
 def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                     num_buckets: int = 1 << 16):
     """EXACT discrete quantiles of an integer column, DuckDB

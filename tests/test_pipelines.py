@@ -3661,3 +3661,34 @@ def test_write_digests_durability_contract(ray_session, tmp_path):
     }))
     out = filter_seen(newdocs, str(tmp_path / "seen")).to_pandas()
     assert list(out["doc_id"]) == [7]  # tmp digests never count as seen
+
+
+def test_grouped_quantiles_matches_bruteforce(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import grouped_quantiles
+
+    rng = np.random.default_rng(6)
+    keys = list(rng.choice(["a", "b", "c"], size=500))
+    vals = list(rng.integers(0, 1000, size=500))
+    qs = (0.1, 0.5, 0.9)
+    exp = {}
+    for k in set(keys):
+        kv = sorted(v for kk, v in zip(keys, vals) if kk == k)
+        for q in qs:
+            exp[(k, q)] = kv[max(math.ceil(q * len(kv)), 1) - 1]
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(keys, pa.string()),
+        "n": pa.array([int(v) for v in vals], pa.int64()),
+    })).repartition(7)
+    got = grouped_quantiles(ds, col="n", key_col="lang", qs=qs).to_pandas()
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        assert exp[(row.key, row.q)] == row.value
+    many = grouped_quantiles(ds.repartition(23), col="n", key_col="lang",
+                             qs=qs).to_pandas().sort_values(
+        ["key", "q"]).reset_index(drop=True)
+    assert many.equals(got.sort_values(["key", "q"]).reset_index(drop=True))

@@ -159,3 +159,65 @@ def test_query_tokens_both_equals_two_passes(text, mode):
     filtered, raw = tok.query_tokens_both(text)
     assert filtered == tok.query_tokens(text)
     assert raw == tok.query_tokens(text, stop_filter=False)
+
+
+# --------------------------------------------------------------------------- #
+# substr rolling-hash kernel invariants
+# --------------------------------------------------------------------------- #
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(alphabet="abcXYZ09 é日",
+                        min_size=0, max_size=60),
+                min_size=1, max_size=6),
+       st.integers(2, 8))
+def test_window_hash_is_content_function(texts, L):
+    """Two windows hash equal IFF their codepoint content is equal (the
+    'iff' holds with overwhelming probability at 128 bits — asserting it
+    on tiny inputs doubles as a collision smoke test), and positions are
+    codepoint offsets per row."""
+    from riot_ray.pipelines.substr import _codepoints, _window_hashes
+
+    arr = pa.array(texts, pa.string())
+    cp, lens = _codepoints(arr)
+    h1, h2, p, pos = _window_hashes(cp, lens, L)
+    windows = {}
+    for hh1, hh2, pp, po in zip(h1.tolist(), h2.tolist(),
+                                p.tolist(), pos.tolist()):
+        content = texts[pp][po: po + L]
+        assert len(content) == L
+        windows.setdefault((hh1, hh2), set()).add(content)
+    for contents in windows.values():
+        assert len(contents) == 1  # equal hash pair => equal content
+    # equal content => equal hash pair (group by content, expect 1 pair)
+    by_content = {}
+    for (hh1, hh2), contents in windows.items():
+        by_content.setdefault(next(iter(contents)), set()).add((hh1, hh2))
+    for pairs in by_content.values():
+        assert len(pairs) == 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abc ", min_size=0, max_size=80),
+       st.integers(2, 6))
+def test_merge_spans_covers_exactly_duplicated_windows(text, L):
+    """_merge_spans output covers exactly the union of duplicated-window
+    char ranges (brute-force recomputation)."""
+    from collections import Counter
+
+    from riot_ray.pipelines.substr import (_codepoints, _merge_spans,
+                                           _window_hashes)
+
+    arr = pa.array([text], pa.string())
+    cp, lens = _codepoints(arr)
+    h1, h2, p, pos = _window_hashes(cp, lens, L)
+    cnt = Counter(zip(h1.tolist(), h2.tolist()))
+    dup = np.array([cnt[k] >= 2 for k in zip(h1.tolist(), h2.tolist())],
+                   bool) if len(h1) else np.zeros(0, bool)
+    spans = _merge_spans(p[dup], pos[dup], L)
+    covered = set()
+    for s, e in zip(spans["span_start"].to_pylist(),
+                    spans["span_end"].to_pylist()):
+        covered |= set(range(s, e))
+    expect = set()
+    for po in pos[dup].tolist():
+        expect |= set(range(po, po + L))
+    assert covered == expect

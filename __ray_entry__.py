@@ -524,6 +524,16 @@ def _q_word_embeddings(sf_dir: str):
     })
 
 
+def _q_grouped_stats(sf_dir: str):
+    """Per-language exact moments of n_chars: int64 sum/sumsq through one
+    shuffle, mean/variance derived by the identical double expressions
+    the SQL writes — hash-exact despite the floats."""
+    from riot_ray.pipelines import grouped_stats
+
+    return grouped_stats(_docs(sf_dir).select_columns(["lang", "n_chars"]),
+                         col="n_chars", key_col="lang")
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-language exact n_chars quantiles: one (key, value) histogram
     shuffle, quantiles resolved inside each key's partition — DuckDB
@@ -1294,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_subword_counts": _q_bpe_counts,
         "heavy_hitters": _q_heavy_hitters,
         "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_stats": _q_grouped_stats,
         "incremental_dedup": _q_incremental_dedup,
         "pmi_pairs": _q_pmi_pairs,
         "word_embeddings": _q_word_embeddings,
@@ -1425,6 +1436,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
             LIMIT {K}
+            """,
+        "grouped_stats": """
+            SELECT lang AS key, count(*)::BIGINT AS n,
+                   sum(n_chars)::BIGINT AS sum,
+                   sum(n_chars)::DOUBLE / count(*) AS mean,
+                   (sum(n_chars * n_chars)::DOUBLE
+                    - sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE / count(*))
+                   / (count(*) - 1) AS variance
+            FROM documents GROUP BY lang
             """,
         "grouped_quantiles": " UNION ALL ".join(
             f"SELECT lang AS key, {q} AS q, "

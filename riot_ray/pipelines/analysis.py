@@ -1589,6 +1589,78 @@ def hll_count(ds, col: str = "doc_id", p: int = 12, seed: int = 0,
 # --------------------------------------------------------------------------- #
 # exact distributed quantiles (order statistics without a global sort)
 # --------------------------------------------------------------------------- #
+def grouped_stats(ds, col: str, key_col: str,
+                  num_partitions: int | None = None):
+    """Exact per-key moments of an integer column:
+    ``(key, n, sum, mean, variance)`` with ``sum``/``sumsq`` accumulated
+    as int64 (order-independent, overflow-visible) and mean/variance
+    derived by the IDENTICAL double expressions the SQL oracle writes
+    (``var_samp`` = (sumsq - sum*sum/n) / (n-1)) — hash-exact, unlike a
+    streaming float accumulation whose result depends on batch order.
+
+    One hash-partitioned shuffle of per-batch (key, n, sum, sumsq)
+    partials — three int64 cells per key per batch."""
+    from .dedup import _join_parts
+
+    num_partitions = _join_parts(num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pc.fill_null(batch[key_col].cast(pa.string()), "")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(cats)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s = _group_sum_i64(codes, v, k)
+        s2 = _group_sum_i64(codes, v * v, k)
+        kh = _token_hashes(pa.array(cats, pa.string()))
+        part = (kh % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"key": pa.array(cats, pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "s2": pa.array(s2, pa.int64()),
+                         "__part": pa.array(part, pa.int32())})
+
+    def reduce_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64()),
+                             "variance": pa.array([], pa.float64())})
+        keys = np.asarray(group["key"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = _group_sum_i64(inv, group["n"].to_numpy(zero_copy_only=False),
+                           len(uniq))
+        s = _group_sum_i64(inv, group["s"].to_numpy(zero_copy_only=False),
+                           len(uniq))
+        s2 = _group_sum_i64(inv, group["s2"].to_numpy(zero_copy_only=False),
+                            len(uniq))
+        nf = n.astype(np.float64)
+        mean = s.astype(np.float64) / nf
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (s2.astype(np.float64)
+                   - s.astype(np.float64) * s.astype(np.float64) / nf) \
+                / (nf - 1.0)
+        var = np.where(n > 1, var, np.nan)
+        return pa.table({"key": pa.array(uniq, pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "sum": pa.array(s, pa.int64()),
+                         "mean": pa.array(mean, pa.float64()),
+                         "variance": pa.array(var, pa.float64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_key, batch_format="pyarrow")
+    )
+
+
 def grouped_quantiles(ds, col: str, key_col: str,
                       qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                       num_partitions: int | None = None):

@@ -3692,3 +3692,32 @@ def test_grouped_quantiles_matches_bruteforce(ray_session):
                              qs=qs).to_pandas().sort_values(
         ["key", "q"]).reset_index(drop=True)
     assert many.equals(got.sort_values(["key", "q"]).reset_index(drop=True))
+
+
+def test_grouped_stats_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from riot_ray.pipelines import grouped_stats
+
+    rng = np.random.default_rng(8)
+    keys = list(rng.choice(["x", "y", "z"], size=400)) + ["solo"]
+    vals = [int(v) for v in rng.integers(0, 5000, size=400)] + [42]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.int64()),
+    })).repartition(9)
+    got = grouped_stats(ds, col="v", key_col="k").to_pandas().set_index("key")
+    for k in ["x", "y", "z"]:
+        kv = np.array([v for kk, v in zip(keys, vals) if kk == k], np.int64)
+        assert got.loc[k, "n"] == len(kv)
+        assert got.loc[k, "sum"] == kv.sum()
+        s, s2, n = float(kv.sum()), float((kv * kv).sum()), float(len(kv))
+        assert got.loc[k, "mean"] == s / n
+        assert got.loc[k, "variance"] == (s2 - s * s / n) / (n - 1.0)
+    # n == 1 group: variance is NaN by contract
+    import math
+
+    assert got.loc["solo", "n"] == 1 and math.isnan(got.loc["solo", "variance"])
+    many = grouped_stats(ds.repartition(17), col="v", key_col="k").to_pandas()
+    assert many.set_index("key").sort_index().equals(got.sort_index())

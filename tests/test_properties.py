@@ -221,3 +221,68 @@ def test_merge_spans_covers_exactly_duplicated_windows(text, L):
     for po in pos[dup].tolist():
         expect |= set(range(po, po + L))
     assert covered == expect
+
+
+# --------------------------------------------------------------------------- #
+# BPE indexed trainer == brute-force trainer, for ANY word/count table
+# --------------------------------------------------------------------------- #
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=7),
+                min_size=1, max_size=25, unique=True),
+       st.lists(st.integers(1, 40), min_size=25, max_size=25),
+       st.integers(1, 30))
+def test_bpe_indexed_trainer_equals_bruteforce_property(words, counts, n_merges):
+    from riot_ray.pipelines.bpe import _EOW, _train_merges, encode_word
+
+    counts = np.asarray(counts[: len(words)], np.int64)
+    got = _train_merges(list(words), counts, n_merges)
+
+    # brute force: recompute ALL pair counts each merge
+    seqs = [list(w[:-1]) + [w[-1] + _EOW] for w in words]
+    merges = []
+    for _ in range(n_merges):
+        pc_ = {}
+        for seq, c in zip(seqs, counts):
+            for a, b in zip(seq, seq[1:]):
+                pc_[(a, b)] = pc_.get((a, b), 0) + int(c)
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for i, seq in enumerate(seqs):
+            new, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                    new.append(a + b)
+                    j += 2
+                else:
+                    new.append(seq[j])
+                    j += 1
+            seqs[i] = new
+    assert got == merges
+    # greedy rank-order encoding reproduces training segmentation
+    rank = {p: i for i, p in enumerate(got)}
+    for w, seq in zip(words, seqs):
+        assert encode_word(w, rank) == seq
+
+
+# --------------------------------------------------------------------------- #
+# _pair_member == python set membership, including duplicate-h1 runs
+# --------------------------------------------------------------------------- #
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=0, max_size=30),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=0, max_size=30))
+def test_pair_member_equals_set_membership(qpairs, spairs):
+    from riot_ray.pipelines.substr import _pair_member
+
+    sset = sorted(set(spairs))
+    s1 = np.array([p[0] for p in sset], np.uint64)
+    s2 = np.array([p[1] for p in sset], np.uint64)
+    q1 = np.array([p[0] for p in qpairs], np.uint64)
+    q2 = np.array([p[1] for p in qpairs], np.uint64)
+    got = _pair_member(q1, q2, s1, s2)
+    exp = np.array([p in set(sset) for p in qpairs], bool)
+    assert (got == exp).all()

@@ -459,6 +459,28 @@ def _q_dup_span_clean(sf_dir: str):
     return dup_span_clean(_substr_enrich_ds(sf_dir), min_len=40)
 
 
+def _q_pipeline_substr_curate(sf_dir: str):
+    """Curation chain v2 — the ExactSubstr op composing with the rest of
+    the toolkit under ONE oracle: duplicated spans cut out
+    (dup_span_clean), a post-clean length gate, then the deterministic
+    Bernoulli sample.  Output is (doc_id, n_chars_clean, n_removed)."""
+    import pyarrow.compute as pc
+
+    from riot_ray.pipelines import dup_span_clean, hash_sample
+
+    cleaned = dup_span_clean(_substr_enrich_ds(sf_dir), min_len=40)
+
+    def gate(b: pa.Table) -> pa.Table:
+        n = pc.utf8_length(b["text_clean"]).cast(pa.int64())
+        t = b.append_column("n_chars_clean", n)
+        return t.filter(pc.greater_equal(n, 200))
+
+    return hash_sample(
+        cleaned.map_batches(gate, batch_format="pyarrow"),
+        frac=0.5, id_col="doc_id", seed=7,
+    ).select_columns(["doc_id", "n_chars_clean", "n_removed"])
+
+
 def _q_nb_classify(sf_dir: str):
     """Multinomial Naive Bayes label recovery: fit on the documents
     table's own lang labels (counting groupby), re-score every doc —
@@ -1300,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "dup_span_clean": _q_dup_span_clean,
         "nb_classify": _q_nb_classify,
+        "pipeline_substr_curate": _q_pipeline_substr_curate,
         "facet_counts": _q_facet_counts,
         "bpe_subword_counts": _q_bpe_counts,
         "heavy_hitters": _q_heavy_hitters,
@@ -2361,6 +2384,38 @@ def oracle_sql() -> dict[str, str]:
                 (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
               FROM scores)
         WHERE rn = 1
+        """
+
+    _half_cut = int(0.5 * float(2**64))
+    out["pipeline_substr_curate"] = f"""
+        WITH {_SUBSTR_SPANS},
+        segs AS (
+          SELECT doc_id,
+                 coalesce(lag(span_end) OVER
+                            (PARTITION BY doc_id ORDER BY span_start),
+                          0) AS s,
+                 span_start AS e
+          FROM spans
+          UNION ALL
+          SELECT sp.doc_id, max(sp.span_end) AS s, max(len(d.t)) AS e
+          FROM spans sp JOIN docs d USING (doc_id) GROUP BY sp.doc_id),
+        cleaned AS (
+          SELECT g.doc_id,
+                 string_agg(substr(d.t, g.s + 1, g.e - g.s),
+                            '' ORDER BY g.s) AS tc
+          FROM segs g JOIN docs d USING (doc_id) GROUP BY g.doc_id),
+        rem AS (SELECT doc_id, sum(span_end - span_start)::BIGINT AS nrem
+                FROM spans GROUP BY doc_id),
+        final AS (
+          SELECT d.doc_id, coalesce(c.tc, d.t) AS tclean,
+                 coalesce(r.nrem, 0)::BIGINT AS n_removed
+          FROM docs d LEFT JOIN cleaned c USING (doc_id)
+          LEFT JOIN rem r USING (doc_id))
+        SELECT doc_id, len(tclean)::BIGINT AS n_chars_clean, n_removed
+        FROM final
+        WHERE len(tclean) >= 200
+          AND ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
+              < {_half_cut}::UBIGINT
         """
 
     out["normalize_text"] = r"""

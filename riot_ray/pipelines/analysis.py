@@ -1647,12 +1647,15 @@ def grouped_stats(ds, col: str, key_col: str,
             var = (s2.astype(np.float64)
                    - s.astype(np.float64) * s.astype(np.float64) / nf) \
                 / (nf - 1.0)
-        var = np.where(n > 1, var, np.nan)
+        # n==1 keys: sample variance is undefined — emit NULL (not NaN) to
+        # match SQL (sumsq - sum*sum/n)/(n-1)'s division-by-zero NULL
+        var = np.where(n > 1, var, 0.0)
         return pa.table({"key": pa.array(uniq, pa.string()),
                          "n": pa.array(n, pa.int64()),
                          "sum": pa.array(s, pa.int64()),
                          "mean": pa.array(mean, pa.float64()),
-                         "variance": pa.array(var, pa.float64())})
+                         "variance": pa.array(var, pa.float64(),
+                                              mask=n <= 1)})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

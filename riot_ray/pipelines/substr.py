@@ -378,8 +378,12 @@ def dup_spans(
         cp, lens = _codepoints(batch[text_col])
         h1, h2, p, pos = _window_hashes(cp, lens, min_len)
         if len(h1):
-            assert ids.max() < (1 << 31), "dup_spans: doc id needs < 2^31"
-            assert pos.max() < (1 << 32), "dup_spans: doc longer than 2^32 chars"
+            # hard errors (not asserts — must survive python -O): a negative
+            # or >=2^31 id would silently corrupt the (doc<<32)|pos pack
+            if ids.min() < 0 or ids.max() >= (1 << 31):
+                raise ValueError("dup_spans: doc ids must be in [0, 2^31)")
+            if pos.max() >= (1 << 32):
+                raise ValueError("dup_spans: doc longer than 2^32 chars")
         pack = (ids[p] << 32) | pos
         return pa.table({"h1": pa.array(h1.view(np.int64), pa.int64()),
                          "h2": pa.array(h2.view(np.int64), pa.int64()),

@@ -51,6 +51,18 @@ def bm25_term_scores(idf, freq, d, avgdl, k1, b, dtype=np.float32):
     return idf * freq * (k1 + one) / denom
 
 
+def bm25_term_scores_prenorm(idf, freq, norm, k1, dtype=np.float32):
+    """Same kernel with the length norm ``k1*(1-b+b*d/avgdl)`` precomputed
+    per doc (:meth:`ShardData.bm25_norms`) — elementwise op order is
+    unchanged, so results are bit-identical to :func:`bm25_term_scores`."""
+    one = dtype(1.0)
+    k1 = dtype(k1)
+    idf = dtype(idf)
+    freq = np.asarray(freq).astype(dtype, copy=False)
+    denom = freq + norm
+    return idf * freq * (k1 + one) / denom
+
+
 def default_scoring(hit: ScoredHit, fields) -> tuple:
     """RankByBM25 (/root/reference/types/scoring_criteria.go:27-33)."""
     return (hit.bm25,)
@@ -195,6 +207,9 @@ class ShardData:
         self._cache: dict[str, tuple] = {}
         self._fw_files: list[str] = []
         self._facet_cache: dict[str, tuple] = {}
+        self._norm_cache: dict[tuple, np.ndarray] = {}
+        self._id_sorted_ids = None  # fw_doc_id sorted by string (lazy)
+        self._id_order = None
         self._load_forward(index_dir, opts, hydrate)
 
     def _load_forward(self, index_dir, opts, hydrate):
@@ -271,6 +286,53 @@ class ShardData:
     def doc_ids_of(self, cand: np.ndarray) -> np.ndarray:
         i = np.searchsorted(self.fw_doc, cand)
         return self.fw_doc_id[i]
+
+    def bm25_norms(self, avgdl: float, dtype) -> np.ndarray:
+        """Per-doc BM25 length norm ``k1*(1-b+b*d/avgdl)`` aligned to
+        ``dm_doc``, computed ONCE per (k1,b,avgdl,dtype) at first use
+        instead of per query term.  Elementwise in the target dtype, so a
+        gathered slice is bit-identical to computing the same expression
+        on the gathered doc lengths (the float32 conformance contract)."""
+        key = (float(self.opts.bm25.k1), float(self.opts.bm25.b),
+               float(avgdl), np.dtype(dtype).name)
+        hit = self._norm_cache.get(key)
+        if hit is None:
+            one = dtype(1.0)
+            k1 = dtype(self.opts.bm25.k1)
+            b = dtype(self.opts.bm25.b)
+            av = dtype(avgdl)
+            d = self.dm_len.astype(dtype, copy=False)
+            hit = k1 * (one - b + b * d / av)
+            self._norm_cache[key] = hit
+        return hit
+
+    def allowed_docs(self, allow_ids) -> np.ndarray:
+        """Translate a string-docId allowlist into this shard's sorted
+        uint64 doc array: |A| searchsorted string probes against a cached
+        string-sorted forward permutation — replaces the per-candidate
+        Python set-membership loop (VERDICT r3 #4).  Ids unknown to the
+        shard are dropped (same semantics as the set filter)."""
+        if self._id_sorted_ids is None:
+            order = np.argsort(self.fw_doc_id, kind="stable")
+            self._id_order = order
+            self._id_sorted_ids = self.fw_doc_id[order]
+        ids = self._id_sorted_ids
+        if ids.size == 0:
+            return np.empty(0, np.uint64)
+        a = np.unique(np.asarray(list(allow_ids), dtype=object))
+        pos = np.searchsorted(ids, a)
+        ok = pos < ids.size
+        ok[ok] = ids[pos[ok]] == a[ok]
+        return np.sort(self.fw_doc[self._id_order[pos[ok]]])
+
+    def _apply_allowlist(self, cand: np.ndarray, allow_ids) -> np.ndarray:
+        allowed = self.allowed_docs(allow_ids)
+        if allowed.size == 0:
+            return cand[:0]
+        pos = np.searchsorted(allowed, cand)
+        ok = pos < allowed.size
+        ok[ok] = allowed[pos[ok]] == cand[ok]
+        return cand[ok]
 
     def fields_of(self, doc: int) -> dict:
         if not self.hydrate_cols:
@@ -393,10 +455,7 @@ class ShardData:
         cand = self.and_candidates(keywords)
         cand = self._alive(cand)
         if allow_ids is not None and cand.size:
-            keep = np.fromiter(
-                (d in allow_ids for d in self.doc_ids_of(cand)), bool, count=cand.size
-            )
-            cand = cand[keep]
+            cand = self._apply_allowlist(cand, allow_ids)
         if cand.size == 0:
             return ret(HitBlock.empty(), 0)
         num_docs = int(cand.size)
@@ -409,7 +468,7 @@ class ShardData:
         token_pos = []
         demoted = np.zeros(n, dtype=bool)
         if opts.index_type != DOCIDS_INDEX:
-            d = self.doc_lens(cand)
+            nrm = self.bm25_norms(avgdl, dtype)[np.searchsorted(self.dm_doc, cand)]
             for t, idf in zip(tokens, idfs):
                 docs, tfs = self.postings(t)
                 rows = np.searchsorted(docs, cand)
@@ -424,8 +483,8 @@ class ShardData:
                 token_tfs.append(freq)
             # per-token f32 accumulation in token order (conformance)
             for idf, freq in zip(idfs, token_tfs):
-                contrib = bm25_term_scores(
-                    idf, freq, d, avgdl, opts.bm25.k1, opts.bm25.b, dtype
+                contrib = bm25_term_scores_prenorm(
+                    idf, freq, nrm, opts.bm25.k1, dtype
                 )
                 # riot skips tf==0 terms (label-injected) — contribution 0
                 contrib = np.where(freq > 0, contrib, dtype(0.0))
@@ -539,10 +598,7 @@ class ShardData:
             return ret(HitBlock.empty(), 0)
         cand = self._alive(cand)
         if allow_ids is not None and cand.size:
-            keep = np.fromiter(
-                (d in allow_ids for d in self.doc_ids_of(cand)), bool, count=cand.size
-            )
-            cand = cand[keep]
+            cand = self._apply_allowlist(cand, allow_ids)
         num = int(cand.size)
         if count_only:
             return ret(HitBlock.empty(), num, cand)
@@ -679,12 +735,12 @@ class ShardData:
                     cand_tf[key] = cand_tf[key][alive]
             if cand.size == 0:
                 continue
-            dl = self.doc_lens(cand)
+            nrm = self.bm25_norms(avgdl, dtype)[np.searchsorted(self.dm_doc, cand)]
             score = np.zeros(len(cand), dtype=dtype)
             for (t, idf, *_rest) in infos:
                 tf_t = cand_tf[t]
-                contrib = bm25_term_scores(
-                    idf, tf_t, dl, avgdl, self.opts.bm25.k1, self.opts.bm25.b, dtype
+                contrib = bm25_term_scores_prenorm(
+                    idf, tf_t, nrm, self.opts.bm25.k1, dtype
                 )
                 score = score + np.where(tf_t > 0, contrib, dtype(0.0))
             n_scored += int(cand.size)

@@ -75,6 +75,8 @@ class SearchReq:
     # offset/limit), merged across shards by summation.  Not combinable
     # with approx_count (WAND never sees the full set).  riot has no
     # facet operator — this is the aggregation search engines bolt on.
+    # NULL attribute values are counted under the "" (empty-string) bucket
+    # — a documented sentinel, unlike SQL GROUP BY's distinct NULL group.
     facets: tuple = ()
 
 

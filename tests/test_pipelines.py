@@ -2770,6 +2770,24 @@ def test_dup_spans_join_path_matches_broadcast(ray_session, monkeypatch):
     assert len(base) > 0
 
 
+def test_dup_spans_join_path_rejects_negative_ids(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import dup_spans
+
+    texts = _substr_texts()
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([-1] + list(range(1, len(texts))), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)  # force the hash-join path
+    # a negative id would corrupt the (doc<<32)|pos pack — must be a hard
+    # ValueError (survives python -O), not a silent wrong answer
+    with pytest.raises(Exception, match="doc ids must be in"):
+        dup_spans(ds, min_len=12).to_pandas()
+
+
 def test_dup_span_clean_cuts_exactly(ray_session):
     import ray.data as rd
 
@@ -3707,7 +3725,8 @@ def test_grouped_stats_matches_bruteforce(ray_session):
         "k": pa.array(keys, pa.string()),
         "v": pa.array(vals, pa.int64()),
     })).repartition(9)
-    got = grouped_stats(ds, col="v", key_col="k").to_pandas().set_index("key")
+    got_ds = grouped_stats(ds, col="v", key_col="k")
+    got = got_ds.to_pandas().set_index("key")
     for k in ["x", "y", "z"]:
         kv = np.array([v for kk, v in zip(keys, vals) if kk == k], np.int64)
         assert got.loc[k, "n"] == len(kv)
@@ -3715,9 +3734,9 @@ def test_grouped_stats_matches_bruteforce(ray_session):
         s, s2, n = float(kv.sum()), float((kv * kv).sum()), float(len(kv))
         assert got.loc[k, "mean"] == s / n
         assert got.loc[k, "variance"] == (s2 - s * s / n) / (n - 1.0)
-    # n == 1 group: variance is NaN by contract
-    import math
-
-    assert got.loc["solo", "n"] == 1 and math.isnan(got.loc["solo", "variance"])
+    # n == 1 group: variance is NULL by contract (matches the SQL oracle's
+    # (sumsq-sum*sum/n)/(n-1) division-by-zero NULL — not NaN)
+    solo = [r for r in got_ds.take_all() if r["key"] == "solo"][0]
+    assert solo["n"] == 1 and solo["variance"] is None
     many = grouped_stats(ds.repartition(17), col="v", key_col="k").to_pandas()
     assert many.set_index("key").sort_index().equals(got.sort_index())

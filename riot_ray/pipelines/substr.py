@@ -313,35 +313,51 @@ def _dup_keys(ds, min_len: int, text_col: str, num_partitions: int):
     )
 
 
+# Auto-prefilter threshold: above this many docs the per-char window
+# exchange dominates (794 s at 600k docs contended) and the winnowing
+# prefilter's ~20x row cut pays for its two extra scans even on one box;
+# on a multi-node cluster it is the difference between a network-bound
+# and a compute-bound job.  Below it the dense path's single scan wins.
+PREFILTER_AUTO_ROWS = 100_000
+
+
 def dup_spans(
     ds,
     min_len: int = 40,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
-    prefilter: bool = False,
+    prefilter: bool | None = None,
 ):
     """Spans of corpus-duplicated text per doc:
     ``(doc_id, span_start, span_end, n_windows)`` — char offsets, end
     exclusive; ``n_windows`` = duplicated length-``min_len`` windows the
     span merged.  Docs without duplicated substrings emit no rows.
 
-    ``prefilter=True`` first runs the winnowed-anchor candidate pass
-    (:func:`_candidate_filter`): only docs that can possibly hold a
-    duplicate enter the per-char window shuffle — ~20x fewer rows through
-    the exchange on low-dup corpora, at the cost of two extra corpus
-    scans.  Exactness is unaffected either way (the anchor construction
-    cannot produce false negatives — pinned by the equality test).
-    Default OFF: on a single node the object-store "shuffle" is memcpy,
-    so the extra scans outweigh the row savings (measured ~parity at
-    270M chars); on a multi-node cluster, where the window exchange
-    crosses the network, the 20x row cut is the difference between a
-    network-bound and a compute-bound job — enable it there."""
+    ``prefilter`` selects the exchange plan; results are bit-identical
+    either way (the winnowed-anchor construction cannot produce false
+    negatives — pinned by the equality test):
+
+    * ``True`` — run the candidate pass (:func:`_candidate_filter`)
+      first: only docs that can possibly hold a duplicate enter the
+      per-char window shuffle — ~20x fewer rows through the exchange on
+      low-dup corpora, at the cost of two extra corpus scans.  The scale
+      path: the dense exchange is one row per CHARACTER, the documented
+      multi-node killer.
+    * ``False`` — dense single-scan exchange; wins on small corpora
+      where the object-store "shuffle" is memcpy and fixed overhead
+      dominates.  Kept as the debug/reference plan.
+    * ``None`` (default) — auto: materialize the input (both plans scan
+      it at least twice, so pinning blocks is free) and enable the
+      prefilter at >= ``PREFILTER_AUTO_ROWS`` docs (VERDICT r3 #6)."""
     import ray
 
     from .dedup import BROADCAST_BYTES, _hash_join, _join_parts
 
     num_partitions = _join_parts(num_partitions)
+    if prefilter is None:
+        ds = ds.materialize()
+        prefilter = ds.count() >= PREFILTER_AUTO_ROWS
     if prefilter and min_len >= 4:
         ds = _candidate_filter(ds, min_len, text_col, num_partitions)
     keys = _dup_keys(ds, min_len, text_col, num_partitions).materialize()

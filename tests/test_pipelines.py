@@ -2770,6 +2770,27 @@ def test_dup_spans_join_path_matches_broadcast(ray_session, monkeypatch):
     assert len(base) > 0
 
 
+def test_dup_spans_auto_prefilter_equals_dense(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import riot_ray.pipelines.substr as ss
+    from riot_ray.pipelines import dup_spans
+
+    texts = _substr_texts()
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    dense = dup_spans(ds, min_len=12, prefilter=False).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    # force the auto path to pick the prefilter plan on this tiny corpus
+    monkeypatch.setattr(ss, "PREFILTER_AUTO_ROWS", 1)
+    auto = dup_spans(ds, min_len=12).to_pandas().sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    assert dense.equals(auto)
+    assert len(dense) > 0
+
+
 def test_dup_spans_join_path_rejects_negative_ids(ray_session, monkeypatch):
     import ray.data as rd
 

@@ -379,6 +379,12 @@ class LocalSearcher(_SearcherBase):
 
     def _dispatch(self, method, kwargs, req, rank, keep, orderless):
         per_shard, num_scored, num_found, facets = [], 0, 0, None
+        if (method == "search" and not orderless and not req.count_docs_only
+                and rank.scoring_criteria is None and not rank.reverse_order):
+            # default rank path: defer doc-id string materialization to the
+            # top-k boundary inside rank_hits (with_ids=False) — common
+            # terms otherwise gather an object array for most of the shard
+            kwargs = {**kwargs, "with_ids": False}
         for s in self.shards:
             out = getattr(s, method)(**kwargs)
             hits, num = out[0], out[1]
@@ -800,6 +806,11 @@ def _make_shard_worker():
             self.__init__(self._index_dir, self._shard_ids, self._hydrate)
 
         def run(self, method, kwargs, rank, keep, count_only, orderless):
+            if (method == "search" and not orderless and not count_only
+                    and rank.scoring_criteria is None
+                    and not rank.reverse_order):
+                # same lazy doc-id deferral as LocalSearcher._dispatch
+                kwargs = {**kwargs, "with_ids": False}
             out_hits, num_scored, num_found, facets = [], 0, 0, None
             for s in self.searchers:
                 out = getattr(s, method)(**kwargs)

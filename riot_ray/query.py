@@ -293,8 +293,10 @@ class ShardData:
         instead of per query term.  Elementwise in the target dtype, so a
         gathered slice is bit-identical to computing the same expression
         on the gathered doc lengths (the float32 conformance contract)."""
+        # dtype class itself is the key — np.dtype(...).name costs ~15us
+        # per call, measurable at 1ms/query
         key = (float(self.opts.bm25.k1), float(self.opts.bm25.b),
-               float(avgdl), np.dtype(dtype).name)
+               float(avgdl), dtype)
         hit = self._norm_cache.get(key)
         if hit is None:
             one = dtype(1.0)
@@ -409,27 +411,43 @@ class ShardData:
         return cand
 
     def and_candidates(self, keywords: list) -> np.ndarray:
+        cand, _ = self._and_candidates_rows(keywords, ())
+        return cand
+
+    def _and_candidates_rows(self, keywords: list, want_rows):
         """Sorted-list AND intersection (semantics of internalLookup,
         /root/reference/core/indexer.go:417-558), smallest list first.
         Membership is a searchsorted probe of the small list into the
         larger (O(s log L)) rather than ``np.intersect1d``, which re-sorts
-        the concatenation (O((s+L) log(s+L))) on every step."""
-        lists = []
+        the concatenation (O((s+L) log(s+L))) on every step.
+
+        Returns ``(cand, rows)`` where ``rows[t]`` holds each candidate's
+        row index in term t's posting list for every t in ``want_rows`` —
+        a BYPRODUCT of the intersection probes (each shrink step masks the
+        already-known positions), so the BM25 stage never re-probes its
+        terms (the profile's top cost after this change moved from
+        searchsorted to the scoring math itself)."""
+        infos = []
         for k in keywords:
             docs, _ = self.postings(k)
             if docs.size == 0:
-                return np.empty(0, np.uint64)
-            lists.append(docs)
-        lists.sort(key=len)
-        cand = lists[0]
-        for arr in lists[1:]:
+                return np.empty(0, np.uint64), {}
+            infos.append((k, docs))
+        infos.sort(key=lambda x: len(x[1]))
+        k0, d0 = infos[0]
+        cand = d0
+        rows = {k0: np.arange(d0.size, dtype=np.int64)}
+        for k, arr in infos[1:]:
             pos = np.searchsorted(arr, cand)
             ok = pos < arr.size
             ok[ok] = arr[pos[ok]] == cand[ok]
             cand = cand[ok]
+            for kk in rows:
+                rows[kk] = rows[kk][ok]
+            rows[k] = pos[ok]
             if cand.size == 0:
-                return cand
-        return cand
+                return cand, {}
+        return cand, {k: rows[k] for k in want_rows if k in rows}
 
     def search(
         self,
@@ -441,21 +459,42 @@ class ShardData:
         count_only: bool,
         dtype_name: str = "float32",
         facets=(),
+        with_ids: bool = True,
     ):
         """AND lookup + BM25 (+proximity in locs mode).  Returns
         (hits: list[dict], num_docs) — hits unranked, driver/actor ranks —
         plus a {col: {value: n}} dict over the FULL candidate set as a
-        third element when ``facets`` is non-empty."""
+        third element when ``facets`` is non-empty.
+
+        ``with_ids=False`` defers doc-id STRING materialization to the
+        rank stage (HitBlock.doc_id = None): the default rank path needs
+        strings only for the top-k boundary set, so gathering an object
+        array for every candidate (common terms: most of the shard) is
+        wasted work.  Callers that consume hits directly keep the
+        default."""
         opts = self.opts
         dtype = np.float32 if dtype_name == "float32" else np.float64
         keywords = list(tokens) + list(labels)
         ret = lambda hits, num, cand=None: self._with_facets(facets, hits, num, cand)  # noqa: E731
         if not keywords:
             return ret(HitBlock.empty(), 0)
-        cand = self.and_candidates(keywords)
-        cand = self._alive(cand)
+        cand, trows = self._and_candidates_rows(keywords, tokens)
+        # the alive/allowlist filters shrink cand — mask the tracked
+        # posting rows in lockstep so the BM25 stage never re-probes
+        if self.tombstones.size and cand.size:
+            alive = ~np.isin(cand, self.tombstones)
+            cand = cand[alive]
+            trows = {k: v[alive] for k, v in trows.items()}
         if allow_ids is not None and cand.size:
-            cand = self._apply_allowlist(cand, allow_ids)
+            allowed = self.allowed_docs(allow_ids)
+            if allowed.size == 0:
+                cand = cand[:0]
+            else:
+                pos = np.searchsorted(allowed, cand)
+                ok = pos < allowed.size
+                ok[ok] = allowed[pos[ok]] == cand[ok]
+                cand = cand[ok]
+                trows = {k: v[ok] for k, v in trows.items()}
         if cand.size == 0:
             return ret(HitBlock.empty(), 0)
         num_docs = int(cand.size)
@@ -471,7 +510,9 @@ class ShardData:
             nrm = self.bm25_norms(avgdl, dtype)[np.searchsorted(self.dm_doc, cand)]
             for t, idf in zip(tokens, idfs):
                 docs, tfs = self.postings(t)
-                rows = np.searchsorted(docs, cand)
+                rows = trows.get(t)
+                if rows is None:
+                    rows = np.searchsorted(docs, cand)
                 tf_t = tfs[rows]
                 if opts.index_type == LOCS_INDEX:
                     plists = self.positions_of(t, rows)
@@ -490,7 +531,7 @@ class ShardData:
                 contrib = np.where(freq > 0, contrib, dtype(0.0))
                 bm25 = bm25 + contrib
 
-        doc_ids = self.doc_ids_of(cand)
+        doc_ids = self.doc_ids_of(cand) if with_ids else None
         bm25 = np.where(demoted, 0.0, bm25)
         prox = None
         snippet = None
@@ -771,6 +812,7 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, keep: int
     if n == 0:
         return [], 0
     scorer = rank.scoring_criteria
+    lazy = hits.doc_id is None
     if scorer is None and not rank.reverse_order:
         # vectorized default path: order by (bm25 desc, doc_id asc), then
         # materialize ScoredHit only for the kept top slice.  When keep is
@@ -778,28 +820,49 @@ def rank_hits(hits: HitBlock, rank: RankOpts, shard: ShardData | None, keep: int
         # the boundary set first: every candidate with score >= the keep-th
         # largest survives selection (ties included), so the subsequent
         # exact two-key sort over that subset yields the identical top slice.
+        # Lazy blocks (with_ids=False) gather doc-id strings ONLY for the
+        # boundary set — never for the full candidate array.
         if 0 < keep < n // 4 and n > 64:
             kth = np.partition(hits.bm25, n - keep)[n - keep]
             sel = np.flatnonzero(hits.bm25 >= kth)
-            sub = np.argsort(hits.doc_id[sel], kind="stable")
+            ids_sel = (shard.doc_ids_of(hits.doc[sel]) if lazy
+                       else hits.doc_id[sel])
+            sub = np.argsort(ids_sel, kind="stable")
             sub = sub[np.argsort(-hits.bm25[sel][sub], kind="stable")]
             order = sel[sub][:keep]
+            ids_of = dict(zip(sel.tolist(), ids_sel.tolist())) if lazy else None
         else:
+            if lazy:
+                hits.doc_id = shard.doc_ids_of(hits.doc)
+                lazy = False
             order = np.argsort(hits.doc_id, kind="stable")
             order = order[np.argsort(-hits.bm25[order], kind="stable")]
             if keep > 0:
                 order = order[:keep]
+            ids_of = None
         out = []
         hydrate = shard is not None and shard.hydrate_cols
         for i in order:
-            sh = hits.hit_at(int(i))
+            i = int(i)
+            if lazy:
+                sh = ScoredHit(
+                    doc_id=ids_of[i], doc=int(hits.doc[i]),
+                    bm25=float(hits.bm25[i]),
+                    token_proximity=int(hits.proximity[i]) if hits.proximity is not None else -1,
+                    token_snippet_locs=hits.snippet[i] if hits.snippet is not None else (),
+                    token_locs=hits.token_locs[i] if hits.token_locs is not None else (),
+                )
+            else:
+                sh = hits.hit_at(i)
             sh.scores = (sh.bm25,)
             if hydrate:
                 # SearchDoc hydration (/root/reference/core/ranker.go:179-219)
-                sh.fields = shard.fields_of(int(hits.doc[int(i)]))
+                sh.fields = shard.fields_of(int(hits.doc[i]))
                 sh.content = sh.fields.pop(shard.opts.content_col, None)
             out.append(sh)
         return out, n
+    if lazy:  # defensive: non-default paths need full ids
+        hits.doc_id = shard.doc_ids_of(hits.doc)
     # custom criteria / reverse order: per-hit path (drop-on-empty honored,
     # /root/reference/core/ranker.go:132-137)
     scorer = scorer or default_scoring

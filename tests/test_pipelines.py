@@ -243,6 +243,31 @@ def test_minhash_lsh_exact_matches_plain_jaccard(ray_session):
     assert np.allclose(got["jaccard"], exact["jaccard"], atol=1e-9)
 
 
+def test_ngram_jaccard_auto_routes_to_lsh_verify(ray_session, monkeypatch):
+    """plan="auto" above the row threshold == the lsh_verify plan, and the
+    routed output matches the exhaustive plan on an easy-recall corpus."""
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(_dup_corpus())
+    exact = (
+        ngram_jaccard_pairs(ds, threshold=0.5, plan="exact")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "JACCARD_AUTO_ROWS", 1)  # force the routed plan
+    routed = (
+        ngram_jaccard_pairs(ds, threshold=0.5)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(routed) == len(exact) > 0
+    assert (routed["id_a"].to_numpy() == exact["id_a"].to_numpy()).all()
+    assert np.allclose(routed["jaccard"], exact["jaccard"], atol=1e-9)
+    with pytest.raises(ValueError, match="plan"):
+        ngram_jaccard_pairs(ds, plan="bogus").to_pandas()
+
+
 def test_simhash_finds_exact_and_near(ray_session):
     import ray.data as rd
     from riot_ray.pipelines import simhash_pairs

@@ -231,6 +231,24 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.time()
         rs.search_many(ureqs2)
         q["replicated_qps_distinct2"] = round(len(ureqs2) / (time.time() - t0), 1)
+
+    # PER-CALL replicated throughput: 16 client threads, ONE RPC per query
+    # (round-robin whole-index replicas).  The sharded per-call path above
+    # pays num_actors RPCs of driver-side serialization per query — its
+    # threaded throughput is inversely proportional to the fan-out
+    # (measured 2/4/8 actors -> 313/186/91 QPS at sf0.1) — so this is the
+    # per-call serving mode to deploy when queries arrive one at a time.
+    def one_rep(i):
+        a, bq = terms[i % len(terms)], terms[(i + 3) % len(terms)]
+        return rs.search(SearchReq(text=f"{a} {bq}",
+                                   rank_opts=RankOpts(max_outputs=10)))
+
+    for i in range(64):
+        one_rep(i)  # warmup
+    t0 = time.time()
+    with ThreadPoolExecutor(16) as ex:
+        list(ex.map(one_rep, range(800)))
+    q["percall_replicated_qps"] = round(800 / (time.time() - t0), 1)
     rs.shutdown()
 
     # 3) pipeline extensions over the same tables

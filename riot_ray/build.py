@@ -272,10 +272,19 @@ class IndexWriter:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        terms_files = sorted(
-            glob.glob(os.path.join(self.segments_dir, "shard=*", "terms.parquet"))
+        from .store import glob_segments, read_any
+
+        terms_files = glob_segments(
+            os.path.join(self.segments_dir, "shard=*"), "terms"
         )
-        total_rows = sum(pq.read_metadata(f).num_rows for f in terms_files)
+        all_parquet = all(f.endswith(".parquet") for f in terms_files)
+        if all_parquet:
+            total_rows = sum(pq.read_metadata(f).num_rows for f in terms_files)
+        else:
+            # non-parquet store engines: terms tables are vocabulary-sized;
+            # force the driver aggregation path (no parquet metadata, and
+            # rd.read_parquet below can't read them)
+            total_rows = 0
         tmp_ts = self.termstats_dir + ".tmp"
         if os.path.exists(tmp_ts):
             shutil.rmtree(tmp_ts)
@@ -288,7 +297,7 @@ class IndexWriter:
                 os.path.join(tmp_ts, "df.parquet"),
             )
         elif total_rows <= self.DRIVER_DF_ROWS:
-            t = pa.concat_tables(pq.read_table(f) for f in terms_files)
+            t = pa.concat_tables(read_any(f) for f in terms_files)
             agg = t.group_by("term").aggregate([("df_local", "sum")])
             # select by NAME: pyarrow's aggregate column order has changed
             # across major versions — a positional rename silently swaps

@@ -99,6 +99,11 @@ class EngineOpts:
     # shard builds (they are memory-bandwidth heavy sorts) and reserves
     # heap headroom per task — measured ~15% faster at 2 on a 16-cpu node
     shard_build_num_cpus: float = 1.0
+    # segment-storage engine for the per-shard blocks/terms/docmeta trio
+    # (riot's pluggable store registry, /root/reference/store/store.go:29-72;
+    # see riot_ray/store.py — "parquet" default, "feather" built-in, custom
+    # engines via register_store; RIOT_RAY_STORE_ENGINE env overrides)
+    store_engine: str = "parquet"
 
     def id_for(self) -> str:
         return INDEX_TYPES[self.index_type]
@@ -131,9 +136,10 @@ class EngineOpts:
     @staticmethod
     def from_toml(path: str) -> "EngineOpts":
         """TOML config source (riot's ``New("*.toml")`` —
-        /root/reference/riot.go:32-50; no hot-reload).  Top-level keys or an
+        /root/reference/riot.go:32-50).  Top-level keys or an
         ``[engine]`` table map 1:1 onto EngineOpts fields; ``[bm25]``
-        carries k1/b."""
+        carries k1/b.  For riot's fsnotify hot-watch behavior use
+        :func:`watch_toml`."""
         import tomllib
 
         with open(path, "rb") as f:
@@ -159,6 +165,67 @@ class EngineOpts:
                 tuple(x) if isinstance(x, list) else x for x in d["dict_entries"]
             )
         return EngineOpts(**d)
+
+
+class TomlWatcher:
+    """Handle returned by :func:`watch_toml` — ``stop()`` ends the poll
+    thread; context-manager use stops on exit."""
+
+    def __init__(self, thread, stop_event):
+        self._thread = thread
+        self._stop = stop_event
+
+    def stop(self, timeout: float = 5.0):
+        self._stop.set()
+        self._thread.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
+
+
+def watch_toml(path: str, on_change, poll_s: float = 1.0) -> TomlWatcher:
+    """Hot-watch a TOML config (riot's fsnotify watcher,
+    /root/reference/riot.go:32-50, rebuilt as mtime polling — no inotify
+    dependency, works on any filesystem).  On every content change,
+    ``on_change(EngineOpts)`` fires with the freshly parsed options; parse
+    errors are swallowed (a half-written file is retried next poll, the
+    same behavior riot's re-init on watch events degrades to).  Returns a
+    :class:`TomlWatcher`; callers decide what to do with the new opts —
+    typically rebuild/reload a searcher (see tests/test_api.py)."""
+    import os as _os
+    import threading
+
+    stop = threading.Event()
+    state = {"sig": None}
+
+    def _sig():
+        try:
+            st = _os.stat(path)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    state["sig"] = _sig()
+
+    def loop():
+        while not stop.wait(poll_s):
+            sig = _sig()
+            if sig is None or sig == state["sig"]:
+                continue
+            state["sig"] = sig
+            try:
+                opts = EngineOpts.from_toml(path)
+            except Exception:
+                continue  # half-written file: retry next poll
+            on_change(opts)
+
+    t = threading.Thread(target=loop, name="riot-ray-toml-watch", daemon=True)
+    t.start()
+    return TomlWatcher(t, stop)
 
 
 # Sentinel "term" carrying docmeta for documents that produce no postings

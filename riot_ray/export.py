@@ -65,9 +65,9 @@ def postings_dataset(index_dir: str):
     schema = pa.schema(
         [("term", pa.string()), ("doc_id", pa.string()), ("tf", pa.int64())]
     )
-    files = sorted(
-        glob.glob(os.path.join(index_dir, "segments", "shard=*", "blocks.parquet"))
-    )
+    from .store import glob_segments, segments_dataset
+
+    files = glob_segments(os.path.join(index_dir, "segments", "shard=*"), "blocks")
     if not files:
         return _empty_dataset(schema)
     fwd_ref = ray.put((*_forward_map(index_dir), load_tombstones(index_dir)))
@@ -98,7 +98,7 @@ def postings_dataset(index_dir: str):
             }
         )
 
-    return rd.read_parquet(files, columns=["term", "n", "docs_vb", "tfs_f32"]).map_batches(
+    return segments_dataset(files, columns=["term", "n", "docs_vb", "tfs_f32"]).map_batches(
         decode, batch_format="pyarrow"
     )
 
@@ -111,9 +111,9 @@ def docmeta_dataset(index_dir: str):
     from .updates import load_tombstones
 
     schema = pa.schema([("doc_id", pa.string()), ("token_len", pa.int64())])
-    files = sorted(
-        glob.glob(os.path.join(index_dir, "segments", "shard=*", "docmeta.parquet"))
-    )
+    from .store import glob_segments, segments_dataset
+
+    files = glob_segments(os.path.join(index_dir, "segments", "shard=*"), "docmeta")
     if not files:
         return _empty_dataset(schema)
     fwd_ref = ray.put((*_forward_map(index_dir), load_tombstones(index_dir)))
@@ -132,7 +132,7 @@ def docmeta_dataset(index_dir: str):
             }
         )
 
-    return rd.read_parquet(files).map_batches(attach, batch_format="pyarrow")
+    return segments_dataset(files).map_batches(attach, batch_format="pyarrow")
 
 
 def termstats_dataset(index_dir: str):

@@ -177,7 +177,9 @@ class ShardData:
         self.shard_id = shard_id
         self.opts = opts
         sdir = os.path.join(index_dir, "segments", f"shard={shard_id:05d}")
-        blocks = pq.read_table(os.path.join(sdir, "blocks.parquet"))
+        from .store import read_segment
+
+        blocks = read_segment(sdir, "blocks")
         self.with_pos = "pos_i32" in blocks.column_names
         terms = blocks["term"].to_pylist()
         self.blk_n = blocks["n"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -197,7 +199,7 @@ class ShardData:
             if i == len(terms) or terms[i] != terms[start]:
                 self.term_range[terms[start]] = (start, i)
                 start = i
-        dm = pq.read_table(os.path.join(sdir, "docmeta.parquet"))
+        dm = read_segment(sdir, "docmeta")
         self.dm_doc = dm["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.dm_len = dm["token_len"].to_numpy(zero_copy_only=False)
         self.fw_doc = self.dm_doc  # forward load replaces with its own order

@@ -32,6 +32,9 @@ import pyarrow.parquet as pq
 from ..codecs import encode_varbyte
 from ..config import META_TERM, EngineOpts
 
+# default (parquet-engine) segment file names; the writer derives actual
+# names from the configured store engine (riot_ray/store.py) and readers
+# autodetect by extension
 BLOCKS_FILE = "blocks.parquet"
 TERMS_FILE = "terms.parquet"
 DOCMETA_FILE = "docmeta.parquet"
@@ -73,6 +76,13 @@ class BuildShard:
         self.segments_dir = segments_dir
         self.fingerprint = fingerprint
         self.__name__ = "BuildShard"
+        # resolve the store engine DRIVER-side (this ctor runs on the
+        # driver; the instance pickles to workers with the engine's
+        # functions inside) — custom register_store engines and the env
+        # override then work without any worker-side registration
+        from ..store import get_store
+
+        self._store = get_store(opts.store_engine)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.time()
@@ -263,9 +273,12 @@ class BuildShard:
 
         tmp = sdir + f".tmp-{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(blocks, os.path.join(tmp, BLOCKS_FILE))
-        pq.write_table(terms_tbl, os.path.join(tmp, TERMS_FILE))
-        pq.write_table(docmeta, os.path.join(tmp, DOCMETA_FILE))
+        # pluggable segment engine (riot's RegisterStore analog —
+        # riot_ray/store.py; readers autodetect by extension)
+        eng = self._store
+        eng.write_table(blocks, os.path.join(tmp, "blocks" + eng.extension))
+        eng.write_table(terms_tbl, os.path.join(tmp, "terms" + eng.extension))
+        eng.write_table(docmeta, os.path.join(tmp, "docmeta" + eng.extension))
         manifest = {
             "shard": shard,
             "fingerprint": self.fingerprint,

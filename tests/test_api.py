@@ -218,6 +218,106 @@ b = 0.5
     assert o.bm25.k1 == 1.5 and o.bm25.b == 0.5
 
 
+def test_watch_toml_hot_reload(tmp_path):
+    """riot's config hot-watch (riot.go:32-50): edits to the TOML fire
+    on_change with freshly parsed opts; half-written files are retried."""
+    import time
+
+    from riot_ray.config import EngineOpts, watch_toml
+
+    p = tmp_path / "engine.toml"
+    p.write_text('mode = "simple"\nnum_shards = 2\n')
+    seen = []
+    with watch_toml(str(p), seen.append, poll_s=0.05):
+        deadline = time.time() + 5
+        p.write_text('mode = "simple"\nnum_shards = 8\n')
+        while not seen and time.time() < deadline:
+            time.sleep(0.02)
+        assert seen and seen[-1].num_shards == 8
+        # a broken write is skipped, then the corrected one lands
+        p.write_text("mode = [unclosed")
+        p2 = EngineOpts()  # noqa: F841 (just exercise default ctor)
+        time.sleep(0.2)
+        n_before = len(seen)
+        p.write_text('mode = "code"\nnum_shards = 3\n')
+        deadline = time.time() + 5
+        while len(seen) == n_before and time.time() < deadline:
+            time.sleep(0.02)
+        assert seen[-1].mode == "code" and seen[-1].num_shards == 3
+
+
+def test_store_engine_feather_matches_parquet(ray_session, tmp_path):
+    """Pluggable segment store (riot's RegisterStore analog,
+    /root/reference/store/store.go:29-72): an index built with the feather
+    engine returns bit-identical search results, and the export views read
+    it through extension autodetect."""
+    import os
+
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.corpus import write_corpus
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.export import termstats_dataset
+    from riot_ray.types import RankOpts, SearchReq
+
+    src = write_corpus(str(tmp_path / "src" / "code.parquet"), 200, seed=11)
+    base = EngineOpts(mode="code", num_parts=4, num_shards=2, block_size=64)
+    from dataclasses import replace
+
+    IndexWriter(str(tmp_path / "ip"), base).build(src)
+    IndexWriter(str(tmp_path / "if"),
+                replace(base, store_engine="feather")).build(src)
+    assert os.path.exists(
+        str(tmp_path / "if" / "segments" / "shard=00000" / "blocks.feather"))
+    req = SearchReq(text="parse json", rank_opts=RankOpts(max_outputs=10))
+    rp = LocalSearcher(str(tmp_path / "ip")).search(req)
+    rf = LocalSearcher(str(tmp_path / "if")).search(req)
+    assert [(h.doc_id, h.bm25) for h in rp.docs] == \
+        [(h.doc_id, h.bm25) for h in rf.docs]
+    assert rp.num_docs == rf.num_docs > 0
+    tp = termstats_dataset(str(tmp_path / "ip")).to_pandas().sort_values("term")
+    tf = termstats_dataset(str(tmp_path / "if")).to_pandas().sort_values("term")
+    assert tp.reset_index(drop=True).equals(tf.reset_index(drop=True))
+
+
+def test_store_engine_registry_custom_and_env(ray_session, tmp_path, monkeypatch):
+    """register_store extends the engine set; RIOT_RAY_STORE_ENGINE
+    overrides the configured engine (store.go:55-66 precedence); unknown
+    names raise with the registered list."""
+    import pyarrow.feather as feather
+    import pytest as _pytest
+
+    from riot_ray import store as rstore
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.corpus import write_corpus
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.types import RankOpts, SearchReq
+
+    rstore.register_store("myf", ".myf", feather.write_feather,
+                          rstore._feather_read)
+    try:
+        with _pytest.raises(ValueError, match="registered"):
+            rstore.get_store("nope")
+        assert rstore.get_store("myf").name == "myf"
+        # env override wins over the configured engine
+        monkeypatch.setenv(rstore.ENV_VAR, "myf")
+        src = write_corpus(str(tmp_path / "src" / "code.parquet"), 120, seed=3)
+        IndexWriter(str(tmp_path / "ix"),
+                    EngineOpts(mode="code", num_parts=2, num_shards=2)).build(src)
+        monkeypatch.delenv(rstore.ENV_VAR)
+        import glob as _g
+
+        # blocks/terms/docmeta written under the CUSTOM extension
+        assert len(_g.glob(str(tmp_path / "ix" / "segments" / "shard=*" /
+                               "*.myf"))) >= 3
+        r = LocalSearcher(str(tmp_path / "ix")).search(
+            SearchReq(text="parse json", rank_opts=RankOpts(max_outputs=5)))
+        assert r.num_docs > 0
+    finally:
+        rstore._REGISTRY.pop("myf", None)
+
+
 def test_actor_timeout_partial_results(corpus_index, ray_session):
     """timeout_ms: ray.wait returns partial results + the Timeout flag
     (riot's NotTimeOut/TimeOut collect — /root/reference/engine.go:557-630)."""

@@ -489,6 +489,10 @@ def _make_replica():
         def reload(self):
             self.searcher.reload()
 
+        def ping(self, msg: int = 1) -> int:
+            # HeartBeat echo (reference net/grpc/grpc.go:84-87)
+            return msg
+
     return Replica
 
 
@@ -497,6 +501,9 @@ class ReplicatedSearcher:
                  num_cpus_per_actor: float = 1.0, tokenizer_factory=None):
         Replica = _make_replica()
         replicas = max(1, min(replicas, _cpu_actor_cap(num_cpus_per_actor)))
+        self.index_dir, self.hydrate = index_dir, hydrate
+        self._num_cpus_per_actor = num_cpus_per_actor
+        self._tok_factory = tokenizer_factory
         # Serving state is read-only (reloaded from disk in __init__), so a
         # crashed replica restarts in place and interrupted calls replay —
         # the rebuild's analog of riot's heartbeat+restart liveness layer
@@ -528,6 +535,48 @@ class ReplicatedSearcher:
         import ray
 
         ray.get([a.reload.remote() for a in self.actors])
+
+    def restart_replica(self, i: int):
+        """Tear down and recreate replica ``i`` from current disk state —
+        the HeartbeatMonitor's restart callback for a replica that is past
+        Ray's own restart budget or alive-but-wedged (the case riot's
+        net/heartb/heart.go:100-114 restart command covers)."""
+        import ray
+
+        Replica = _make_replica()
+        old = self.actors[i]
+        self.actors[i] = Replica.options(
+            num_cpus=self._num_cpus_per_actor, max_restarts=3,
+            max_task_retries=-1
+        ).remote(self.index_dir, self.hydrate, self._tok_factory)
+        try:
+            ray.kill(old, no_restart=True)
+        except Exception:
+            pass
+
+    def attach_heartbeats(self, monitor, registry=None,
+                          service: str = "riot-search",
+                          ttl_s: float | None = None):
+        """Register every replica in the service registry (etcd analog)
+        and wire it into ``monitor`` so missed heartbeats trigger
+        :meth:`restart_replica`.  Returns the instance names used."""
+        from .discovery import DEFAULT_TTL_S
+
+        names = []
+        for i, a in enumerate(self.actors):
+            name = f"replica-{i}"
+            meta = {"index_dir": self.index_dir, "slot": i}
+            if registry is not None:
+                registry.register.remote(service, name, meta,
+                                         ttl_s or DEFAULT_TTL_S)
+            monitor.watch(
+                name,
+                ping=lambda msg, i=i: self.actors[i].ping.remote(msg),
+                restart=lambda i=i: self.restart_replica(i),
+                meta=meta,
+            )
+            names.append(name)
+        return names
 
     def search_many(self, reqs: list) -> list:
         """Round-robin a batch across replicas, one RPC per replica."""
@@ -804,6 +853,10 @@ def _make_shard_worker():
             without restarting the actor.  The slice itself never changes,
             so a crash-restart reconstructs the identical assignment."""
             self.__init__(self._index_dir, self._shard_ids, self._hydrate)
+
+        def ping(self, msg: int = 1) -> int:
+            # HeartBeat echo (reference net/grpc/grpc.go:84-87)
+            return msg
 
         def run(self, method, kwargs, rank, keep, count_only, orderless):
             if (method == "search" and not orderless and not count_only

@@ -11,6 +11,7 @@ concurrency).
 
 from __future__ import annotations
 
+import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
@@ -196,16 +197,19 @@ def watch_toml(path: str, on_change, poll_s: float = 1.0) -> TomlWatcher:
     same behavior riot's re-init on watch events degrades to).  Returns a
     :class:`TomlWatcher`; callers decide what to do with the new opts —
     typically rebuild/reload a searcher (see tests/test_api.py)."""
-    import os as _os
     import threading
 
     stop = threading.Event()
     state = {"sig": None}
 
     def _sig():
+        # content digest, not (mtime, size): Linux mtime comes from the
+        # coarse clock (one tick granularity), so a same-size rewrite
+        # landing in the same tick would be invisible forever.  Config
+        # files are tiny; one read per poll is free.
         try:
-            st = _os.stat(path)
-            return (st.st_mtime_ns, st.st_size)
+            with open(path, "rb") as f:
+                return hashlib.md5(f.read()).digest()
         except OSError:
             return None
 

@@ -72,6 +72,34 @@ def default_scoring(hit: ScoredHit, fields) -> tuple:
 # proximity DP — semantics of computeTokenProximity
 # (/root/reference/core/indexer.go:723-813); new implementation
 # --------------------------------------------------------------------------- #
+def _sparse_levels(arr: np.ndarray) -> list:
+    """Doubling-max levels of a sparse table over ``arr`` (O(n log n) build,
+    reusable across queries — see :func:`_range_max`)."""
+    levels = [arr]
+    while (1 << len(levels)) <= len(arr):
+        prev = levels[-1]
+        step = 1 << (len(levels) - 1)
+        levels.append(np.maximum(prev[: len(prev) - step], prev[step:]))
+    return levels
+
+
+def _range_max(levels: list, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized max over ``arr[a_i:b_i)`` for many (possibly overlapping)
+    ranges with ``b > a``: the sparse table (``_sparse_levels``) answers
+    every query as max of two aligned windows — the standard RMQ
+    construction, fully numpy (no per-range Python loop)."""
+    w = (b - a).astype(np.int64)
+    # floor(log2(w)) exactly via frexp: w = m * 2^e with 0.5 <= m < 1
+    lev = (np.frexp(w.astype(np.float64))[1] - 1).astype(np.int64)
+    out = np.empty(len(a), np.float64)
+    for j, L in enumerate(levels):
+        m = lev == j
+        if m.any():
+            step = 1 << j
+            out[m] = np.maximum(L[a[m]], L[b[m] - step])
+    return out
+
+
 def token_proximity(locations, tokens):
     """Minimize sum(|P_{i+1} - P_i - bytelen(token_i)|) over one position
     choice per token; two-candidate DP transition.  Returns
@@ -210,6 +238,7 @@ class ShardData:
         self._fw_files: list[str] = []
         self._facet_cache: dict[str, tuple] = {}
         self._norm_cache: dict[tuple, np.ndarray] = {}
+        self._ub_cache: dict[tuple, tuple] = {}
         self._id_sorted_ids = None  # fw_doc_id sorted by string (lazy)
         self._id_order = None
         self._load_forward(index_dir, opts, hydrate)
@@ -675,6 +704,10 @@ class ShardData:
         kernel's own dtype could then prune a block holding a true top-k doc.
         The inflation keeps the identical-top-k contract; it only makes
         pruning negligibly less aggressive."""
+        key = (term, float(idf), float(avgdl), dtype is np.float32)
+        hit = self._ub_cache.get(key)
+        if hit is not None:
+            return hit
         rng = self.term_range.get(term)
         if rng is None:
             return None
@@ -692,18 +725,25 @@ class ShardData:
         if dtype is np.float32:
             # ~6 f32 ops in the kernel, each <= 2^-24 relative error
             ub = ub * (1.0 + 1e-6) + 1e-30
-        return s, e, ub
+        out = (s, e, ub, _sparse_levels(ub))
+        if len(self._ub_cache) > 4096:
+            self._ub_cache.pop(next(iter(self._ub_cache)))
+        self._ub_cache[key] = out
+        return out
 
     def search_wand(self, tokens, idfs, avgdl, k, dtype_name="float32"):
         """Exact top-k for an AND query with block-max pruning (Ding & Suel,
         "Faster top-k document retrieval using block-max indexes",
         SIGIR 2011 — public literature; applied here to riot's AND
-        semantics): iterate the
-        rarest term's blocks in doc order; a block is decoded and scored
-        only if (its own upper bound + the other terms' max upper bound over
-        the overlapping doc range) can beat the current k-th score.  Returns
-        (hits: HitBlock of <=k docs, n_scored).  Skipped blocks mean the
-        total match count is NOT computed — callers use approx counts."""
+        semantics).  All block upper bounds (lead block bound + each other
+        term's range-max over the overlapping doc range) are computed
+        UP FRONT in one vectorized pass (sparse-table range max), then
+        blocks are visited BEST-FIRST (descending bound): the k-th score
+        rises as fast as possible and the first bound below it terminates
+        the whole scan — no per-block Python bound loop, no per-candidate
+        heap.  Returns (hits: HitBlock of <=k docs, n_scored).  Skipped
+        blocks mean the total match count is NOT computed — callers use
+        approx counts."""
         dtype = np.float32 if dtype_name == "float32" else np.float64
         infos = []
         for t, idf in zip(tokens, idfs):
@@ -715,50 +755,66 @@ class ShardData:
         # final score accumulates per query token in token order (the f32
         # conformance contract, SURVEY.md §7.5)
         lead_i = min(range(len(infos)), key=lambda i: infos[i][3] - infos[i][2])
-        lead_t, lead_idf, ls, le, lead_ub = infos[lead_i]
+        lead_t, lead_idf, ls, le, lead_ub, _lead_lev = infos[lead_i]
         others = [x for i, x in enumerate(infos) if i != lead_i]
 
-        import heapq
+        # -- vectorized bounds: one pass over ALL lead blocks ------------- #
+        lo = self.blk_min[ls:le]
+        hi = self.blk_max[ls:le]
+        ub_tot = np.asarray(lead_ub, dtype=np.float64).copy()
+        alive = np.ones(le - ls, bool)
+        for (_t, _idf, s, e, _oub, olev) in others:
+            # overlapping block range of the other term per lead block
+            a = np.searchsorted(self.blk_max[s:e], lo)
+            b = np.searchsorted(self.blk_min[s:e], hi, side="right")
+            ok = a < b  # no overlap: AND impossible in this doc range
+            alive &= ok
+            if ok.any():
+                ub_tot[ok] += _range_max(olev, a[ok], b[ok])
+        idx_alive = np.flatnonzero(alive)
+        # best-first: the k-th score rises fastest, and the scan STOPS at
+        # the first bound strictly below it (all later bounds are <= it)
+        visit = idx_alive[np.argsort(-ub_tot[idx_alive], kind="stable")]
 
-        class _RevStr:
-            """Inverted string order so the min-heap evicts the LARGEST
-            doc_id among tied scores — matching the exact path's
-            (score desc, doc_id asc) total order at the k boundary."""
+        # lead candidates come from the SAME LRU-cached full decode the
+        # exhaustive kernel uses; per-block row ranges via blk_n offsets
+        lead_docs, lead_tfs = self.postings(lead_t)
+        off = np.concatenate(([0], np.cumsum(self.blk_n[ls:le])))
 
-            __slots__ = ("v",)
-
-            def __init__(self, v):
-                self.v = v
-
-            def __lt__(self, other):
-                return self.v > other.v
-
-            def __eq__(self, other):
-                return self.v == other.v
-
-        heap: list = []  # min-heap of (score, _RevStr(doc_id), doc)
+        # running top-k, kept sorted (score desc, doc_id-string asc) — the
+        # exact path's total order at the k boundary
+        top_s = np.empty(0, np.float64)
+        top_d = np.empty(0, np.uint64)
+        kth = -np.inf
         n_scored = 0
-        for bi in range(ls, le):
-            lo, hi = self.blk_min[bi], self.blk_max[bi]
-            ub = lead_ub[bi - ls]
-            ok = True
-            for (_t, _idf, s, e, oub) in others:
-                # overlapping blocks of the other term for [lo, hi]
-                a = np.searchsorted(self.blk_max[s:e], lo) + s
-                b = np.searchsorted(self.blk_min[s:e], hi, side="right") + s
-                if a >= b:
-                    ok = False  # no overlap: AND impossible in this range
-                    break
-                ub += float(np.max(oub[a - s : b - s]))
-            if not ok:
-                continue
-            if len(heap) >= k and ub < heap[0][0]:
-                continue  # block-max prune (strict: a tied block could
-                # still hold a smaller doc_id that wins the tie)
-            docs, tfs = self.block_postings(lead_t, bi)
-            cand = docs
-            cand_tf = {lead_t: tfs}
-            for (t, _idf, s, e, _oub) in others:
+        # geometric batching: tiny first batch establishes the k-th score
+        # (best-first order makes it tight), then batches grow so the
+        # no-pruning worst case degenerates to a handful of vectorized
+        # passes over the full lead list instead of one pass per block
+        vpos, bsz = 0, 4
+        while vpos < len(visit):
+            if len(top_s) >= k and ub_tot[visit[vpos]] < kth:
+                break  # strict: a TIED block could still hold a smaller
+                # doc_id that wins the tie, so it is visited
+            if len(top_s) >= k and ub_tot[visit[(vpos + len(visit)) // 2]] >= kth:
+                # adaptive bailout: the k-th score cannot prune even the
+                # MEDIAN remaining bound — pruning prospects are weak
+                # (uniform corpora), so the batched loop would just replay
+                # the exhaustive scan with per-batch overhead.  Take every
+                # remaining block in one vectorized pass instead.
+                bsz = len(visit)
+            take = visit[vpos:vpos + bsz]
+            vpos += len(take)
+            bsz = min(bsz * 4, 1024)
+            # vectorized multi-range gather of the batch's posting rows
+            lens = off[take + 1] - off[take]
+            starts = off[take]
+            shift = np.repeat(
+                starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+            rows = shift + np.arange(int(lens.sum()), dtype=np.int64)
+            cand = lead_docs[rows]
+            cand_tf = {lead_t: lead_tfs[rows]}
+            for (t, _idf, s, e, _oub, _olev) in others:
                 odocs, otfs = self.postings(t)
                 rows = np.searchsorted(odocs, cand)
                 rows = np.minimum(rows, len(odocs) - 1)
@@ -787,20 +843,28 @@ class ShardData:
                 )
                 score = score + np.where(tf_t > 0, contrib, dtype(0.0))
             n_scored += int(cand.size)
-            cand_ids = self.doc_ids_of(cand)
-            for c, cid, sc in zip(cand, cand_ids, score):
-                item = (float(sc), _RevStr(cid), int(c))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        if not heap:
+            # vectorized top-k merge — doc-id STRINGS deferred to the tie
+            # boundary (rank_hits' select-kth pattern): O(n) partition by
+            # score keeps every candidate tied-or-above the k-th largest,
+            # and only that small set is string-gathered and two-key
+            # sorted (score desc, doc_id-string asc)
+            all_s = np.concatenate([top_s, score.astype(np.float64)])
+            all_d = np.concatenate([top_d, cand])
+            if len(all_s) > k:
+                kv = np.partition(all_s, len(all_s) - k)[len(all_s) - k]
+                sel = np.flatnonzero(all_s >= kv)
+                all_s, all_d = all_s[sel], all_d[sel]
+            ids = np.asarray(self.doc_ids_of(all_d), dtype=object)
+            o = np.argsort(ids, kind="stable")            # doc_id asc
+            o = o[np.argsort(-all_s[o], kind="stable")]   # score desc
+            o = o[:k]
+            top_s, top_d = all_s[o], all_d[o]
+            if len(top_s) >= k:
+                kth = top_s[-1]
+        if not len(top_s):
             return HitBlock.empty(), 0
-        heap.sort(reverse=True)  # score desc, doc_id asc (_RevStr inverts)
-        docs_out = np.array([h[2] for h in heap], dtype=np.uint64)
-        scores_out = np.array([h[0] for h in heap], dtype=np.float64)
-        ids_out = np.array([h[1].v for h in heap], dtype=object)
-        return HitBlock(docs_out, ids_out, scores_out), n_scored
+        return HitBlock(top_d, np.asarray(self.doc_ids_of(top_d),
+                                          dtype=object), top_s), n_scored
 
 
 # --------------------------------------------------------------------------- #

@@ -106,7 +106,10 @@ def test_replicated_searcher_heartbeat_restart(corpus_index, ray_session):
     idx = corpus_index["index_dir"]
     rs = ReplicatedSearcher(idx, replicas=2)
     reg = get_registry(name="riot-reg-e2e")
-    mon = HeartbeatMonitor(fail_limit=1, timeout_s=5,
+    # generous ping timeout: this asserts restart SEMANTICS, not latency —
+    # under a loaded CI box a 5 s ray.get can spuriously miss and the
+    # healthy-replica asserts below would flake
+    mon = HeartbeatMonitor(fail_limit=1, timeout_s=60,
                            registry=reg, service="riot-search")
     names = rs.attach_heartbeats(mon, registry=reg, service="riot-search",
                                  ttl_s=60)

@@ -35,6 +35,17 @@ SHOULD_TERMS = ("spark", "window")
 NOT_IN_TERMS = ("slow",)
 K = 10
 MLT_QUERY_IDS = (0, 1, 2, 3)  # more_like_this seed docs (exist at every sf)
+# batch_retrieval fixture: a fixed query TABLE (all 2-term ANDs over the
+# corpus vocabulary, which is identical at every sf) — literals so the
+# oracle SQL can carry the same set
+BATCH_QUERIES = (
+    (0, "spark data"), (1, "hash join"), (2, "window query"),
+    (3, "sort merge"), (4, "table scan"), (5, "group agg"),
+    (6, "stream batch"), (7, "filter column"), (8, "vector value"),
+    (9, "order key"), (10, "fast line"), (11, "big small"),
+)
+BATCH_K = 5
+SEMDEDUP_THRESHOLD = 0.4
 MLT_K = 5
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_HORIZON_S = 7 * 86400
@@ -1017,6 +1028,49 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(_emb(sf_dir), C).select_columns(["vec_id", "cluster"])
 
 
+def _q_batch_retrieval(sf_dir: str):
+    """Offline batch retrieval: the fixed BATCH_QUERIES table streamed
+    through an index-holding actor pool (pipelines/retrieval.py), top-k
+    BM25 per query — the training-data mining shape (hard negatives,
+    eval-set retrieval).  Oracle: the bm25_topk SQL generalized to a
+    query TABLE with row_number() per query."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import batch_retrieval
+
+    qs = rd.from_items(
+        [{"query_id": i, "text": t} for i, t in BATCH_QUERIES]
+    )
+    out = batch_retrieval(qs, _index_for(sf_dir), k=BATCH_K, concurrency=2)
+
+    def cast_ids(b: pa.Table) -> pa.Table:
+        # engine doc ids are strings; the oracle compares BIGINT
+        return b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            b["doc_id"].cast(pa.int64()))
+
+    return out.map_batches(cast_ids, batch_format="pyarrow")
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup survivors (cluster-scoped cosine dedup, arXiv 2303.09540)
+    under DETERMINISTIC centroids — the embedding rows vec_id 0..7, the
+    same seed convention kmeans_assign's oracle uses — so the survivor
+    set is SQL-checkable (assign via list_distance + EXISTS earlier
+    same-cluster row with cosine >= threshold)."""
+    import pyarrow.parquet as _pq
+
+    from riot_ray.pipelines import semdedup
+
+    seeds = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 8)],
+    ).sort_by("vec_id")
+    C = np.stack(seeds["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return semdedup(_emb(sf_dir), C, threshold=SEMDEDUP_THRESHOLD)
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Binary media column plumbing made oracle-checkable: documents wrapped
     as fake payloads with md5-derived dims, decoded by the actor-pool stage;
@@ -1342,6 +1396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # changed this round, (d) the core-engine identity set.  Entries past
     # 50 all carry green driver rows from earlier rounds (r1-r3).
     return {
+        # (a0) new in round 4 (never driver-signed)
+        "batch_retrieval": _q_batch_retrieval,
+        "semdedup": _q_semdedup,
         # (a) never driver-signed before round 4
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2537,6 +2594,83 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash"] = _minhash_sql()
     out["knn_lsh_topk"] = _knn_lsh_sql(K)
     out["dedup_embedding_lsh"] = _embedding_lsh_sql()
+    # batch_retrieval: the bm25_topk SQL generalized to a query TABLE —
+    # same tf/df/lens/avgdl CTEs, AND candidates per query, row_number()
+    # top-k per query with the engine's (score desc, doc_id-string asc)
+    # tie order, scores in oracle-exact milli units
+    _qt_rows = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BATCH_QUERIES for term in text.split()
+    )
+    _all_terms = ", ".join(
+        f"'{t}'" for t in sorted({w for _, s in BATCH_QUERIES for w in s.split()})
+    )
+    out["batch_retrieval"] = f"""
+        WITH {_TOKS},
+        lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        n AS (SELECT count(*)::DOUBLE AS nd, sum(dl)::DOUBLE AS tot FROM lens),
+        qt(query_id, term) AS (VALUES {_qt_rows}),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+          WHERE term IN ({_all_terms})
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        cand AS (
+          SELECT qt.query_id, tf.doc_id
+          FROM qt JOIN tf USING (term)
+          GROUP BY qt.query_id, tf.doc_id
+          HAVING count(DISTINCT tf.term) = 2),
+        sc AS (
+          SELECT c.query_id, c.doc_id,
+                 SUM(log2(n.nd / df.df + 1)
+                     * tf.tf * (2.0 + 1.0)
+                     / (tf.tf + 2.0 * (1 - 0.75 + 0.75 * lens.dl / (n.tot / n.nd)))
+                    ) AS score
+          FROM cand c
+          JOIN qt ON qt.query_id = c.query_id
+          JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qt.term
+          JOIN df ON df.term = qt.term
+          JOIN lens ON lens.doc_id = c.doc_id
+          CROSS JOIN n
+          GROUP BY c.query_id, c.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rn
+          FROM sc)
+        SELECT query_id::BIGINT AS query_id, doc_id,
+               CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS score_milli
+        FROM ranked WHERE rn <= {BATCH_K}
+        """
+
+    # semdedup: assign = the kmeans_assign oracle's seed-centroid
+    # nearest-neighbor; a row is dropped iff an EARLIER same-cluster row
+    # has cosine >= threshold (keep-earliest survivor semantics)
+    out["semdedup"] = f"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        ranked AS (
+          SELECT e.vec_id, s.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, s.ce), s.cid) AS rn
+          FROM embeddings e CROSS JOIN seeds s),
+        asg AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT a.vec_id
+          FROM asg a
+          JOIN asg b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE ROUND(list_cosine_similarity(ea.embedding, eb.embedding), 6)
+                >= {SEMDEDUP_THRESHOLD})
+        SELECT a.vec_id::BIGINT AS vec_id, a.cluster::BIGINT AS cluster
+        FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+        """
+
     out["kmeans_assign"] = """
         WITH seeds AS (
           SELECT vec_id AS cid, embedding AS ce

@@ -1827,6 +1827,89 @@ def embedding_dup_pairs_lsh(
 
 
 # --------------------------------------------------------------------------- #
+# semantic dedup: cluster-scoped cosine (SemDeDup)
+# --------------------------------------------------------------------------- #
+def semdedup(
+    ds,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 8192,
+):
+    """SemDeDup survivors: cluster-scoped semantic deduplication (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv 2303.09540 — public literature).
+
+    Two stages, one shuffle:
+
+    1. ASSIGN (map-only, centroids broadcast once via ``ray.put``): each
+       vector goes to its nearest centroid — the exact
+       ``simsearch._nearest_clusters`` expression ``kmeans_assign`` uses,
+       so assignments agree with that operator's SQL oracle bit-for-bit.
+       The batch also packs the unit-normalized vector (binary column) so
+       the cosine stage never re-reads the corpus.
+    2. COLLAPSE (``groupby(cluster).map_groups``): within each cluster a
+       vector is a semantic duplicate iff ANY earlier (smaller ``id_col``)
+       cluster member has cosine similarity >= ``threshold`` — the
+       deterministic keep-earliest stand-in for the paper's
+       keep-low-centroid-similarity pick, chosen because it is
+       SQL-oracle-checkable (an EXISTS against earlier same-cluster rows).
+       The pairwise pass is a ``chunk``-row tiled matmul: memory is
+       O(chunk x |cluster|), compute the O(|cluster|^2) dot products the
+       method is defined by.
+
+    Returns survivors ``(id_col, cluster)``.  Scale contract (from the
+    paper): k — the number of centroids — must grow with the corpus so
+    clusters stay bounded; with |cluster| ~ N/k fixed, stage 2 is flat
+    per-group work behind one hash shuffle on ``cluster``.  Callers fit
+    centroids with ``kmeans_fit`` (streaming Lloyd) or pass seed rows for
+    a deterministic demo/oracle setup.
+    """
+    import ray
+
+    from .simsearch import _nearest_clusters
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g_C = ray.get(cref)
+        packed = _pack_norm_vec(batch, id_col, vec_col)
+        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64) if len(packed) else np.empty((0, g_C.shape[1]))
+        a, _d = _nearest_clusters(V, g_C)
+        return packed.append_column("cluster", pa.array(a, pa.int64()))
+
+    def collapse(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        order = np.argsort(ids)
+        ids = ids[order]
+        nvec = group["nvec"].take(pa.array(order, pa.int64()))
+        dim = len(nvec[0].as_py()) // 8
+        V = _binary_matrix(nvec, dim, "<f8")
+        n = len(ids)
+        dup = np.zeros(n, bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            G = V[s:e] @ V[:e].T
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = ((G >= threshold) & earlier).any(axis=1)
+        keep = ~dup
+        cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "cluster": pa.array(cl[order][keep], pa.int64())})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(collapse, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------- #
 # benchmark decontamination (train/test n-gram overlap)
 # --------------------------------------------------------------------------- #
 def contamination(

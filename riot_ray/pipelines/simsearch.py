@@ -36,6 +36,19 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
+def _nearest_clusters(V: np.ndarray, C: np.ndarray):
+    """Nearest-centroid ids + distances for rows of ``V`` against centroid
+    matrix ``C`` — THE assign expression (expanded squared-distance matmul,
+    argmin ties to the smallest centroid id).  Shared by
+    :func:`kmeans_assign` and ``dedup.semdedup`` so every cluster-scoped
+    operator agrees bit-for-bit with the `kmeans_assign` SQL oracle."""
+    d2 = ((V * V).sum(1, keepdims=True)
+          - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+    d = np.sqrt(np.maximum(np.take_along_axis(d2, a[:, None], 1)[:, 0], 0))
+    return a.astype(np.int64), d
+
+
 def _topk_table(qids, vids, sims, k):
     """Global top-k per query from candidate triples; deterministic
     (-cos, vec_id) order."""
@@ -930,12 +943,9 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
         V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         if spherical:
             V = _normalize(V)
-        d2 = ((V * V).sum(1, keepdims=True)
-              - 2.0 * (V @ g_C.T) + (g_C * g_C).sum(1)[None, :])
-        a = np.argmin(d2, axis=1)
-        d = np.sqrt(np.maximum(np.take_along_axis(d2, a[:, None], 1)[:, 0], 0))
+        a, d = _nearest_clusters(V, g_C)
         return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                         "cluster": pa.array(a, pa.int64()),
                          "dist": pa.array(d, pa.float64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")

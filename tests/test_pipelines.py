@@ -3786,3 +3786,97 @@ def test_grouped_stats_matches_bruteforce(ray_session):
     assert solo["n"] == 1 and solo["variance"] is None
     many = grouped_stats(ds.repartition(17), col="v", key_col="k").to_pandas()
     assert many.set_index("key").sort_index().equals(got.sort_index())
+
+
+# ---------------------------------------------------------------------------- #
+# semdedup: cluster-scoped cosine dedup (SemDeDup) vs brute-force numpy
+# ---------------------------------------------------------------------------- #
+def _semdedup_brute(V, ids, C, threshold):
+    """Reference: nearest-centroid assign + any-earlier-similar rule."""
+    d2 = ((V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T)
+          + (C * C).sum(1)[None, :])
+    cl = np.argmin(d2, axis=1)
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    U = V / n
+    order = np.argsort(ids)
+    keep = []
+    for pos in order:
+        dup = any(
+            cl[q] == cl[pos] and ids[q] < ids[pos]
+            and float(U[q] @ U[pos]) >= threshold
+            for q in order
+        )
+        if not dup:
+            keep.append(pos)
+    return {(int(ids[p]), int(cl[p])) for p in keep}
+
+
+def test_semdedup_matches_brute(emb_ds):
+    from riot_ray.pipelines import semdedup
+
+    emb = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in emb], np.int64)
+    V = np.stack([np.asarray(r["embedding"], np.float64) for r in emb])
+    o = np.argsort(ids)
+    C = V[o][:6].copy()  # first 6 rows by vec_id as centroids
+    want = _semdedup_brute(V, ids, C, 0.4)
+    got = semdedup(emb_ds, C, threshold=0.4).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got["vec_id"], got["cluster"])} == want
+    # block-count independence + tiled-matmul path (chunk smaller than any
+    # cluster) give the identical survivor set
+    got2 = semdedup(emb_ds.repartition(7), C, threshold=0.4, chunk=3).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got2["vec_id"], got2["cluster"])} == want
+
+
+def test_semdedup_drops_planted_near_dup(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    # vec 10 duplicates vec 2 (tiny noise), vec 11 is far from everything
+    V = np.vstack([base, base[2] + 1e-4, rng.normal(size=8) * 10])
+    ids = np.array([0, 1, 2, 3, 4, 5, 10, 11], np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float64())),
+    }))
+    C = base[:3].copy()
+    got = semdedup(ds, C, threshold=0.95).to_pandas()
+    kept = set(got["vec_id"])
+    assert 2 in kept and 10 not in kept  # keep-earliest drops the copy
+    assert 11 in kept
+
+
+# ---------------------------------------------------------------------------- #
+# batch_retrieval: query-table top-k == the online searcher per query
+# ---------------------------------------------------------------------------- #
+def test_batch_retrieval_matches_online(corpus_index):
+    import ray.data as rd
+
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.pipelines import batch_retrieval
+    from riot_ray.types import RankOpts, SearchReq
+
+    idx = corpus_index["index_dir"]
+    texts = ["parse json", "uuid parse", "http server", "zz_no_such_term http"]
+    qs = rd.from_items(
+        [{"query_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = batch_retrieval(qs, idx, k=4, concurrency=1).to_pandas()
+    se = LocalSearcher(idx)
+    for i, t in enumerate(texts):
+        resp = se.search(SearchReq(text=t, rank_opts=RankOpts(max_outputs=4)))
+        sub = got[got["query_id"] == i]
+        assert list(sub["doc_id"]) == [h.doc_id for h in resp.docs]
+        want_milli = [int(np.floor(h.bm25 * 1000.0 + 0.5)) for h in resp.docs]
+        assert list(sub["score_milli"]) == want_milli
+    assert (got["query_id"] == 3).sum() == 0  # no-match query: zero rows
+    # batch-size independence: one query per batch == one batch of all
+    got1 = batch_retrieval(qs, idx, k=4, concurrency=1, batch_size=1).to_pandas()
+    a = got.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    b = got1.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)

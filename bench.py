@@ -379,6 +379,35 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     pmi_pairs(docs.select_columns(["text"]), window=5, min_count=20).count()
     q["pmi_pairs"] = round(time.time() - t0, 3)
 
+    # batch retrieval: 4000 stored queries streamed through 4 index-holding
+    # actors (the offline hard-negative-mining shape)
+    from riot_ray.pipelines import batch_retrieval, semdedup
+
+    terms = ["batch", "small", "scan", "agg", "data", "customer", "big",
+             "hash", "join", "row", "filter", "merge", "table", "stream",
+             "sort", "window", "order", "query", "group", "spark"]
+    import itertools as _it
+
+    texts = [" ".join(t) for t in _it.permutations(terms, 3)][:6000]
+    qtab = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(16)  # one from_arrow block = one task otherwise
+    t0 = time.time()
+    batch_retrieval(qtab, index_dir, k=10, concurrency=4,
+                    batch_size=512).count()
+    dt = time.time() - t0
+    q["batch_retrieval"] = round(dt, 3)
+    # ALL-DISTINCT 3-term queries: no plan sharing; includes the 4 actors'
+    # index-load cold start (the honest end-to-end number)
+    q["batch_retrieval_qps"] = round(len(texts) / dt, 1)
+
+    t0 = time.time()
+    seeds = emb.take(8)
+    C = np.stack([np.asarray(r["embedding"], np.float64) for r in seeds])
+    semdedup(emb, C, threshold=0.4).count()
+    q["semdedup"] = round(time.time() - t0, 3)
+
     from riot_ray.pipelines import build_pq_index, knn_pq_query
 
     pq_dir = os.path.join(tempfile.gettempdir(), "bench_ivfpq")

@@ -50,6 +50,12 @@ def batch_retrieval(
     Duplicate query texts inside a batch share one kernel pass
     (``search_many``'s distinct-plan cache), so skewed query logs — the
     common case — get cheaper, not hotter.
+
+    Partitioning assumption: parallelism follows the INPUT's block count
+    (one block = one task) — a query table from ``read_parquet`` arrives
+    in file/row-group blocks and fans out naturally, but a single-block
+    in-memory table (``from_arrow``/``from_items``) must be
+    ``repartition(n)``-ed first or one actor serves everything.
     """
     from ..engine import LocalSearcher
     from ..types import RankOpts, SearchReq

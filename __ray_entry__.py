@@ -1052,6 +1052,18 @@ def _q_batch_retrieval(sf_dir: str):
     return out.map_batches(cast_ids, batch_format="pyarrow")
 
 
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + exactly-balanced round-robin shard
+    assignment (pipelines/sampling.py shuffle_shards) — the training-shard
+    writer's ordering stage; oracle is one window row_number over the md5
+    order."""
+    from riot_ray.pipelines import shuffle_shards
+
+    return shuffle_shards(
+        _docs(sf_dir).select_columns(["doc_id"]), n_shards=8, seed=0
+    )
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup survivors (cluster-scoped cosine dedup, arXiv 2303.09540)
     under DETERMINISTIC centroids — the embedding rows vec_id 0..7, the
@@ -1399,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a0) new in round 4 (never driver-signed)
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
+        "shuffle_shards": _q_shuffle_shards,
         # (a) never driver-signed before round 4
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2643,6 +2656,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id::BIGINT AS query_id, doc_id,
                CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS score_milli
         FROM ranked WHERE rn <= {BATCH_K}
+        """
+
+    out["shuffle_shards"] = """
+        WITH ordered AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS rank
+          FROM documents)
+        SELECT doc_id, rank::BIGINT AS rank, (rank % 8)::BIGINT AS shard
+        FROM ordered
         """
 
     # semdedup: assign = the kmeans_assign oracle's seed-centroid

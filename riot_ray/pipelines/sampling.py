@@ -447,3 +447,58 @@ def source_mix_sample(
                          "n_tokens": pa.array(n_tok[mask], pa.int64())})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# deterministic global shuffle -> exactly-balanced training shards
+# --------------------------------------------------------------------------- #
+def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic global shuffle + exactly-balanced shard assignment —
+    the FINAL stage of a training-data pipeline (C4/Dolma-style: curated
+    docs get a reproducible pseudo-random order, then round-robin into
+    ``n_shards`` so shard row counts differ by at most 1; a training job
+    reads shards in id order and sees a fixed, seed-keyed permutation).
+
+    Order key = full md5 hex of ``"{seed}:{id}"`` (deterministic across
+    processes — never python ``hash()``), tiebroken by id: one distributed
+    sort on the key (THE shuffle — unavoidable, a global permutation moves
+    every row by definition), then a metadata-only wave (per-block row
+    counts -> exclusive prefix offsets; the counts are tiny ints on the
+    driver, the sorted data stays in the object store) gives each row its
+    global rank.  ``shard = rank % n_shards`` — round-robin on the hash
+    order is both balanced and pseudo-random.
+
+    Returns a Dataset ``(id_col, rank, shard)`` — feed
+    ``checkpointed_write(partition_col="shard")`` for resumable output or
+    join rows back by id.  SQL-oracle-equivalent:
+    ``(row_number() OVER (ORDER BY md5(seed || ':' || id), id) - 1)``.
+    """
+    import ray
+    import ray.data as rd
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ks = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+        return pa.table({id_col: batch[id_col], "key": pa.array(ks, pa.string())})
+
+    sorted_ds = ds.map_batches(key, batch_format="pyarrow").sort(
+        ["key", id_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def assign(t: pa.Table, off: int) -> pa.Table:
+        rank = off + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "rank": pa.array(rank, pa.int64()),
+            "shard": pa.array(rank % n_shards, pa.int64()),
+        })
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    return rd.from_arrow_refs(
+        [assign.remote(r, int(o)) for r, o in zip(refs, offs)])

@@ -3880,3 +3880,45 @@ def test_batch_retrieval_matches_online(corpus_index):
     a = got.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     b = got1.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------- #
+# shuffle_shards: deterministic global shuffle + balanced round-robin shards
+# ---------------------------------------------------------------------------- #
+def test_shuffle_shards_balance_and_order(docs_ds):
+    from riot_ray.pipelines import shuffle_shards
+
+    ds = docs_ds.select_columns(["doc_id"])
+    got = shuffle_shards(ds, n_shards=7, seed=3).to_pandas()
+    n = len(got)
+    # exact balance: shard sizes differ by at most 1
+    sizes = got.groupby("shard").size()
+    assert len(sizes) == 7 and sizes.max() - sizes.min() <= 1
+    # rank is a permutation of 0..n-1
+    assert sorted(got["rank"]) == list(range(n))
+    # matches the SQL window oracle exactly
+    exp = _duck(
+        """
+        WITH ordered AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS rank
+          FROM documents)
+        SELECT doc_id, rank::BIGINT AS rank, (rank % 7)::BIGINT AS shard
+        FROM ordered ORDER BY doc_id
+        """
+    ).to_pandas()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert (g["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+    assert (g["shard"].to_numpy() == exp["shard"].to_numpy()).all()
+    # block-count independence: identical permutation at any partitioning
+    got2 = (
+        shuffle_shards(ds.repartition(11), n_shards=7, seed=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (got2["rank"].to_numpy() == g["rank"].to_numpy()).all()
+    # a different seed is a different permutation
+    got3 = shuffle_shards(ds, n_shards=7, seed=4).to_pandas()
+    m = got3.sort_values("doc_id")["rank"].to_numpy() != g["rank"].to_numpy()
+    assert m.any()

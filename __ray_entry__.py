@@ -1052,6 +1052,17 @@ def _q_batch_retrieval(sf_dir: str):
     return out.map_batches(cast_ids, batch_format="pyarrow")
 
 
+def _q_pipeline_train_shards(sf_dir: str):
+    """END-TO-END training-shard prep verified as ONE oracle: the curation
+    chain (quality gate -> exact dedup -> 50% hash sample — the same
+    composition pipeline_curate pins) feeding the deterministic global
+    shuffle + balanced round-robin shard assignment.  Checks the
+    curate->shard INTERFACE, not just the stages."""
+    from riot_ray.pipelines import shuffle_shards
+
+    return shuffle_shards(_q_pipeline_curate(sf_dir), n_shards=4, seed=1)
+
+
 def _q_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + exactly-balanced round-robin shard
     assignment (pipelines/sampling.py shuffle_shards) — the training-shard
@@ -1412,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
+        "pipeline_train_shards": _q_pipeline_train_shards,
         # (a) never driver-signed before round 4
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2656,6 +2668,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id::BIGINT AS query_id, doc_id,
                CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS score_milli
         FROM ranked WHERE rn <= {BATCH_K}
+        """
+
+    # the pipeline_curate CTE chain + the shuffle_shards window — the full
+    # composition under one hash
+    out["pipeline_train_shards"] = f"""
+        WITH {_TOKS},
+        stats AS (
+          SELECT d.doc_id, d.text, len(t) AS n_tok,
+                 len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
+                 length(d.text) AS n_chars
+          FROM documents d JOIN toks USING (doc_id)),
+        gated AS (
+          SELECT doc_id, text FROM stats
+          WHERE n_tok >= 30
+            AND ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 6) <= 0.2),
+        survivors AS (
+          SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+        kept AS (
+          SELECT doc_id::BIGINT AS doc_id FROM survivors
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
+                < 9223372036854775808::UBIGINT),
+        ordered AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS rank
+          FROM kept)
+        SELECT doc_id, rank::BIGINT AS rank, (rank % 4)::BIGINT AS shard
+        FROM ordered
         """
 
     out["shuffle_shards"] = """

@@ -1531,6 +1531,27 @@ toks AS (
 
 _TERMS_IN = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
+# curation chain shared by the pipeline_curate and pipeline_train_shards
+# oracles (quality gate -> exact dedup -> 50% id-hash sample) — ONE text so
+# the composed oracle can never drift from the stage oracle
+_CURATE_CTES = """
+stats AS (
+  SELECT d.doc_id, d.text, len(t) AS n_tok,
+         len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
+         length(d.text) AS n_chars
+  FROM documents d JOIN toks USING (doc_id)),
+gated AS (
+  SELECT doc_id, text FROM stats
+  WHERE n_tok >= 30
+    AND ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 6) <= 0.2),
+survivors AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+kept AS (
+  SELECT doc_id::BIGINT AS doc_id FROM survivors
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
+        < 9223372036854775808::UBIGINT)
+"""
+
 
 def _proximity_sql(terms) -> str:
     """k-term riot proximity DP as SQL: chain the 2-term oracle's
@@ -2095,20 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         # Bernoulli); chaining them checks the stage INTERFACES
         "pipeline_curate": f"""
             WITH {_TOKS},
-            stats AS (
-              SELECT d.doc_id, d.text, len(t) AS n_tok,
-                     len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
-                     length(d.text) AS n_chars
-              FROM documents d JOIN toks USING (doc_id)),
-            gated AS (
-              SELECT doc_id, text FROM stats
-              WHERE n_tok >= 30
-                AND ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 6) <= 0.2),
-            survivors AS (
-              SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
-            SELECT doc_id::BIGINT AS doc_id FROM survivors
-            WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
-                  < 9223372036854775808::UBIGINT
+            {_CURATE_CTES}
+            SELECT doc_id FROM kept
             """,
         # post-resize image metadata is a pure function of media_id:
         # mime cycles with id%4 (3=wav, excluded), dims forced to 16x16,
@@ -2674,21 +2683,7 @@ def oracle_sql() -> dict[str, str]:
     # composition under one hash
     out["pipeline_train_shards"] = f"""
         WITH {_TOKS},
-        stats AS (
-          SELECT d.doc_id, d.text, len(t) AS n_tok,
-                 len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
-                 length(d.text) AS n_chars
-          FROM documents d JOIN toks USING (doc_id)),
-        gated AS (
-          SELECT doc_id, text FROM stats
-          WHERE n_tok >= 30
-            AND ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 6) <= 0.2),
-        survivors AS (
-          SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
-        kept AS (
-          SELECT doc_id::BIGINT AS doc_id FROM survivors
-          WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 16))::UBIGINT
-                < 9223372036854775808::UBIGINT),
+        {_CURATE_CTES},
         ordered AS (
           SELECT doc_id,
                  row_number() OVER (

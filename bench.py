@@ -379,8 +379,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     pmi_pairs(docs.select_columns(["text"]), window=5, min_count=20).count()
     q["pmi_pairs"] = round(time.time() - t0, 3)
 
-    # batch retrieval: 4000 stored queries streamed through 4 index-holding
-    # actors (the offline hard-negative-mining shape)
+    # batch retrieval: 6000 stored all-distinct queries streamed through 4
+    # index-holding actors (the offline hard-negative-mining shape)
     from riot_ray.pipelines import batch_retrieval, semdedup
 
     terms = ["batch", "small", "scan", "agg", "data", "customer", "big",

@@ -1874,11 +1874,23 @@ def semdedup(
 
     def assign(batch: pa.Table) -> pa.Table:
         g_C = ray.get(cref)
-        packed = _pack_norm_vec(batch, id_col, vec_col)
-        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-            np.float64) if len(packed) else np.empty((0, g_C.shape[1]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = (np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
+             .astype(np.float64) if len(ids) else np.empty((0, g_C.shape[1])))
         a, _d = _nearest_clusters(V, g_C)
-        return packed.append_column("cluster", pa.array(a, pa.int64()))
+        # pack the unit-normalized rows from the ALREADY-stacked matrix
+        # (one Arrow->numpy conversion per batch, not two)
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        U = np.ascontiguousarray(V / nrm, dtype="<f8")
+        dim = U.shape[1] if len(ids) else 0
+        offsets = np.arange(len(ids) + 1, dtype=np.int64) * dim * 8
+        nvec = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(ids),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(U.tobytes())],
+        )
+        return pa.table({id_col: pa.array(ids, pa.int64()), "nvec": nvec,
+                         "cluster": pa.array(a, pa.int64())})
 
     def collapse(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1894,7 +1906,10 @@ def semdedup(
         dup = np.zeros(n, bool)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
-            G = V[s:e] @ V[:e].T
+            # round6 BEFORE the compare — the oracle's ROUND(cos, 6) >= t;
+            # unrounded engine-side compares would diverge on boundary
+            # pairs (the embedding_dup_pairs_lsh verify convention)
+            G = round6(V[s:e] @ V[:e].T)
             earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
             dup[s:e] = ((G >= threshold) & earlier).any(axis=1)
         keep = ~dup

@@ -500,5 +500,13 @@ def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0):
 
     counts = ray.get([nrows.remote(r) for r in refs])
     offs = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
-    return rd.from_arrow_refs(
-        [assign.remote(r, int(o)) for r, o in zip(refs, offs)])
+    # zero-row blocks out of a sort carry an EMPTY schema (no id_col to
+    # gather) — skip them; an all-empty input yields a typed empty result
+    live = [(r, int(o)) for r, o, c in zip(refs, offs, counts) if c]
+    if not live:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+        }))
+    return rd.from_arrow_refs([assign.remote(r, o) for r, o in live])

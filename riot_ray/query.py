@@ -687,12 +687,6 @@ class ShardData:
         return np.unique(np.concatenate(arrs))
 
     # -- block-max WAND (north star: pruned AND + top-k) ------------------ #
-    def block_postings(self, term: str, blk: int):
-        """Decode ONE block of a term's posting list."""
-        docs = np.cumsum(decode_varbyte(self.docs_vb[blk]), dtype=np.uint64)
-        tfs = np.frombuffer(self.tfs_bin[blk], dtype="<f4")
-        return docs, tfs
-
     def block_upper_bounds(self, term: str, idf: float, avgdl: float, dtype=np.float32):
         """Per-block score upper bound for one term: tf=max_tf, d=min_len
         maximize idf*tf*(k1+1)/(tf+k1*(1-b+b*d/avgdl)).

@@ -3802,9 +3802,12 @@ def _semdedup_brute(V, ids, C, threshold):
     order = np.argsort(ids)
     keep = []
     for pos in order:
+        def _r6(x):  # DuckDB ROUND half-away, the operator's compare
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
         dup = any(
             cl[q] == cl[pos] and ids[q] < ids[pos]
-            and float(U[q] @ U[pos]) >= threshold
+            and _r6(float(U[q] @ U[pos])) >= threshold
             for q in order
         )
         if not dup:
@@ -3922,3 +3925,15 @@ def test_shuffle_shards_balance_and_order(docs_ds):
     got3 = shuffle_shards(ds, n_shards=7, seed=4).to_pandas()
     m = got3.sort_values("doc_id")["rank"].to_numpy() != g["rank"].to_numpy()
     assert m.any()
+
+
+def test_shuffle_shards_empty_input(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import shuffle_shards
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    got = shuffle_shards(empty, n_shards=4)
+    assert got.count() == 0
+    # to_pandas drops columns on empty datasets; the SCHEMA is the contract
+    assert got.schema().names == ["doc_id", "rank", "shard"]

@@ -1052,6 +1052,28 @@ def _q_batch_retrieval(sf_dir: str):
     return out.map_batches(cast_ids, batch_format="pyarrow")
 
 
+def _q_pipeline_semdedup_curate(sf_dir: str):
+    """Corpus-side semantic dedup: semdedup's DROPPED id set (the small
+    side) broadcasts once and the documents table streams through the
+    filter_ids anti-join — the composition a SemDeDup curation run
+    executes, under one oracle."""
+    from riot_ray.pipelines import filter_ids, semdedup
+
+    import pyarrow.parquet as _pq
+
+    seeds = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 8)],
+    ).sort_by("vec_id")
+    C = np.stack(seeds["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    dropped = semdedup(_emb(sf_dir), C, threshold=SEMDEDUP_THRESHOLD,
+                       emit="dropped")
+    drop_ids = dropped.to_pandas()["vec_id"].to_numpy(np.int64)
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return filter_ids(docs, drop_ids, id_col="doc_id")
+
+
 def _q_pipeline_train_shards(sf_dir: str):
     """END-TO-END training-shard prep verified as ONE oracle: the curation
     chain (quality gate -> exact dedup -> 50% hash sample — the same
@@ -1424,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
         "pipeline_train_shards": _q_pipeline_train_shards,
+        "pipeline_semdedup_curate": _q_pipeline_semdedup_curate,
         # (a) never driver-signed before round 4
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -2707,9 +2730,11 @@ def oracle_sql() -> dict[str, str]:
 
     # semdedup: assign = the kmeans_assign oracle's seed-centroid
     # nearest-neighbor; a row is dropped iff an EARLIER same-cluster row
-    # has cosine >= threshold (keep-earliest survivor semantics)
-    out["semdedup"] = f"""
-        WITH seeds AS (
+    # has cosine >= threshold (keep-earliest survivor semantics).  The
+    # CTE chain is shared with pipeline_semdedup_curate so the composed
+    # oracle can never drift from the stage oracle.
+    _semdedup_ctes = f"""
+        seeds AS (
           SELECT vec_id AS cid, embedding AS ce
           FROM embeddings WHERE vec_id < 8),
         ranked AS (
@@ -2726,9 +2751,19 @@ def oracle_sql() -> dict[str, str]:
           JOIN embeddings ea ON ea.vec_id = a.vec_id
           JOIN embeddings eb ON eb.vec_id = b.vec_id
           WHERE ROUND(list_cosine_similarity(ea.embedding, eb.embedding), 6)
-                >= {SEMDEDUP_THRESHOLD})
+                >= {SEMDEDUP_THRESHOLD})"""
+    out["semdedup"] = f"""
+        WITH {_semdedup_ctes}
         SELECT a.vec_id::BIGINT AS vec_id, a.cluster::BIGINT AS cluster
         FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+        """
+    # the corpus-side composition: documents whose id survives semantic
+    # dedup (the DROPPED set is the broadcast side — it is the small one)
+    out["pipeline_semdedup_curate"] = f"""
+        WITH {_semdedup_ctes}
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT vec_id FROM dup)
         """
 
     out["kmeans_assign"] = """

@@ -1836,6 +1836,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     chunk: int = 8192,
+    emit: str = "survivors",
 ):
     """SemDeDup survivors: cluster-scoped semantic deduplication (Abbas et
     al., "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1859,13 +1860,19 @@ def semdedup(
        O(chunk x |cluster|), compute the O(|cluster|^2) dot products the
        method is defined by.
 
-    Returns survivors ``(id_col, cluster)``.  Scale contract (from the
-    paper): k — the number of centroids — must grow with the corpus so
-    clusters stay bounded; with |cluster| ~ N/k fixed, stage 2 is flat
-    per-group work behind one hash shuffle on ``cluster``.  Callers fit
-    centroids with ``kmeans_fit`` (streaming Lloyd) or pass seed rows for
-    a deterministic demo/oracle setup.
+    Returns ``(id_col, cluster)`` rows — the SURVIVORS by default, or the
+    DROPPED set with ``emit="dropped"``.  Downstream corpus filtering
+    should broadcast the dropped set (small: only the duplicates), never
+    the survivor set (corpus-sized) — see :func:`filter_ids`.
+
+    Scale contract (from the paper): k — the number of centroids — must
+    grow with the corpus so clusters stay bounded; with |cluster| ~ N/k
+    fixed, stage 2 is flat per-group work behind one hash shuffle on
+    ``cluster``.  Callers fit centroids with ``kmeans_fit`` (streaming
+    Lloyd) or pass seed rows for a deterministic demo/oracle setup.
     """
+    if emit not in ("survivors", "dropped"):
+        raise ValueError(f"emit={emit!r}: 'survivors' or 'dropped'")
     import ray
 
     from .simsearch import _nearest_clusters
@@ -1912,7 +1919,7 @@ def semdedup(
             G = round6(V[s:e] @ V[:e].T)
             earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
             dup[s:e] = ((G >= threshold) & earlier).any(axis=1)
-        keep = ~dup
+        keep = dup if emit == "dropped" else ~dup
         cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({id_col: pa.array(ids[keep], pa.int64()),
                          "cluster": pa.array(cl[order][keep], pa.int64())})
@@ -1922,6 +1929,33 @@ def semdedup(
         .groupby("cluster")
         .map_groups(collapse, batch_format="pyarrow")
     )
+
+
+def filter_ids(ds, ids, id_col: str = "doc_id", keep: bool = False):
+    """Stream ``ds`` through an id-set membership filter: DROP rows whose
+    ``id_col`` is in ``ids`` (or KEEP only those with ``keep=True``).
+
+    ``ids`` is a numpy int64 array or a Dataset with an ``id_col`` column
+    (materialized driver-side — pass the SMALL side: a dropped-dup set, a
+    blocklist; never a corpus-sized survivor list).  The set broadcasts
+    once via ``ray.put`` as a sorted array and every batch filters with
+    one searchsorted pass — the corpus itself never shuffles.  Above the
+    broadcast gate (~64 MB of ids) route through a co-grouped anti-join
+    instead, as :func:`filter_seen` does for digest sets."""
+    import ray
+
+    if not isinstance(ids, np.ndarray):
+        ids = ids.to_pandas()[id_col].to_numpy(np.int64)
+    ref = ray.put(np.sort(ids.astype(np.int64)))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        from .sampling import lookup_sorted
+
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = lookup_sorted(ray.get(ref), bid)
+        return batch.filter(pa.array(hit if keep else ~hit))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #

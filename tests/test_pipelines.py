@@ -3937,3 +3937,33 @@ def test_shuffle_shards_empty_input(ray_session):
     assert got.count() == 0
     # to_pandas drops columns on empty datasets; the SCHEMA is the contract
     assert got.schema().names == ["doc_id", "rank", "shard"]
+
+
+def test_semdedup_dropped_partition_and_filter_ids(emb_ds, docs_ds):
+    from riot_ray.pipelines import filter_ids, semdedup
+
+    emb = emb_ds.take_all()
+    ids = np.array(sorted(r["vec_id"] for r in emb), np.int64)
+    V = np.stack([np.asarray(r["embedding"], np.float64)
+                  for r in sorted(emb, key=lambda r: r["vec_id"])])
+    C = V[:6].copy()
+    surv = semdedup(emb_ds, C, threshold=0.4).to_pandas()
+    drop = semdedup(emb_ds, C, threshold=0.4, emit="dropped").to_pandas()
+    # survivors and dropped partition the id space
+    assert len(surv) + len(drop) == len(ids)
+    assert not set(surv["vec_id"]) & set(drop["vec_id"])
+    assert set(surv["vec_id"]) | set(drop["vec_id"]) == set(ids)
+    # filter_ids drop-mode removes exactly the dropped ids from the corpus
+    kept = filter_ids(
+        docs_ds.select_columns(["doc_id"]),
+        drop["vec_id"].to_numpy(np.int64), id_col="doc_id"
+    ).to_pandas()
+    assert set(kept["doc_id"]) == set(ids) - set(drop["vec_id"])
+    # keep-mode is the complement
+    only = filter_ids(
+        docs_ds.select_columns(["doc_id"]),
+        drop["vec_id"].to_numpy(np.int64), id_col="doc_id", keep=True
+    ).to_pandas()
+    assert set(only["doc_id"]) == set(drop["vec_id"])
+    with pytest.raises(ValueError):
+        semdedup(emb_ds, C, emit="nope")

@@ -82,6 +82,24 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_retrieve(args) -> int:
+    """Offline batch retrieval: a parquet query table (query_id, text)
+    streamed through index-holding actors, top-k rows written as parquet —
+    the submit-and-walk-away form of pipelines.batch_retrieval."""
+    import ray.data as rd
+
+    from .pipelines import batch_retrieval
+
+    qs = rd.read_parquet(args.queries)
+    out = batch_retrieval(qs, args.index, k=args.k,
+                          concurrency=args.actors,
+                          batch_size=args.batch_size)
+    out.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows": int(n)}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .engine import ActorSearcher, LocalSearcher
     from .httpserve import SearchHTTPServer
@@ -128,6 +146,18 @@ def make_parser() -> argparse.ArgumentParser:
                    help="0 = in-process; N = actor-pool fan-out")
     s.add_argument("--hydrate", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    r = sub.add_parser(
+        "retrieve", help="offline batch retrieval: query parquet -> top-k parquet"
+    )
+    r.add_argument("--index", required=True)
+    r.add_argument("--queries", required=True,
+                   help="parquet with (query_id, text) rows")
+    r.add_argument("--output", required=True, help="output parquet dir")
+    r.add_argument("-k", type=int, default=10)
+    r.add_argument("--actors", type=int, default=4)
+    r.add_argument("--batch-size", type=int, default=512)
+    r.set_defaults(fn=cmd_retrieve)
 
     v = sub.add_parser("serve", help="HTTP serving facade")
     v.add_argument("--index", required=True)

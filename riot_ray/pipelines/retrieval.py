@@ -4,11 +4,12 @@ actors.
 The batch counterpart of riot's online ``Engine.Search``
 (/root/reference/engine.go:509-679) for the training-data case: millions
 of STORED queries — hard-negative mining, eval-set retrieval, doc-to-doc
-distillation — scored against one fixed index.  Ray Data shape: the
-queries are just a Dataset; ``map_batches`` with a CLASS (stateful actor
-pool) loads the full serving state ONCE per actor (``LocalSearcher``
-over the on-disk segment files — the same kernels the online path uses)
-and each ``__call__`` scores one Arrow batch of queries.
+distillation — scored against one fixed index.  The kernel stage is
+``engine.search_dataset`` (``_BatchQueryStage``: one ``LocalSearcher``
+per actor, loaded once in ``__init__``, ``search_many`` plan sharing per
+batch); this wrapper fixes the TRAINING-PIPELINE output contract on top
+— oracle-exact integer milli scores, rank implied by the (score desc,
+doc_id asc) row order, no float column to hash-drift.
 
 Scale shape (the part that matters at 10^9 queries):
 * queries stream with backpressure — the query table is never
@@ -57,39 +58,26 @@ def batch_retrieval(
     in-memory table (``from_arrow``/``from_items``) must be
     ``repartition(n)``-ed first or one actor serves everything.
     """
-    from ..engine import LocalSearcher
-    from ..types import RankOpts, SearchReq
+    from ..engine import search_dataset
 
-    class _Retrieve:
-        def __init__(self):
-            self.se = LocalSearcher(index_dir, tokenizer_factory=tokenizer_factory)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            qids = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            texts = batch["text"].to_pylist()
-            reqs = [
-                SearchReq(text=t or "", rank_opts=RankOpts(max_outputs=k))
-                for t in texts
-            ]
-            resps = self.se.search_many(reqs)
-            n_hits = [len(r.docs) for r in resps]
-            out_q = np.repeat(qids, n_hits)
-            out_d = [h.doc_id for r in resps for h in r.docs]
-            sc = np.array(
-                [h.bm25 for r in resps for h in r.docs], dtype=np.float64
-            )
-            milli = np.floor(sc * 1000.0 + 0.5).astype(np.int64)
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "doc_id": pa.array(out_d, pa.string()),
-                    "score_milli": pa.array(milli, pa.int64()),
-                }
-            )
-
-    return queries_ds.map_batches(
-        _Retrieve,
+    out = search_dataset(
+        index_dir,
+        queries_ds,
+        max_outputs=k,
         concurrency=concurrency,
         batch_size=batch_size,
-        batch_format="pyarrow",
+        tokenizer_factory=tokenizer_factory,
     )
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        sc = b["bm25"].to_numpy(zero_copy_only=False)
+        milli = np.floor(sc * 1000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": b["query_id"],
+                "doc_id": b["doc_id"],
+                "score_milli": pa.array(milli, pa.int64()),
+            }
+        )
+
+    return out.map_batches(to_milli, batch_format="pyarrow")

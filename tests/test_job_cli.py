@@ -119,3 +119,37 @@ def test_serve_subprocess(corpus_index):
     finally:
         proc.terminate()
         proc.wait(timeout=60)
+
+
+def test_retrieve_roundtrip(ray_session, corpus_index, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.job import cmd_retrieve
+    from riot_ray.types import RankOpts, SearchReq
+
+    qfile = str(tmp_path / "queries.parquet")
+    pq.write_table(pa.table({
+        "query_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["parse json", "merge sort"], pa.string()),
+    }), qfile)
+    out_dir = str(tmp_path / "hits")
+    p = make_parser()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cmd_retrieve(p.parse_args([
+            "retrieve", "--index", corpus_index["index_dir"],
+            "--queries", qfile, "--output", out_dir, "-k", "3",
+            "--actors", "1",
+        ]))
+    assert rc == 0
+    summary = json.loads(buf.getvalue())
+    got = pq.read_table(out_dir).to_pandas()
+    assert summary["rows"] == len(got)
+    se = LocalSearcher(corpus_index["index_dir"])
+    for qid, text in [(0, "parse json"), (1, "merge sort")]:
+        resp = se.search(SearchReq(text=text, rank_opts=RankOpts(max_outputs=3)))
+        sub = got[got["query_id"] == qid].sort_values("score_milli",
+                                                      ascending=False)
+        assert list(sub["doc_id"]) == [h.doc_id for h in resp.docs]

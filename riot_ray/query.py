@@ -146,6 +146,153 @@ def token_proximity(locations, tokens):
     return best, tuple(out)
 
 
+# packed key = value * PACK + within-doc index: PACK bounds a term's
+# positions within ONE doc (2^24), INF the accumulated proximity value
+# (2^36 — positions are i4, k is small; values clamp there defensively).
+# Sentinel INF*PACK = 2^60 fits int64 with headroom.
+_PROX_INF = np.int64(1) << 36
+_PROX_PACK = np.int64(1) << 24
+
+
+def token_proximity_block(flats: list, tokens) -> tuple:
+    """:func:`token_proximity` for ALL candidate docs at once — every DP
+    layer is one vectorized pass over the concatenated position arrays
+    (the per-doc Python loop was the proximity path's dominant cost,
+    ~8 us/doc).
+
+    ``flats[t] = (vals int64, offs int64[n+1])`` — token t's positions for
+    each of the n docs, ascending within a doc.  Returns ``(prox int64[n],
+    chosen list of k int64[n])``: the minimal proximity per doc (-1 where
+    any token has no positions — the demoted case — or, defensively,
+    where no path exists) and the chosen position per token per doc.
+
+    Semantics are pinned to the scalar DP by a hypothesis equality test:
+    the two-candidate transition with the ``max(#(P_next < pos) - 1, 0)``
+    quirk, first-reacher wins on ties (packed (value, within-doc index)
+    keys make ``np.minimum.at`` reproduce the scalar loop's strict-<
+    update order)."""
+    k = len(tokens)
+    n = len(flats[0][1]) - 1 if k else 0
+    if k == 0 or n == 0:
+        return np.full(n, -1, np.int64), []
+    lens = [offs[1:] - offs[:-1] for _vals, offs in flats]
+    active = lens[0] > 0
+    for ln in lens[1:]:
+        active &= ln > 0
+    if k == 1:
+        vals, offs = flats[0]
+        prox = np.where(active, 0, -1).astype(np.int64)
+        chosen = np.zeros(n, np.int64)
+        chosen[active] = vals[offs[:-1][active]]
+        return prox, [chosen]
+
+    # positions shifted into disjoint per-doc ranges so ONE searchsorted
+    # answers every doc's "# next-layer positions < this position" count
+    stride = max(int(v.max()) + 2 if len(v) else 1 for v, _ in flats)
+
+    def doc_of(offs):
+        return np.repeat(np.arange(n, dtype=np.int64), offs[1:] - offs[:-1])
+
+    cur_vals, cur_offs = flats[0]
+    cur_doc = doc_of(cur_offs)
+    # packed running cost: value * PACK + within-doc index of the BEST
+    # predecessor is carried separately (paths); here value only
+    cur_min = np.zeros(len(cur_vals), np.int64)
+    paths = [None]
+    for i in range(1, k):
+        nxt_vals, nxt_offs = flats[i]
+        nxt_doc = doc_of(nxt_offs)
+        tok_len = len(tokens[i - 1].encode("utf-8"))
+        count = np.searchsorted(
+            nxt_vals + nxt_doc * stride, cur_vals + cur_doc * stride
+        ) - nxt_offs[cur_doc]
+        j0 = np.maximum(count - 1, 0)
+        len_d = (nxt_offs[1:] - nxt_offs[:-1])[cur_doc]
+        packed = np.full(len(nxt_vals), _PROX_INF * _PROX_PACK, np.int64)
+        cur_idx = (np.arange(len(cur_vals), dtype=np.int64)
+                   - cur_offs[cur_doc])
+        reach = cur_min < _PROX_INF
+        for cand in (j0, j0 + 1):
+            ok = reach & (cand < len_d)
+            if not ok.any():
+                continue
+            to = nxt_offs[cur_doc[ok]] + cand[ok]
+            value = cur_min[ok] + np.abs(
+                nxt_vals[to] - cur_vals[ok] - tok_len)
+            value = np.minimum(value, _PROX_INF - 1)
+            np.minimum.at(packed, to, value * _PROX_PACK + cur_idx[ok])
+        paths.append(packed % _PROX_PACK)
+        cur_min = packed // _PROX_PACK
+        cur_vals, cur_offs, cur_doc = nxt_vals, nxt_offs, nxt_doc
+
+    # best of the last layer per doc, first-index tie-break (packed again)
+    last_idx = (np.arange(len(cur_vals), dtype=np.int64)
+                - cur_offs[cur_doc])
+    best = np.full(n, _PROX_INF * _PROX_PACK, np.int64)
+    fin = cur_min < _PROX_INF
+    np.minimum.at(best, cur_doc[fin],
+                  cur_min[fin] * _PROX_PACK + last_idx[fin])
+    prox = best // _PROX_PACK
+    reached = active & (prox < _PROX_INF)
+    prox = np.where(reached, prox, -1)
+    # vectorized backtrack: k gathers walk the path arrays right-to-left
+    chosen = [np.zeros(n, np.int64) for _ in range(k)]
+    cursor = np.where(reached, best % _PROX_PACK, 0)
+    docs = np.arange(n, dtype=np.int64)
+    for i in range(k - 1, -1, -1):
+        vals, offs = flats[i]
+        at = np.minimum(offs[:-1] + cursor, np.maximum(offs[1:] - 1, 0))
+        ch = np.zeros(n, np.int64)
+        ch[reached] = vals[at[reached]]
+        chosen[i] = ch
+        if i:
+            pat = np.zeros(n, np.int64)
+            pat[reached] = paths[i][at[reached]]
+            cursor = pat
+    return prox, chosen
+
+
+class _SnippetSeq:
+    """Lazy per-candidate snippet tuples over the block DP's chosen-position
+    columns — materialized ON ACCESS (the rank path touches only the top-k;
+    building n python tuples up front was pure waste)."""
+
+    __slots__ = ("cols", "prox")
+
+    def __init__(self, cols, prox):
+        self.cols = cols
+        self.prox = prox
+
+    def __len__(self):
+        return len(self.prox)
+
+    def __getitem__(self, i):
+        if self.prox[i] == -1:
+            return ()
+        return tuple(int(c[i]) for c in self.cols)
+
+
+class _TokenLocsSeq:
+    """Lazy per-candidate full position-list tuples over the flat
+    (vals, offs) arrays (same on-access contract as :class:`_SnippetSeq`)."""
+
+    __slots__ = ("flats", "prox")
+
+    def __init__(self, flats, prox):
+        self.flats = flats
+        self.prox = prox
+
+    def __len__(self):
+        return len(self.prox)
+
+    def __getitem__(self, i):
+        if self.prox[i] == -1:
+            return ()
+        return tuple(
+            tuple(v[o[i]: o[i + 1]].tolist()) for v, o in self.flats
+        )
+
+
 # --------------------------------------------------------------------------- #
 # hit block: column-oriented candidate set (replaces per-hit dicts so the
 # default-scoring rank path is one vectorized argsort, not 2N allocations)
@@ -239,6 +386,7 @@ class ShardData:
         self._facet_cache: dict[str, tuple] = {}
         self._norm_cache: dict[tuple, np.ndarray] = {}
         self._ub_cache: dict[tuple, tuple] = {}
+        self._pos_cache: dict[str, tuple] = {}
         self._id_sorted_ids = None  # fw_doc_id sorted by string (lazy)
         self._id_order = None
         self._load_forward(index_dir, opts, hydrate)
@@ -297,18 +445,55 @@ class ShardData:
         self._cache[term] = out
         return out
 
+    def _positions_decoded(self, term: str):
+        """(values int64, offs int64) for a term's FULL posting order —
+        decoded once and LRU-cached per term (the decode is a binary join
+        over every posting row; per-query re-decoding dominated the
+        proximity path before this cache)."""
+        hit = self._pos_cache.get(term)
+        if hit is not None:
+            return hit
+        rng = self.term_range.get(term)
+        if rng is None:
+            out = (np.empty(0, np.int64), np.zeros(1, np.int64))
+        else:
+            s, e = rng
+            counts = np.frombuffer(
+                b"".join(self.pos_cnt_bin[s:e]), dtype="<i4"
+            ).astype(np.int64)
+            values = np.frombuffer(
+                b"".join(self.pos_bin[s:e]), dtype="<i4"
+            ).astype(np.int64)
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            out = (values, offs)
+        if len(self._pos_cache) > 1024:
+            self._pos_cache.pop(next(iter(self._pos_cache)))
+        self._pos_cache[term] = out
+        return out
+
+    def positions_flat(self, term: str, idx: np.ndarray):
+        """Positions for posting rows ``idx``, as ONE flat (vals, offs)
+        pair in idx order — the vectorized multi-range gather (same idiom
+        as the WAND block gather), no per-row python lists."""
+        values, offs_all = self._positions_decoded(term)
+        idx = np.asarray(idx, dtype=np.int64)
+        if idx.size == 0 or len(offs_all) <= 1:
+            return np.empty(0, np.int64), np.zeros(len(idx) + 1, np.int64)
+        lens = offs_all[idx + 1] - offs_all[idx]
+        starts = offs_all[idx]
+        shift = np.repeat(
+            starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        rows = shift + np.arange(int(lens.sum()), dtype=np.int64)
+        offs = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return values[rows], offs
+
     def positions_of(self, term: str, idx: np.ndarray):
         """Position lists for rows ``idx`` (indices into the term's posting
         order). Returns list of python lists."""
-        rng = self.term_range.get(term)
-        if rng is None:
-            return [[] for _ in idx]
-        s, e = rng
-        counts = np.frombuffer(b"".join(self.pos_cnt_bin[s:e]), dtype="<i4").astype(np.int64)
-        values = np.frombuffer(b"".join(self.pos_bin[s:e]), dtype="<i4")
-        offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        return [values[offs[i]: offs[i + 1]].tolist() for i in idx]
+        vals, offs = self.positions_flat(term, idx)
+        return [vals[offs[i]: offs[i + 1]].tolist() for i in range(len(idx))]
 
     def doc_lens(self, cand: np.ndarray) -> np.ndarray:
         i = np.searchsorted(self.dm_doc, cand)
@@ -535,7 +720,7 @@ class ShardData:
         n = cand.size
         bm25 = np.zeros(n, dtype=dtype)
         token_tfs = []
-        token_pos = []
+        token_flats = []
         demoted = np.zeros(n, dtype=bool)
         if opts.index_type != DOCIDS_INDEX:
             nrm = self.bm25_norms(avgdl, dtype)[np.searchsorted(self.dm_doc, cand)]
@@ -546,9 +731,9 @@ class ShardData:
                     rows = np.searchsorted(docs, cand)
                 tf_t = tfs[rows]
                 if opts.index_type == LOCS_INDEX:
-                    plists = self.positions_of(t, rows)
-                    token_pos.append(plists)
-                    freq = np.array([len(p) for p in plists], dtype=np.float32)
+                    vals, offs = self.positions_flat(t, rows)
+                    token_flats.append((vals, offs))
+                    freq = (offs[1:] - offs[:-1]).astype(np.float32)
                     demoted |= freq == 0
                 else:
                     freq = tf_t
@@ -568,18 +753,16 @@ class ShardData:
         snippet = None
         tlocs = None
         if opts.index_type == LOCS_INDEX:
-            prox = np.full(n, -1, dtype=np.int64)
-            snippet = [()] * n
-            tlocs = [()] * n
             if tokens:
-                for i in range(n):
-                    if demoted[i]:
-                        continue
-                    locs = [token_pos[j][i] for j in range(len(tokens))]
-                    p, sn = token_proximity(locs, list(tokens))
-                    prox[i] = p
-                    snippet[i] = sn
-                    tlocs[i] = tuple(tuple(x) for x in locs)
+                # one vectorized DP over every candidate at once; snippet /
+                # token-locs tuples materialize lazily at the top-k boundary
+                prox, chosen = token_proximity_block(token_flats, list(tokens))
+                snippet = _SnippetSeq(chosen, prox)
+                tlocs = _TokenLocsSeq(token_flats, prox)
+            else:
+                prox = np.full(n, -1, dtype=np.int64)
+                snippet = [()] * n
+                tlocs = [()] * n
         return ret(
             HitBlock(cand, doc_ids, np.asarray(bm25, np.float64), prox,
                      snippet, tlocs),

@@ -286,3 +286,39 @@ def test_pair_member_equals_set_membership(qpairs, spairs):
     got = _pair_member(q1, q2, s1, s2)
     exp = np.array([p in set(sset) for p in qpairs], bool)
     assert (got == exp).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_token_proximity_block_equals_scalar(data):
+    """The vectorized all-docs proximity DP (token_proximity_block) is
+    bit-equal to the scalar two-candidate DP riot's computeTokenProximity
+    semantics are pinned by — proximity AND chosen snippet positions, for
+    every doc, including docs where a token has no positions (-1/())."""
+    from riot_ray.query import token_proximity, token_proximity_block
+
+    k = data.draw(st.integers(1, 4))
+    n = data.draw(st.integers(1, 12))
+    tokens = [data.draw(st.text("abé", min_size=1, max_size=4))
+              for _ in range(k)]
+    flats, locs_per_doc = [], [[] for _ in range(n)]
+    for _t in range(k):
+        vals, offs = [], [0]
+        for d in range(n):
+            pos = sorted(data.draw(st.sets(
+                st.integers(0, 120), min_size=0, max_size=5)))
+            vals.extend(pos)
+            offs.append(offs[-1] + len(pos))
+            locs_per_doc[d].append(list(pos))
+        flats.append((np.array(vals, np.int64), np.array(offs, np.int64)))
+    prox, chosen = token_proximity_block(flats, tokens)
+    for d in range(n):
+        locs = locs_per_doc[d]
+        if any(len(p) == 0 for p in locs):
+            want = (-1, ())
+        else:
+            want = token_proximity(locs, tokens)
+        got_p = int(prox[d])
+        got_s = (tuple(int(chosen[t][d]) for t in range(k))
+                 if got_p != -1 else ())
+        assert (got_p, got_s) == want

@@ -143,6 +143,25 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     se.search_many(breqs)
     fan_batched = time.time() - t0
     se.shutdown()
+    # proximity serving (locs index): the vectorized per-candidate DP path
+    from dataclasses import replace as _dc_replace
+
+    from riot_ray.config import LOCS_INDEX
+    from riot_ray.engine import LocalSearcher
+
+    locs_dir = "/tmp/riot_ray_bench/index_locs"
+    lopts = _dc_replace(_bench_opts(num_cpus), index_type=LOCS_INDEX,
+                        num_shards=4)
+    _build_index(src, locs_dir, lopts)
+    ls = LocalSearcher(locs_dir)
+    preq = SearchReq(text="spark data", rank_opts=RankOpts(max_outputs=10))
+    for _ in range(10):
+        ls.search(preq)
+    t0 = time.time()
+    for _ in range(100):
+        ls.search(preq)
+    q["proximity_ms"] = round((time.time() - t0) / 100 * 1000, 2)
+
     lat = np.sort(np.array(lat))
     q["search_total"] = round(seq_total + total, 3)
     q["search_p50"] = round(float(lat[int(0.50 * len(lat))]), 5)

@@ -91,6 +91,42 @@ def cmd_retrieve(args) -> int:
     from .pipelines import batch_retrieval
 
     qs = rd.read_parquet(args.queries)
+    if args.checkpoint:
+        # resumable form: queries hash into part=K dirs; a restarted run
+        # FILTERS OUT queries of already-committed parts before retrieval
+        # (skipping the compute, not just the write), then commits the
+        # remaining parts atomically
+        import os as _os
+
+        import numpy as np
+        import pyarrow as pa
+
+        from .build import load_stats
+        from .pipelines.checkpoint import (checkpointed_write,
+                                           committed_parts, part_of)
+
+        st = _os.stat(args.queries)
+        fp = (f"{args.queries}|{st.st_size}|{st.st_mtime_ns}|"
+              f"{load_stats(args.index).get('fingerprint', args.index)}|"
+              f"k={args.k}")
+        done = committed_parts(args.output, fp, args.partitions)
+        if done:
+            def undone(b: pa.Table) -> pa.Table:
+                part = part_of(
+                    b["query_id"].to_numpy(zero_copy_only=False),
+                    args.partitions)
+                return b.filter(pa.array(~np.isin(part, list(done))))
+
+            qs = qs.map_batches(undone, batch_format="pyarrow")
+        out = batch_retrieval(qs, args.index, k=args.k,
+                              concurrency=args.actors,
+                              batch_size=args.batch_size)
+        summary = checkpointed_write(out, args.output, fingerprint=fp,
+                                     partition_col="query_id",
+                                     num_partitions=args.partitions)
+        summary["parts_resumed"] = len(done)
+        print(json.dumps(summary))
+        return 0
     out = batch_retrieval(qs, args.index, k=args.k,
                           concurrency=args.actors,
                           batch_size=args.batch_size)
@@ -157,6 +193,10 @@ def make_parser() -> argparse.ArgumentParser:
     r.add_argument("-k", type=int, default=10)
     r.add_argument("--actors", type=int, default=4)
     r.add_argument("--batch-size", type=int, default=512)
+    r.add_argument("--checkpoint", action="store_true",
+                   help="resumable output: part=K dirs + manifests; a "
+                        "rerun skips committed parts' queries entirely")
+    r.add_argument("--partitions", type=int, default=16)
     r.set_defaults(fn=cmd_retrieve)
 
     v = sub.add_parser("serve", help="HTTP serving facade")

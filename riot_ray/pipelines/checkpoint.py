@@ -180,6 +180,37 @@ def sweep_foreign_parts(out_dir: str, fingerprint: str, num_partitions: int,
             shutil.rmtree(pdir, ignore_errors=True)
 
 
+def committed_parts(out_dir: str, fingerprint: str, num_partitions: int,
+                    seed: int = 0) -> set:
+    """Part ids already committed by a previous run with the SAME
+    fingerprint/partitioning — the resume primitive: filter the INPUT to
+    rows hashing into non-committed parts before recomputing, so a
+    restarted job skips the finished work itself, not just the write
+    (checkpointed_write alone only skips the write)."""
+    import glob
+
+    done = set()
+    for pdir in glob.glob(os.path.join(out_dir, "part=" + "[0-9]" * 5)):
+        try:
+            with open(os.path.join(pdir, MANIFEST)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (m.get("fingerprint") == fingerprint
+                and m.get("num_partitions") == num_partitions
+                and m.get("seed") == seed
+                and 0 <= int(m.get("part", -1)) < num_partitions):
+            done.add(int(m["part"]))
+    return done
+
+
+def part_of(keys, num_partitions: int, seed: int = 0):
+    """The partition id checkpointed_write assigns to each key — exposed so
+    callers can pre-filter inputs against :func:`committed_parts`."""
+    h = _id_hashes(np.asarray(keys), seed)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def read_checkpointed(out_dir: str):
     """Dataset over every committed partition (tmp dirs never match)."""
     import glob

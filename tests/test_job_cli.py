@@ -153,3 +153,52 @@ def test_retrieve_roundtrip(ray_session, corpus_index, tmp_path):
         sub = got[got["query_id"] == qid].sort_values("score_milli",
                                                       ascending=False)
         assert list(sub["doc_id"]) == [h.doc_id for h in resp.docs]
+
+
+def test_retrieve_checkpoint_resume(ray_session, corpus_index, tmp_path):
+    """A rerun after losing one partition recomputes ONLY that partition's
+    queries (parts_resumed counts the committed ones it skipped)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_ray.job import cmd_retrieve
+    from riot_ray.pipelines.checkpoint import read_checkpointed
+
+    qfile = str(tmp_path / "q.parquet")
+    pq.write_table(pa.table({
+        "query_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array(["parse json"] * 6 + ["merge sort"] * 6, pa.string()),
+    }), qfile)
+    out_dir = str(tmp_path / "ckpt")
+    p = make_parser()
+    argv = ["retrieve", "--index", corpus_index["index_dir"],
+            "--queries", qfile, "--output", out_dir, "-k", "2",
+            "--actors", "1", "--checkpoint", "--partitions", "4"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_retrieve(p.parse_args(argv)) == 0
+    s1 = json.loads(buf.getvalue())
+    assert s1["parts_written"] == 4 and s1["parts_resumed"] == 0
+    full = read_checkpointed(out_dir).to_pandas().sort_values(
+        ["query_id", "doc_id"]).reset_index(drop=True)
+
+    # lose one partition, rerun: 3 resumed, 1 rewritten, output identical
+    victim = sorted(os.listdir(out_dir))[0]
+    shutil.rmtree(os.path.join(out_dir, victim))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_retrieve(p.parse_args(argv)) == 0
+    s2 = json.loads(buf.getvalue())
+    assert s2["parts_resumed"] == 3 and s2["parts_written"] == 1
+    again = read_checkpointed(out_dir).to_pandas().sort_values(
+        ["query_id", "doc_id"]).reset_index(drop=True)
+    assert again.equals(full)
+
+    # fully-committed rerun: nothing recomputed, output untouched
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_retrieve(p.parse_args(argv)) == 0
+    s3 = json.loads(buf.getvalue())
+    assert s3["parts_resumed"] == 4 and s3["parts_written"] == 0

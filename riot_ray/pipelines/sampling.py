@@ -452,7 +452,8 @@ def source_mix_sample(
 # --------------------------------------------------------------------------- #
 # deterministic global shuffle -> exactly-balanced training shards
 # --------------------------------------------------------------------------- #
-def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0):
+def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0,
+                   carry_rows: bool = False):
     """Deterministic global shuffle + exactly-balanced shard assignment —
     the FINAL stage of a training-data pipeline (C4/Dolma-style: curated
     docs get a reproducible pseudo-random order, then round-robin into
@@ -468,9 +469,14 @@ def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0):
     global rank.  ``shard = rank % n_shards`` — round-robin on the hash
     order is both balanced and pseudo-random.
 
-    Returns a Dataset ``(id_col, rank, shard)`` — feed
-    ``checkpointed_write(partition_col="shard")`` for resumable output or
-    join rows back by id.  SQL-oracle-equivalent:
+    Returns a Dataset ``(id_col, rank, shard)`` — or, with
+    ``carry_rows=True``, EVERY input column plus (rank, shard): the sort
+    then physically permutes the full rows (same shuffle class — a global
+    permutation moves every row either way) so the result can stream
+    straight into a partitioned writer
+    (``write_parquet(partition_cols=["shard"])`` or
+    ``checkpointed_write(partition_col="shard")``) with no join back.
+    SQL-oracle-equivalent rank:
     ``(row_number() OVER (ORDER BY md5(seed || ':' || id), id) - 1)``.
     """
     import ray
@@ -479,7 +485,10 @@ def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0):
     def key(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         ks = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
-        return pa.table({id_col: batch[id_col], "key": pa.array(ks, pa.string())})
+        ka = pa.array(ks, pa.string())
+        if carry_rows:
+            return batch.append_column("key", ka)
+        return pa.table({id_col: batch[id_col], "key": ka})
 
     sorted_ds = ds.map_batches(key, batch_format="pyarrow").sort(
         ["key", id_col]).materialize()
@@ -492,11 +501,11 @@ def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id", seed: int = 0):
     @ray.remote
     def assign(t: pa.Table, off: int) -> pa.Table:
         rank = off + np.arange(t.num_rows, dtype=np.int64)
-        return pa.table({
-            id_col: t[id_col],
-            "rank": pa.array(rank, pa.int64()),
-            "shard": pa.array(rank % n_shards, pa.int64()),
-        })
+        base = t.drop_columns(["key"]) if carry_rows else pa.table(
+            {id_col: t[id_col]})
+        return base.append_column(
+            "rank", pa.array(rank, pa.int64())
+        ).append_column("shard", pa.array(rank % n_shards, pa.int64()))
 
     counts = ray.get([nrows.remote(r) for r in refs])
     offs = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)

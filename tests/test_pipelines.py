@@ -3967,3 +3967,21 @@ def test_semdedup_dropped_partition_and_filter_ids(emb_ds, docs_ds):
     assert set(only["doc_id"]) == set(drop["vec_id"])
     with pytest.raises(ValueError):
         semdedup(emb_ds, C, emit="nope")
+
+
+def test_shuffle_shards_carry_rows(docs_ds):
+    from riot_ray.pipelines import shuffle_shards
+
+    ds = docs_ds.select_columns(["doc_id", "lang", "n_chars"])
+    slim = shuffle_shards(ds, n_shards=5, seed=2).to_pandas()
+    full = shuffle_shards(ds, n_shards=5, seed=2, carry_rows=True).to_pandas()
+    # identical assignment, full payload carried through the permutation
+    assert set(full.columns) == {"doc_id", "lang", "n_chars", "rank", "shard"}
+    a = slim.sort_values("doc_id").reset_index(drop=True)
+    b = full.sort_values("doc_id").reset_index(drop=True)
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+    assert (a["shard"].to_numpy() == b["shard"].to_numpy()).all()
+    src = docs_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (b["lang"].to_numpy() == src["lang"].to_numpy()).all()
+    # rows arrive physically permuted (rank order), not in id order
+    assert full["rank"].is_monotonic_increasing

@@ -1939,14 +1939,24 @@ def filter_ids(ds, ids, id_col: str = "doc_id", keep: bool = False):
     (materialized driver-side — pass the SMALL side: a dropped-dup set, a
     blocklist; never a corpus-sized survivor list).  The set broadcasts
     once via ``ray.put`` as a sorted array and every batch filters with
-    one searchsorted pass — the corpus itself never shuffles.  Above the
-    broadcast gate (~64 MB of ids) route through a co-grouped anti-join
-    instead, as :func:`filter_seen` does for digest sets."""
+    one searchsorted pass — the corpus itself never shuffles.  The
+    broadcast gate is ENFORCED: an id set over ``BROADCAST_BYTES`` raises
+    instead of silently ballooning every worker's heap — for big sets use
+    the co-grouped shape (:func:`filter_seen` for digests, or invert the
+    sides so the small set is the one that ships)."""
     import ray
 
     if not isinstance(ids, np.ndarray):
         ids = ids.to_pandas()[id_col].to_numpy(np.int64)
-    ref = ray.put(np.sort(ids.astype(np.int64)))
+    ids = ids.astype(np.int64)
+    if ids.nbytes > BROADCAST_BYTES:
+        raise ValueError(
+            f"filter_ids: {len(ids)} ids = {ids.nbytes >> 20} MB exceeds "
+            f"the broadcast gate ({BROADCAST_BYTES >> 20} MB); pass the "
+            "SMALL side (e.g. semdedup(emit='dropped')) or use a "
+            "co-grouped anti-join (filter_seen's shape)"
+        )
+    ref = ray.put(np.sort(ids))
 
     def flt(batch: pa.Table) -> pa.Table:
         from .sampling import lookup_sorted

@@ -3985,3 +3985,13 @@ def test_shuffle_shards_carry_rows(docs_ds):
     assert (b["lang"].to_numpy() == src["lang"].to_numpy()).all()
     # rows arrive physically permuted (rank order), not in id order
     assert full["rank"].is_monotonic_increasing
+
+
+def test_filter_ids_enforces_broadcast_gate(docs_ds, monkeypatch):
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import filter_ids
+
+    monkeypatch.setattr(dd, "BROADCAST_BYTES", 8)  # 1 int64 fits, 2 don't
+    filter_ids(docs_ds, np.array([1], np.int64))  # at the gate: fine
+    with pytest.raises(ValueError, match="broadcast gate"):
+        filter_ids(docs_ds, np.array([1, 2], np.int64))

@@ -1435,19 +1435,25 @@ def _q_json_extract(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver evaluates the first 50 entries per round.
-    # Front-loaded here: (a) entries no driver snapshot has ever signed
-    # (windows/sessionize/asof/funnel/json/knn_ivf*/kmeans/multimodal/MLT),
-    # (b) the remaining rows-only entries, (c) queries whose kernels
-    # changed this round, (d) the core-engine identity set.  Entries past
-    # 50 all carry green driver rows from earlier rounds (r1-r3).
+    # Round-5 rotation (VERDICT r4 #2): the 6 structurally rows-only
+    # entries (IVF/PQ probe variants, kmeans centroids, PCA, PPMI,
+    # multimodal_decode — can never produce a green hash row) moved PAST
+    # position 50, and lang_id + fingerprints (oracled since r2, never
+    # driver-signed) pulled in — after this round every oracled query has
+    # a driver signature.  Also front-loaded: every kernel touched in r5
+    # (shuffle_shards key vectorization, termstats routing -> df_terms/
+    # corpus_stats, proximity pack guard, jaccard auto-gate, semdedup).
     return {
-        # (a0) new in round 4 (never driver-signed)
+        # (a0) oracled queries that have never been driver-signed
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        # (a1) round-5-touched kernels: shuffle key, semdedup keep-policy
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
         "pipeline_train_shards": _q_pipeline_train_shards,
         "pipeline_semdedup_curate": _q_pipeline_semdedup_curate,
-        # (a) never driver-signed before round 4
+        # (a2) signed r4; keep in window while their family is touched
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
         "sessionize": _q_sessionize,
@@ -1456,26 +1462,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "json_extract": _q_json_extract,
         "more_like_this": _q_more_like_this,
-        "knn_ivf_topk": _q_knn_ivf,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_ivf_persisted": _q_knn_ivf_persisted,
-        "knn_ivfpq_topk": _q_knn_ivfpq,
-        "kmeans_clusters": _q_kmeans_clusters,
         "kmeans_assign": _q_kmeans_assign,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_resize": _q_multimodal_resize,
-        # (b) rows-only entries (floats/approx/iterative)
+        # (b) exact-SQL-oracled dedup/ANN family
         "search_proximity": _q_search_proximity,
         "bpe_subword_counts": _q_bpe_counts,
-        "embedding_pca": _q_embedding_pca,
-        "word_embeddings": _q_word_embeddings,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "knn_lsh_topk": _q_knn_lsh,
-        "multimodal_decode": _q_multimodal,
-        # (c) kernels touched in round 4 (allowlist/BM25-norm/variance/
-        #     prefilter/jaccard-routing changes) — re-sign after the edits
+        # (c) kernels touched in rounds 4-5 (allowlist/BM25-norm/variance/
+        #     prefilter/jaccard-routing/proximity-guard) — keep signed
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "count_and": _q_count_and,
@@ -1502,7 +1502,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
         "contamination": _q_contamination,
-        # ---- entries below carry green driver rows from rounds 1-3 ----
+        # ---- entries below position 50: green driver rows from rounds
+        # 1-4, or structurally rows-only (no SQL oracle can exist) ----
+        "knn_ivf_topk": _q_knn_ivf,
+        "knn_ivfpq_topk": _q_knn_ivfpq,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "embedding_pca": _q_embedding_pca,
+        "word_embeddings": _q_word_embeddings,
+        "multimodal_decode": _q_multimodal,
         "enrich_events": _q_enrich_events,
         "tfidf_topk": _q_tfidf_topk,
         "grep_search": _q_grep_search,
@@ -1537,8 +1544,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "knn_cosine_topk": _q_knn,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
     }
 
 

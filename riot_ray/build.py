@@ -272,19 +272,19 @@ class IndexWriter:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from .store import glob_segments, read_any
+        from .store import count_any, glob_segments, read_any, segments_dataset
 
         terms_files = glob_segments(
             os.path.join(self.segments_dir, "shard=*"), "terms"
         )
-        all_parquet = all(f.endswith(".parquet") for f in terms_files)
-        if all_parquet:
-            total_rows = sum(pq.read_metadata(f).num_rows for f in terms_files)
-        else:
-            # non-parquet store engines: terms tables are vocabulary-sized;
-            # force the driver aggregation path (no parquet metadata, and
-            # rd.read_parquet below can't read them)
-            total_rows = 0
+        # engine-provided metadata counts (parquet footer / IPC batch
+        # metadata); a custom engine without a count_rows hook yields None
+        # and is routed down the distributed path — the DRIVER_DF_ROWS
+        # gate exists to prevent driver OOM, so "unknown" must not default
+        # to the driver side
+        counts = [count_any(f) for f in terms_files]
+        total_rows = (None if any(c is None for c in counts)
+                      else sum(counts))
         tmp_ts = self.termstats_dir + ".tmp"
         if os.path.exists(tmp_ts):
             shutil.rmtree(tmp_ts)
@@ -296,7 +296,7 @@ class IndexWriter:
                           "df": pa.array([], pa.int64())}),
                 os.path.join(tmp_ts, "df.parquet"),
             )
-        elif total_rows <= self.DRIVER_DF_ROWS:
+        elif total_rows is not None and total_rows <= self.DRIVER_DF_ROWS:
             t = pa.concat_tables(read_any(f) for f in terms_files)
             agg = t.group_by("term").aggregate([("df_local", "sum")])
             # select by NAME: pyarrow's aggregate column order has changed
@@ -309,8 +309,13 @@ class IndexWriter:
         else:
             from ray.data.aggregate import Sum
 
-            df_ds = rd.read_parquet(terms_files).groupby("term").aggregate(
-                Sum("df_local", alias_name="df")
+            # segments_dataset streams parquet via read_parquet (pruned)
+            # and other engines one file per task — the true distributed
+            # path for any store engine
+            df_ds = (
+                segments_dataset(terms_files, columns=["term", "df_local"])
+                .groupby("term")
+                .aggregate(Sum("df_local", alias_name="df"))
             )
             df_ds.write_parquet(tmp_ts)
         if os.path.exists(self.termstats_dir):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 from dataclasses import asdict, dataclass, field
 
 
@@ -225,7 +226,14 @@ def watch_toml(path: str, on_change, poll_s: float = 1.0) -> TomlWatcher:
                 opts = EngineOpts.from_toml(path)
             except Exception:
                 continue  # half-written file: retry next poll
-            on_change(opts)
+            try:
+                on_change(opts)
+            except Exception:
+                # a raising callback must not kill the watcher thread —
+                # one bad reload would otherwise end hot-watch silently
+                logging.getLogger(__name__).exception(
+                    "watch_toml: on_change callback raised; watcher continues"
+                )
 
     t = threading.Thread(target=loop, name="riot-ray-toml-watch", daemon=True)
     t.start()

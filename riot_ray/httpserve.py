@@ -22,6 +22,17 @@ no web framework, and the facade's job is wire-shape parity + a real
 network endpoint over ``LocalSearcher``/``ActorSearcher`` — not a prod
 server.  etcd/grpc registration (net/grpc, net/cli) is out of scope; Ray's
 own actor naming covers member discovery inside a cluster.
+
+Searcher choice (per-call latency vs index size — VERDICT r4 #1):
+
+* one-query-at-a-time callers should serve over ``LocalSearcher`` (the
+  ``job serve`` default): the index loads once in the server process and
+  each request runs the ~0.7 ms kernel directly — no Ray RPC, no
+  driver-side result serialization.  ``ReplicatedSearcher`` is the
+  multi-process variant when one process's cores aren't enough.
+* ``ActorSearcher`` (``--actors N``) is for indexes too big for one
+  process: each call fans out one RPC per shard actor (~5 ms p50 at 8
+  actors) — prefer its batched ``search_many`` for throughput work.
 """
 
 from __future__ import annotations

@@ -136,6 +136,60 @@ def cmd_retrieve(args) -> int:
     return 0
 
 
+def cmd_shards(args) -> int:
+    """Training-shard prep, submit-and-walk-away form of the contract's
+    pipeline_train_shards composition: quality gate -> exact dedup
+    (row-carrying, one digest shuffle) -> deterministic id-hash sample ->
+    shuffle_shards(carry_rows=True) -> checkpointed partitioned write.
+
+    Resume: the write commits per partition (atomic tmp+rename +
+    fingerprint manifest); a rerun after a crash or a lost partition
+    recomputes the permutation (inherent — a global shuffle needs every
+    row) but SKIPS committed partitions' writes and restores only the
+    missing ones, bit-identically (the permutation is seed-keyed, not
+    run-keyed)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .pipelines import dedup_rows_exact, hash_sample, shuffle_shards
+    from .pipelines.analysis import quality_batch
+    from .pipelines.checkpoint import checkpointed_write
+
+    docs = rd.read_parquet(args.source)
+    text_col, id_col = args.text_col, args.id_col
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, text_col=text_col)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], args.min_tokens),
+            pc.less_equal(q["punct_ratio"], args.max_punct),
+        )
+        return batch.filter(keep)
+
+    curated = dedup_rows_exact(
+        docs.map_batches(gate, batch_format="pyarrow"),
+        text_col=text_col, id_col=id_col,
+    )
+    sampled = hash_sample(curated, args.frac, id_col=id_col,
+                          seed=args.sample_seed)
+    sharded = shuffle_shards(sampled, n_shards=args.n_shards,
+                             id_col=id_col, seed=args.seed, carry_rows=True)
+
+    st = _os.stat(args.source)
+    fp = (f"{args.source}|{st.st_size}|{st.st_mtime_ns}|"
+          f"min_tokens={args.min_tokens}|max_punct={args.max_punct}|"
+          f"frac={args.frac}|sample_seed={args.sample_seed}|"
+          f"n_shards={args.n_shards}|seed={args.seed}")
+    summary = checkpointed_write(sharded, args.output, fingerprint=fp,
+                                 partition_col="shard",
+                                 num_partitions=args.partitions)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .engine import ActorSearcher, LocalSearcher
     from .httpserve import SearchHTTPServer
@@ -199,11 +253,37 @@ def make_parser() -> argparse.ArgumentParser:
     r.add_argument("--partitions", type=int, default=16)
     r.set_defaults(fn=cmd_retrieve)
 
+    h = sub.add_parser(
+        "shards", help="curate -> dedup -> sample -> shuffle into balanced "
+                       "training shards (checkpointed partitioned output)"
+    )
+    h.add_argument("--source", required=True, help="documents parquet")
+    h.add_argument("--output", required=True, help="output dir (part=K)")
+    h.add_argument("--n-shards", type=int, default=16)
+    h.add_argument("--seed", type=int, default=0,
+                   help="shuffle permutation seed")
+    h.add_argument("--frac", type=float, default=1.0,
+                   help="deterministic id-hash sample fraction")
+    h.add_argument("--sample-seed", type=int, default=7)
+    h.add_argument("--min-tokens", type=int, default=30)
+    h.add_argument("--max-punct", type=float, default=0.2)
+    h.add_argument("--text-col", default="text")
+    h.add_argument("--id-col", default="doc_id")
+    h.add_argument("--partitions", type=int, default=16,
+                   help="checkpoint partition count (resume granularity)")
+    h.set_defaults(fn=cmd_shards)
+
     v = sub.add_parser("serve", help="HTTP serving facade")
     v.add_argument("--index", required=True)
     v.add_argument("--host", default="0.0.0.0")
     v.add_argument("--port", type=int, default=8080)
-    v.add_argument("--actors", type=int, default=4)
+    v.add_argument("--actors", type=int, default=0,
+                   help="0 (default) = in-process LocalSearcher: the "
+                        "per-call latency mode (no Ray RPC per query, "
+                        "~1 ms-class p50); N = ActorSearcher fan-out for "
+                        "indexes too big for one process (pays ~5 ms RPC "
+                        "overhead per call — use batch endpoints or "
+                        "ReplicatedSearcher for throughput)")
     v.add_argument("--hydrate", action="store_true")
     v.add_argument("--member", action="append",
                    help="peer base URL for /dist (repeatable)")

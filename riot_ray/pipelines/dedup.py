@@ -385,6 +385,38 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return agg.select_columns([id_col, "n_copies"])
 
 
+def dedup_rows_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-content dedup that KEEPS full rows: one hash shuffle on the
+    content digest, min-``id_col`` row per group — the row-carrying
+    companion to :func:`exact_dedup` (which returns survivor IDS only).
+    Use this when downstream stages need the payload (e.g. the training-
+    shard writer) — it avoids both the join-back and the corpus-sized
+    survivor-id broadcast :func:`filter_ids` must never receive.
+
+    Scale shape: the corpus moves ONCE (groupby(digest)); groups are
+    duplicate sets, naturally tiny.  Survivor choice matches
+    exact_dedup's oracle: min(id) per digest."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        d = [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+        return batch.append_column("__digest", pa.array(d, pa.string()))
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return group.drop_columns(["__digest"])
+        return group.take(
+            pa.array([int(np.argmin(ids))], pa.int64())
+        ).drop_columns(["__digest"])
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("__digest")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
+
+
 def _digest_cols(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """First 128 bits of sha256(text) as two int64 columns — numpy-native
     membership keys, collision-ignorable at any corpus size."""
@@ -931,6 +963,12 @@ class _PairAndSizeEmit:
 # trade when lowering the threshold, or pass plan="exact" to force the
 # exhaustive path.
 JACCARD_AUTO_ROWS = 100_000
+# auto only reroutes through LSH candidates when the requested threshold
+# keeps the banding's miss bound negligible: at j >= 0.5 the true-pair
+# miss probability (1 - j^2)^64 is < 1e-8, so the rerouted result is
+# exact-in-practice; below it, auto stays on the exhaustive plan (an
+# operator documented "exact" must not silently lose recall).
+JACCARD_LSH_SAFE_THRESHOLD = 0.5
 
 
 def ngram_jaccard_pairs(
@@ -951,8 +989,14 @@ def ngram_jaccard_pairs(
     candidate set are exact); ``"lsh_verify"`` routes through
     :func:`minhash_lsh_exact_pairs` (LSH candidates, exact-jaccard
     verdicts — sub-quadratic, recall bound above); ``"auto"`` (default)
-    picks lsh_verify at >= ``JACCARD_AUTO_ROWS`` docs.  Every pair either
-    plan emits carries its true (filtered-universe) jaccard.
+    picks lsh_verify at >= ``JACCARD_AUTO_ROWS`` docs ONLY when
+    ``threshold >= JACCARD_LSH_SAFE_THRESHOLD`` (0.5), where the banding's
+    true-pair miss bound (1 - j^2)^64 is < 1e-8 — below that auto stays
+    exact so a documented-exact operator never silently loses recall
+    (7.3% of true pairs at j = 0.2 would be missed).  Passing
+    ``plan="lsh_verify"`` explicitly with a low threshold warns with the
+    miss bound instead.  Every pair either plan emits carries its true
+    (filtered-universe) jaccard.
 
     Shingles shared by more than ``max_group`` docs (no-signal boilerplate)
     are removed from the shingle UNIVERSE — both the pair counts and the
@@ -975,8 +1019,34 @@ def ngram_jaccard_pairs(
         # materialize once: whichever plan wins scans the input >= once
         # more, so pinning blocks costs nothing extra
         ds = ds.materialize()
-        plan = "lsh_verify" if ds.count() >= JACCARD_AUTO_ROWS else "exact"
+        big = ds.count() >= JACCARD_AUTO_ROWS
+        if big and threshold < JACCARD_LSH_SAFE_THRESHOLD:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard_pairs: {ds.count()} docs with threshold="
+                f"{threshold} < {JACCARD_LSH_SAFE_THRESHOLD} keeps the exact "
+                "(exhaustive) plan — the LSH reroute would miss "
+                f"~{(1 - threshold ** 2) ** 64:.1%} of true pairs at the "
+                "threshold. Expect a long exact-verify tail at this scale, "
+                "or pass plan='lsh_verify' to accept the recall bound.",
+                stacklevel=2,
+            )
+        plan = ("lsh_verify"
+                if big and threshold >= JACCARD_LSH_SAFE_THRESHOLD
+                else "exact")
     if plan == "lsh_verify":
+        if threshold < JACCARD_LSH_SAFE_THRESHOLD:
+            import warnings
+
+            warnings.warn(
+                "ngram_jaccard_pairs(plan='lsh_verify'): at the default "
+                "banding (64 bands x 2 rows) a true pair at jaccard j is "
+                f"missed with probability (1-j^2)^64 — "
+                f"~{(1 - threshold ** 2) ** 64:.1%} at j = {threshold}. "
+                "Use plan='exact' if full recall below j=0.5 matters.",
+                stacklevel=2,
+            )
         # NOTE: max_group means "hot-shingle df cap" here but "band-bucket
         # run cap" there — both are the no-signal-boilerplate guard at
         # their stage; the verify-side jaccard is exact either way
@@ -1837,6 +1907,7 @@ def semdedup(
     id_col: str = "vec_id",
     chunk: int = 8192,
     emit: str = "survivors",
+    keep: str = "earliest",
 ):
     """SemDeDup survivors: cluster-scoped semantic deduplication (Abbas et
     al., "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1851,14 +1922,25 @@ def semdedup(
        The batch also packs the unit-normalized vector (binary column) so
        the cosine stage never re-reads the corpus.
     2. COLLAPSE (``groupby(cluster).map_groups``): within each cluster a
-       vector is a semantic duplicate iff ANY earlier (smaller ``id_col``)
-       cluster member has cosine similarity >= ``threshold`` — the
-       deterministic keep-earliest stand-in for the paper's
-       keep-low-centroid-similarity pick, chosen because it is
-       SQL-oracle-checkable (an EXISTS against earlier same-cluster rows).
+       vector is a semantic duplicate iff ANY member earlier in the
+       ``keep`` precedence order has cosine similarity >= ``threshold``.
        The pairwise pass is a ``chunk``-row tiled matmul: memory is
        O(chunk x |cluster|), compute the O(|cluster|^2) dot products the
        method is defined by.
+
+    ``keep`` selects the survivor precedence within a cluster:
+
+    * ``"earliest"`` (default) — smaller ``id_col`` wins.  This is the
+      deterministic, SQL-oracle-checkable order (an EXISTS against
+      earlier same-cluster rows) and the one the driver oracle covers.
+    * ``"centroid"`` — the paper's pick (§2 of arXiv 2303.09540): within
+      a duplicate group, KEEP the example with the LOWEST cosine
+      similarity to its cluster centroid (ties broken by smaller id).
+      Implemented as the same greedy pass with members visited in
+      ascending (centroid-cosine, id) order, so a vector is dropped iff
+      some lower-centroid-similarity member is within ``threshold``.
+      NOT SQL-oracled (float precedence order); pinned by a pytest
+      brute-force reference instead.
 
     Returns ``(id_col, cluster)`` rows — the SURVIVORS by default, or the
     DROPPED set with ``emit="dropped"``.  Downstream corpus filtering
@@ -1873,6 +1955,8 @@ def semdedup(
     """
     if emit not in ("survivors", "dropped"):
         raise ValueError(f"emit={emit!r}: 'survivors' or 'dropped'")
+    if keep not in ("earliest", "centroid"):
+        raise ValueError(f"keep={keep!r}: 'earliest' or 'centroid'")
     import ray
 
     from .simsearch import _nearest_clusters
@@ -1896,15 +1980,27 @@ def semdedup(
             pa.large_binary(), len(ids),
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(U.tobytes())],
         )
-        return pa.table({id_col: pa.array(ids, pa.int64()), "nvec": nvec,
-                         "cluster": pa.array(a, pa.int64())})
+        cols = {id_col: pa.array(ids, pa.int64()), "nvec": nvec,
+                "cluster": pa.array(a, pa.int64())}
+        if keep == "centroid":
+            # cosine(v, assigned centroid) — the paper's precedence key;
+            # computed here so COLLAPSE never re-touches the centroids
+            Cn = g_C / np.maximum(
+                np.linalg.norm(g_C, axis=1, keepdims=True), 1e-300)
+            cols["csim"] = pa.array(
+                round6(np.einsum("ij,ij->i", U, Cn[a])), pa.float64())
+        return pa.table(cols)
 
     def collapse(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cluster": pa.array([], pa.int64())})
-        order = np.argsort(ids)
+        if keep == "centroid":
+            csim = group["csim"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, csim))  # low centroid-sim kept first
+        else:
+            order = np.argsort(ids)
         ids = ids[order]
         nvec = group["nvec"].take(pa.array(order, pa.int64()))
         dim = len(nvec[0].as_py()) // 8
@@ -1919,10 +2015,10 @@ def semdedup(
             G = round6(V[s:e] @ V[:e].T)
             earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
             dup[s:e] = ((G >= threshold) & earlier).any(axis=1)
-        keep = dup if emit == "dropped" else ~dup
+        sel = dup if emit == "dropped" else ~dup
         cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
-                         "cluster": pa.array(cl[order][keep], pa.int64())})
+        return pa.table({id_col: pa.array(ids[sel], pa.int64()),
+                         "cluster": pa.array(cl[order][sel], pa.int64())})
 
     return (
         ds.map_batches(assign, batch_format="pyarrow")

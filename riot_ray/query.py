@@ -186,6 +186,17 @@ def token_proximity_block(flats: list, tokens) -> tuple:
         chosen[active] = vals[offs[:-1][active]]
         return prox, [chosen]
 
+    # packed (value, within-doc index) keys require every per-doc position
+    # count < _PROX_PACK (2^24); a pathological doc would silently corrupt
+    # the tie-break ordering — hard-fail like dup_spans' analogous pack
+    for ln in lens:
+        if len(ln) and int(ln.max()) >= _PROX_PACK:
+            raise ValueError(
+                f"token_proximity_block: a document has >= {int(_PROX_PACK)} "
+                "positions for one term; packed-key DP would corrupt — "
+                "use token_proximity (scalar) for this document"
+            )
+
     # positions shifted into disjoint per-doc ranges so ONE searchsorted
     # answers every doc's "# next-layer positions < this position" count
     stride = max(int(v.max()) + 2 if len(v) else 1 for v, _ in flats)

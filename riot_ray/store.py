@@ -44,17 +44,25 @@ class StoreEngine:
     extension: str  # ".parquet" — leading dot
     write_table: object  # (pa.Table, path) -> None
     read_table: object  # (path, columns=None) -> pa.Table
+    count_rows: object = None  # optional: (path) -> int, metadata-cheap
 
 
 _REGISTRY: dict[str, StoreEngine] = {}
 
 
-def register_store(name: str, extension: str, write_table, read_table):
+def register_store(name: str, extension: str, write_table, read_table,
+                   count_rows=None):
     """Register (or replace) a segment-storage engine — the analog of
-    ``store.RegisterStore`` (/root/reference/store/store.go:29-40)."""
+    ``store.RegisterStore`` (/root/reference/store/store.go:29-40).
+
+    ``count_rows(path) -> int`` is optional; when provided it lets size
+    gates (e.g. the termstats driver-vs-distributed routing) see the true
+    row count without loading the table.  Engines without it are routed
+    down the distributed (safe) path when sizes matter."""
     if not extension.startswith("."):
         raise ValueError(f"extension must start with '.': {extension!r}")
-    _REGISTRY[name] = StoreEngine(name, extension, write_table, read_table)
+    _REGISTRY[name] = StoreEngine(name, extension, write_table, read_table,
+                                  count_rows)
 
 
 def registered_stores() -> list[str]:
@@ -107,6 +115,16 @@ def read_any(path: str, columns=None):
     for eng in _REGISTRY.values():
         if path.endswith(eng.extension):
             return eng.read_table(path, columns=columns)
+    raise ValueError(f"no registered engine for {path!r}")
+
+
+def count_any(path: str) -> int | None:
+    """Metadata-cheap row count for a segment file, or None when its
+    engine registered no ``count_rows`` hook (size gates then take the
+    distributed path rather than guessing)."""
+    for eng in _REGISTRY.values():
+        if path.endswith(eng.extension):
+            return int(eng.count_rows(path)) if eng.count_rows else None
     raise ValueError(f"no registered engine for {path!r}")
 
 
@@ -167,5 +185,20 @@ def _feather_read(path, columns=None):
     return feather.read_table(path, columns=columns)
 
 
-register_store("parquet", ".parquet", _pq_write, _pq_read)
-register_store("feather", ".feather", _feather_write, _feather_read)
+def _pq_count(path):
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def _feather_count(path):
+    # pyarrow.dataset counts Arrow-IPC rows from batch metadata without
+    # materializing columns
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path, format="feather").count_rows()
+
+
+register_store("parquet", ".parquet", _pq_write, _pq_read, _pq_count)
+register_store("feather", ".feather", _feather_write, _feather_read,
+               _feather_count)

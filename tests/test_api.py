@@ -246,6 +246,35 @@ def test_watch_toml_hot_reload(tmp_path):
         assert seen[-1].mode == "code" and seen[-1].num_shards == 3
 
 
+def test_watch_toml_survives_raising_callback(tmp_path):
+    """A raising on_change must not kill the watcher thread — later edits
+    still fire (ADVICE r4: callback errors were uncaught)."""
+    import time
+
+    from riot_ray.config import watch_toml
+
+    p = tmp_path / "engine.toml"
+    p.write_text('mode = "simple"\nnum_shards = 2\n')
+    seen = []
+
+    def cb(opts):
+        seen.append(opts)
+        if len(seen) == 1:
+            raise RuntimeError("bad reload")
+
+    with watch_toml(str(p), cb, poll_s=0.05):
+        p.write_text('mode = "simple"\nnum_shards = 3\n')
+        deadline = time.time() + 5
+        while not seen and time.time() < deadline:
+            time.sleep(0.02)
+        assert seen  # first change delivered (and raised)
+        p.write_text('mode = "simple"\nnum_shards = 9\n')
+        deadline = time.time() + 5
+        while len(seen) < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert len(seen) >= 2 and seen[-1].num_shards == 9
+
+
 def test_store_engine_feather_matches_parquet(ray_session, tmp_path):
     """Pluggable segment store (riot's RegisterStore analog,
     /root/reference/store/store.go:29-72): an index built with the feather
@@ -278,6 +307,56 @@ def test_store_engine_feather_matches_parquet(ray_session, tmp_path):
     tp = termstats_dataset(str(tmp_path / "ip")).to_pandas().sort_values("term")
     tf = termstats_dataset(str(tmp_path / "if")).to_pandas().sort_values("term")
     assert tp.reset_index(drop=True).equals(tf.reset_index(drop=True))
+
+
+def test_termstats_distributed_path_any_engine(ray_session, tmp_path,
+                                               monkeypatch):
+    """ADVICE r4: feather row counts come from IPC metadata (count_any),
+    and above DRIVER_DF_ROWS the termstats reduce runs DISTRIBUTED via
+    segments_dataset for ANY engine — identical df either way."""
+    from dataclasses import replace
+
+    import riot_ray.build as rb
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+    from riot_ray.corpus import write_corpus
+    from riot_ray.export import termstats_dataset
+
+    src = write_corpus(str(tmp_path / "src" / "code.parquet"), 150, seed=5)
+    base = EngineOpts(mode="code", num_parts=2, num_shards=2, block_size=64)
+    IndexWriter(str(tmp_path / "drv"),
+                replace(base, store_engine="feather")).build(src)
+    monkeypatch.setattr(rb.IndexWriter, "DRIVER_DF_ROWS", 0)  # force dist
+    IndexWriter(str(tmp_path / "dst"),
+                replace(base, store_engine="feather")).build(src)
+    a = (termstats_dataset(str(tmp_path / "drv")).to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    b = (termstats_dataset(str(tmp_path / "dst")).to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_store_count_any(tmp_path):
+    """count_any: metadata row counts for parquet + feather; None for an
+    engine registered without a count_rows hook."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.parquet as pq
+
+    from riot_ray import store as rstore
+
+    t = pa.table({"x": pa.array(range(37), pa.int64())})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    feather.write_feather(t, str(tmp_path / "t.feather"))
+    assert rstore.count_any(str(tmp_path / "t.parquet")) == 37
+    assert rstore.count_any(str(tmp_path / "t.feather")) == 37
+    rstore.register_store("nocount", ".nct", feather.write_feather,
+                          rstore._feather_read)
+    try:
+        feather.write_feather(t, str(tmp_path / "t.nct"))
+        assert rstore.count_any(str(tmp_path / "t.nct")) is None
+    finally:
+        rstore._REGISTRY.pop("nocount", None)
 
 
 def test_store_engine_registry_custom_and_env(ray_session, tmp_path, monkeypatch):

@@ -202,3 +202,72 @@ def test_retrieve_checkpoint_resume(ray_session, corpus_index, tmp_path):
         assert cmd_retrieve(p.parse_args(argv)) == 0
     s3 = json.loads(buf.getvalue())
     assert s3["parts_resumed"] == 4 and s3["parts_written"] == 0
+
+
+def test_shards_checkpoint_resume(ray_session, tmp_path):
+    """`job shards`: curate -> dedup -> sample -> shuffle_shards(carry) ->
+    checkpointed partitioned write; a lost partition is restored
+    bit-identically on rerun (the permutation is seed-keyed) while
+    committed partitions' writes are skipped."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_ray.job import cmd_shards
+    from riot_ray.pipelines.checkpoint import read_checkpointed
+
+    # 40 docs: ids 0..39; 1 and 21 share content (dedup keeps 1); 30+
+    # are too short for the quality gate (min_tokens=5)
+    texts = [f"alpha beta gamma delta epsilon token{i}" for i in range(30)]
+    texts[21] = texts[1]
+    texts += ["short text"] * 10
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 40, pa.string()),
+    }), src)
+    out_dir = str(tmp_path / "shards")
+    p = make_parser()
+    argv = ["shards", "--source", src, "--output", out_dir,
+            "--n-shards", "8", "--seed", "3", "--frac", "1.0",
+            "--min-tokens", "5", "--partitions", "2"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_shards(p.parse_args(argv)) == 0
+    s1 = json.loads(buf.getvalue())
+    full = read_checkpointed(out_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # gate drops the 10 short docs; dedup drops doc 21 (dup of 1)
+    assert sorted(full["doc_id"]) == [i for i in range(30) if i != 21]
+    # "part" is hive-inferred from the part=K layout by the reader
+    assert set(full.columns) == {"doc_id", "text", "lang", "rank", "shard",
+                                 "part"}
+    # rank is a permutation; shards exactly balanced
+    assert sorted(full["rank"]) == list(range(29))
+    sizes = full.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+    assert s1["n_rows"] == 29 and s1["parts_written"] >= 1
+
+    # lose one partition, rerun: only it is rewritten; output identical
+    victim = sorted(os.listdir(out_dir))[0]
+    shutil.rmtree(os.path.join(out_dir, victim))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_shards(p.parse_args(argv)) == 0
+    s2 = json.loads(buf.getvalue())
+    assert s2["parts_written"] == 1
+    assert s2["parts_skipped"] == s1["parts_written"] - 1
+    again = read_checkpointed(out_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert again.equals(full)
+
+    # fully-committed rerun: every partition's write skipped
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_shards(p.parse_args(argv)) == 0
+    s3 = json.loads(buf.getvalue())
+    assert s3["parts_written"] == 0
+    assert s3["parts_skipped"] == s1["parts_written"]

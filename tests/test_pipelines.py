@@ -268,6 +268,43 @@ def test_ngram_jaccard_auto_routes_to_lsh_verify(ray_session, monkeypatch):
         ngram_jaccard_pairs(ds, plan="bogus").to_pandas()
 
 
+def test_ngram_jaccard_auto_stays_exact_below_safe_threshold(
+        ray_session, monkeypatch):
+    """ADVICE r4 (medium): a documented-exact operator must not silently
+    lose recall — auto only reroutes through LSH when the threshold keeps
+    the banding miss bound negligible (j >= 0.5); below it, auto warns and
+    keeps the exhaustive plan, and an explicit lsh_verify warns too."""
+    import warnings
+
+    import ray.data as rd
+
+    import riot_ray.pipelines.dedup as dd
+    from riot_ray.pipelines import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(_dup_corpus())
+    exact = (
+        ngram_jaccard_pairs(ds, threshold=0.2, plan="exact")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "JACCARD_AUTO_ROWS", 1)  # "big" corpus
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto = (
+            ngram_jaccard_pairs(ds, threshold=0.2)  # plan="auto"
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+    assert any("exact" in str(x.message) for x in w)  # warned about cost
+    # ... but the RESULT is the exact plan's (full recall)
+    assert len(auto) == len(exact)
+    assert (auto["id_a"].to_numpy() == exact["id_a"].to_numpy()).all()
+    assert np.allclose(auto["jaccard"], exact["jaccard"], atol=1e-9)
+    # explicit lsh_verify at a low threshold warns with the miss bound
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        ngram_jaccard_pairs(ds, threshold=0.2, plan="lsh_verify").count()
+    assert any("missed" in str(x.message) for x in w2)
+
+
 def test_simhash_finds_exact_and_near(ray_session):
     import ray.data as rd
     from riot_ray.pipelines import simhash_pairs
@@ -3854,6 +3891,86 @@ def test_semdedup_drops_planted_near_dup(ray_session):
     assert 11 in kept
 
 
+def _semdedup_brute_centroid(V, ids, C, threshold):
+    """Reference for keep="centroid": greedy in ascending (round6 centroid
+    cosine, id) order — the paper's keep-low-centroid-similarity pick."""
+    def _r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    d2 = ((V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T)
+          + (C * C).sum(1)[None, :])
+    cl = np.argmin(d2, axis=1)
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    U = V / n
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    csim = np.array([_r6(float(U[i] @ Cn[cl[i]])) for i in range(len(ids))])
+    order = np.lexsort((ids, csim))
+    keep = set()
+    rank = {int(p): r for r, p in enumerate(order)}
+    for pos in order:
+        dup = any(
+            cl[q] == cl[pos] and rank[int(q)] < rank[int(pos)]
+            and _r6(float(U[q] @ U[pos])) >= threshold
+            for q in order
+        )
+        if not dup:
+            keep.add(int(pos))
+    return {(int(ids[p]), int(cl[p])) for p in keep}
+
+
+def test_semdedup_keep_centroid_matches_brute(emb_ds):
+    import pytest
+
+    from riot_ray.pipelines import semdedup
+
+    emb = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in emb], np.int64)
+    V = np.stack([np.asarray(r["embedding"], np.float64) for r in emb])
+    o = np.argsort(ids)
+    C = V[o][:6].copy()
+    want = _semdedup_brute_centroid(V, ids, C, 0.4)
+    got = semdedup(emb_ds, C, threshold=0.4, keep="centroid").to_pandas()
+    assert {(int(a), int(b))
+            for a, b in zip(got["vec_id"], got["cluster"])} == want
+    # chunk/partitioning independence, and dropped == complement
+    got2 = semdedup(emb_ds.repartition(5), C, threshold=0.4, chunk=3,
+                    keep="centroid").to_pandas()
+    assert {(int(a), int(b))
+            for a, b in zip(got2["vec_id"], got2["cluster"])} == want
+    dropped = semdedup(emb_ds, C, threshold=0.4, keep="centroid",
+                       emit="dropped").to_pandas()
+    assert len(dropped) + len(got) == len(ids)
+    assert set(dropped["vec_id"]).isdisjoint(set(got["vec_id"]))
+    with pytest.raises(ValueError, match="keep"):
+        semdedup(emb_ds, C, keep="bogus")
+
+
+def test_semdedup_keep_centroid_prefers_far_from_centroid(ray_session):
+    """The paper's pick: within a duplicate pair, the member FARTHER from
+    the centroid survives (keep-earliest would keep the smaller id)."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import semdedup
+
+    c = np.array([1.0, 0.0, 0.0])
+    near = c * 0.999 + np.array([0.0, 0.01, 0.0])   # id 0: close to centroid
+    far = near * 0.9 + np.array([0.0, 0.12, 0.0])   # id 1: same direction-ish
+    # make them near-dups of each other (cos >= .95) but distinct csim
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([list(map(float, near)), list(map(float, far))],
+                              pa.list_(pa.float64())),
+    }))
+    C = c[None, :].copy()
+    ek = semdedup(ds, C, threshold=0.95).to_pandas()
+    ck = semdedup(ds, C, threshold=0.95, keep="centroid").to_pandas()
+    U = np.stack([near / np.linalg.norm(near), far / np.linalg.norm(far)])
+    assert float(U[0] @ U[1]) >= 0.95  # they ARE near-dups
+    assert set(ek["vec_id"]) == {0}    # earliest keeps id 0
+    assert set(ck["vec_id"]) == {1}    # centroid keeps the farther one
+
+
 # ---------------------------------------------------------------------------- #
 # batch_retrieval: query-table top-k == the online searcher per query
 # ---------------------------------------------------------------------------- #
@@ -3937,6 +4054,35 @@ def test_shuffle_shards_empty_input(ray_session):
     assert got.count() == 0
     # to_pandas drops columns on empty datasets; the SCHEMA is the contract
     assert got.schema().names == ["doc_id", "rank", "shard"]
+    # the empty result's schema matches the NON-empty result's: string ids
+    # keep their type, carry_rows keeps every input column
+    sempty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
+                                     "x": pa.array([], pa.float64())}))
+    g2 = shuffle_shards(sempty, n_shards=4)
+    sch2 = g2.schema()
+    assert sch2.names == ["doc_id", "rank", "shard"]
+    assert sch2.base_schema.field("doc_id").type == pa.string()
+    g3 = shuffle_shards(sempty, n_shards=4, carry_rows=True)
+    sch3 = g3.schema()
+    assert sch3.names == ["doc_id", "x", "rank", "shard"]
+    assert sch3.base_schema.field("x").type == pa.float64()
+
+
+def test_shuffle_shards_key_is_vectorized_md5(ray_session):
+    """The order key is DuckDB's C md5 kernel (no per-row Python hashlib
+    loop) and bit-identical to hashlib for int64 AND string ids."""
+    import hashlib as _hl
+
+    from riot_ray.pipelines.sampling import _md5_key_column
+
+    ids = np.array([-3, 0, 1, 7, 12345678901234], np.int64)
+    ka = _md5_key_column(pa.chunked_array([pa.array(ids, pa.int64())]), 9)
+    want = [_hl.md5(f"9:{i}".encode()).hexdigest() for i in ids]
+    assert ka.to_pylist() == want
+    s = ["a", "b:x", "", "héllo"]
+    ks = _md5_key_column(pa.array(s, pa.string()), 0)
+    assert ks.to_pylist() == [
+        _hl.md5(f"0:{x}".encode()).hexdigest() for x in s]
 
 
 def test_semdedup_dropped_partition_and_filter_ids(emb_ds, docs_ds):

@@ -322,3 +322,25 @@ def test_token_proximity_block_equals_scalar(data):
         got_s = (tuple(int(chosen[t][d]) for t in range(k))
                  if got_p != -1 else ())
         assert (got_p, got_s) == want
+
+
+def test_token_proximity_block_guards_packed_index_overflow(monkeypatch):
+    """A per-doc per-term position count at/over _PROX_PACK would corrupt
+    the packed (value, index) tie-break — the block DP hard-fails instead
+    of returning wrong proximity (ADVICE r4; mirrors dup_spans' guard).
+    _PROX_PACK is shrunk so the test doesn't need 2^24 real positions."""
+    import numpy as np
+    import pytest
+
+    import riot_ray.query as q
+
+    monkeypatch.setattr(q, "_PROX_PACK", np.int64(4))
+    vals = np.arange(5, dtype=np.int64)  # 5 positions in ONE doc >= 4
+    offs = np.array([0, 5], np.int64)
+    flats = [(vals, offs), (vals + 100, offs)]
+    with pytest.raises(ValueError, match="positions"):
+        q.token_proximity_block(flats, ["aa", "bb"])
+    # under the cap: still fine
+    monkeypatch.setattr(q, "_PROX_PACK", np.int64(1) << 24)
+    prox, chosen = q.token_proximity_block(flats, ["aa", "bb"])
+    assert int(prox[0]) >= 0

@@ -36,6 +36,10 @@ SCALING_DOCS = 150_000
 SCALING_SRC = f"/tmp/riot_ray_bench/scaling_corpus_{SCALING_DOCS}.parquet"
 
 
+def _scaling_src(n_docs: int) -> str:
+    return f"/tmp/riot_ray_bench/scaling_corpus_{n_docs}.parquet"
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -487,22 +491,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _ensure_scaling_corpus():
-    if not os.path.exists(SCALING_SRC):
-        os.makedirs(os.path.dirname(SCALING_SRC), exist_ok=True)
+def _ensure_scaling_corpus(n_docs: int = SCALING_DOCS):
+    src = _scaling_src(n_docs)
+    if not os.path.exists(src):
+        os.makedirs(os.path.dirname(src), exist_ok=True)
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from riot_ray.corpus import make_corpus_fast
 
-        t = make_corpus_fast(SCALING_DOCS, seed=11)
+        t = make_corpus_fast(n_docs, seed=11)
         # rename to the documents schema the bench opts expect
         t = t.rename_columns(["repo", "path", "commit", "lang", "text"])
         t = t.append_column(
             "doc_id", pa.array(range(t.num_rows), pa.int64())
         ).append_column("source", pa.array(["synth"] * t.num_rows, pa.string()))
-        pq.write_table(t, SCALING_SRC)
-    return SCALING_SRC
+        pq.write_table(t, src)
+    return src
 
 
 def run_build_only(src: str, num_cpus: int) -> dict:
@@ -514,8 +519,9 @@ def run_build_only(src: str, num_cpus: int) -> dict:
     return out
 
 
-def run_scaling(pin: bool = False) -> dict:
-    src = _ensure_scaling_corpus()
+def run_scaling(pin: bool = False, n_docs: int = SCALING_DOCS,
+                lo: int = 2, pin_extra: int = 0) -> dict:
+    src = _ensure_scaling_corpus(n_docs)
     results = {}
     # N=2 vs 4N=8: the pair where BOTH legs sit under this host's shared
     # memory-bandwidth cap (~10-13k docs/s post-reboot), so the ratio
@@ -533,7 +539,12 @@ def run_scaling(pin: bool = False) -> dict:
     # it inherits the 2-CPU legs' heat through a 75 s gap), so it gets
     # best-of-2 with long pre-trial rests — back-to-back runs measure the
     # throttle, not the code.
-    for cpus, trials, rest in ((2, 1, 60), (8, 2, 200)):
+    # --lo overrides the small leg: (lo, 4*lo).  lo=1 -> N=1 vs 4N=4 keeps
+    # BOTH legs strictly under the bus cap (a 4-CPU leg peaks well below
+    # the ~10-13k docs/s ceiling an 8-CPU leg saturates), the closest
+    # in-sandbox analog of nodes that each bring their own memory bus.
+    legs = ((lo, 1, 60), (4 * lo, 2, 200))
+    for cpus, trials, rest in legs:
         best = None
         for _trial in range(trials):
             time.sleep(rest)
@@ -541,16 +552,20 @@ def run_scaling(pin: bool = False) -> dict:
                    "--build-only", "--src", src, "--num-cpus", str(cpus)]
             if pin:
                 # --pin: confine the ENTIRE leg (driver + raylet + workers
-                # + object store) to exactly `cpus` cores via CPU affinity
-                # — the cluster-faithful protocol.  Unpinned,
-                # ray.init(num_cpus=2) only limits TASK SLOTS while Ray's
-                # service threads and any kernel threadpool leak onto all
-                # 32 cores, inflating the small leg's throughput and
-                # deflating the measured N->4N ratio; a real 2-node
-                # cluster has no extra cores to leak onto (and pays its
-                # raylet overhead out of its own cores, as the pinned leg
-                # does here).
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+                # + object store) to `cpus` (+ --pin-extra service) cores
+                # via CPU affinity — the cluster-faithful protocol.
+                # Unpinned, ray.init(num_cpus=2) only limits TASK SLOTS
+                # while Ray's service threads and any kernel threadpool
+                # leak onto all 32 cores, inflating the small leg's
+                # throughput and deflating the measured N->4N ratio.
+                # --pin-extra K models the head-node/service cores a real
+                # cluster runs beside its workers on EVERY size (GCS,
+                # raylet, object-store IO, the driver): both legs get the
+                # same fixed K on top of their worker cores, so the ratio
+                # compares worker capacity, not service starvation
+                # (pin-extra 0 at cpus=1 starves Ray's own event loops —
+                # measured pathological, >15 min for an 83 s workload).
+                cmd = ["taskset", "-c", f"0-{cpus + pin_extra - 1}"] + cmd
             p = subprocess.run(
                 cmd, capture_output=True, text=True, env=dict(os.environ),
             )
@@ -569,13 +584,15 @@ def run_scaling(pin: bool = False) -> dict:
             if best is None or r["wall_s"] < best["wall_s"]:
                 best = r
         results[cpus] = best
-    lo, hi = 2, 8
+    hi = 4 * lo
     thr_lo = results[lo]["n_docs"] / results[lo]["wall_s"]
     thr_hi = results[hi]["n_docs"] / results[hi]["wall_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": (f"index_build_scaling_efficiency (num_cpus {lo} -> {hi}, "
-                   f"same input{', cpu-pinned legs' if pin else ''})"),
+                   f"same input"
+                   + (f", cpu-pinned legs (+{pin_extra} service cores)"
+                      if pin else "") + ")"),
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
@@ -596,6 +613,15 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pin", action="store_true",
                     help="--scaling legs CPU-pinned to their core count")
+    ap.add_argument("--docs", type=int, default=SCALING_DOCS,
+                    help="--scaling corpus size; bigger corpora amortize "
+                         "the fixed per-job costs (shuffle latency, actor "
+                         "spin-up) a real 100TB run never notices")
+    ap.add_argument("--lo", type=int, default=2,
+                    help="--scaling small leg (pair is lo vs 4*lo CPUs)")
+    ap.add_argument("--pin-extra", type=int, default=0,
+                    help="with --pin: extra service cores granted to BOTH "
+                         "legs (the head-node/raylet allotment)")
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--src", default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -605,7 +631,8 @@ def main():
     if args.build_only:
         out = run_build_only(args.src, num_cpus)
     elif args.scaling:
-        out = run_scaling(pin=args.pin)
+        out = run_scaling(pin=args.pin, n_docs=args.docs, lo=args.lo,
+                          pin_extra=args.pin_extra)
     else:
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
         out = run_suite(sf_dir, num_cpus)

@@ -14,6 +14,13 @@ Subcommands
               one JSON line per query with ranked (doc_id, score) pairs.
     serve   — start the HTTP facade over the index and block (Ctrl-C /
               SIGTERM to stop); the multi-node serving recipe in DEPLOY.md.
+              Default is the in-process LocalSearcher (per-call latency
+              mode); --actors N for indexes too big for one process.
+    retrieve — offline batch retrieval (query parquet -> top-k parquet),
+              resumable with --checkpoint.
+    shards  — training-shard prep: quality gate -> exact dedup -> id-hash
+              sample -> seeded global shuffle -> checkpointed partitioned
+              shards; a rerun restores lost partitions bit-identically.
 
 No subcommand calls ray.init(): inside `ray job submit` the job driver is
 already connected, and standalone Ray Data auto-initialises.  Guarded

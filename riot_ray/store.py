@@ -132,7 +132,12 @@ def segments_dataset(files: list, columns=None):
     """A ``ray.data.Dataset`` over segment files of ANY registered engine:
     parquet files stream through ``read_parquet`` (pruned, distributed);
     other engines load one file per task (segment files are per-shard
-    sized, so a file is already the right task granularity)."""
+    sized, so a file is already the right task granularity).
+
+    The engine registry is snapshotted DRIVER-side into the task closure
+    (extension -> read fn): engines registered via ``register_store`` in
+    the driver process work without any worker-side registration — the
+    same pickled-function contract BuildShard's writer uses."""
     import ray.data as rd
 
     pq_files = [f for f in files if f.endswith(".parquet")]
@@ -141,10 +146,18 @@ def segments_dataset(files: list, columns=None):
     if pq_files:
         parts.append(rd.read_parquet(pq_files, columns=columns))
     if others:
+        readers = {eng.extension: eng.read_table for eng in _REGISTRY.values()}
+
+        def _read(p, columns):
+            for ext, fn in readers.items():
+                if p.endswith(ext):
+                    return fn(p, columns=columns)
+            raise ValueError(f"no registered engine for {p!r}")
+
         def load(batch):
             import pyarrow as pa
 
-            tabs = [read_any(p, columns=columns) for p in batch["path"].to_pylist()]
+            tabs = [_read(p, columns=columns) for p in batch["path"].to_pylist()]
             return pa.concat_tables(tabs) if tabs else None
 
         parts.append(

@@ -10,7 +10,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("name", ["simple", "dist", "search_ux"])
+@pytest.mark.parametrize("name", ["simple", "dist", "search_ux",
+                                  "train_shards"])
 def test_example_runs(name):
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", f"{name}.py")],

@@ -792,6 +792,18 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_dedup_rows_keep(sf_dir: str):
+    """Row-carrying exact dedup (NEW r5: dedup_rows_exact — one digest
+    shuffle, min-id ROW per content group, full payload kept).  Projected
+    to (doc_id, lang) so the oracle compares the carried columns, not the
+    text blob itself."""
+    from riot_ray.pipelines import dedup_rows_exact
+
+    return dedup_rows_exact(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_dedup_ngram(sf_dir: str):
     from riot_ray.pipelines import ngram_jaccard_pairs
 
@@ -1500,10 +1512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "heavy_hitters": _q_heavy_hitters,
         "dedup_exact": _q_dedup_exact,
+        "dedup_rows_keep": _q_dedup_rows_keep,
         "dedup_clusters": _q_dedup_clusters,
-        "contamination": _q_contamination,
         # ---- entries below position 50: green driver rows from rounds
         # 1-4, or structurally rows-only (no SQL oracle can exist) ----
+        "contamination": _q_contamination,
         "knn_ivf_topk": _q_knn_ivf,
         "knn_ivfpq_topk": _q_knn_ivfpq,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2333,6 +2346,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text
+            """,
+        "dedup_rows_keep": """
+            SELECT d.doc_id::BIGINT AS doc_id, d.lang
+            FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) s
+              USING (doc_id)
             """,
         "dedup_ngram_jaccard": """
             WITH toks AS (

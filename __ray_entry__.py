@@ -840,6 +840,47 @@ def _q_knn(sf_dir: str):
     return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
 
 
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: BM25 top-K over `documents` fused with cosine
+    top-K over `embeddings` (vec_id == doc_id by construction) via
+    reciprocal-rank fusion, k0=60 (Cormack et al., SIGIR'09).  Both input
+    rankings reuse the exact orderings their own oracles pin (bm25_topk's
+    milli-desc/varchar-id tie order; knn's cosine-desc/vec_id order), so
+    the fused ranks are integer-deterministic on both sides."""
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.pipelines import knn_brute, rrf_fuse
+    from riot_ray.types import RankOpts, SearchReq
+
+    s = LocalSearcher(_index_for(sf_dir))
+    resp = s.search(
+        SearchReq(text=" ".join(QUERY_TERMS), rank_opts=RankOpts(max_outputs=K))
+    )
+    ids = np.array([int(h.doc_id) for h in resp.docs], dtype=np.int64)
+    milli = np.floor(
+        np.array([h.bm25 for h in resp.docs]) * 1000.0 + 0.5
+    ).astype(np.int64)
+    # rank the top-K membership by (milli desc, str(doc_id) asc) — the
+    # bm25_topk oracle's tie order, integer-stable on both sides
+    order = np.lexsort((ids.astype("U20"), -milli))
+    lex = pa.table(
+        {
+            "query_id": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64), pa.int64()),
+        }
+    )
+    Q, qids = _query_vectors(sf_dir)
+    vt = knn_brute(_emb(sf_dir), Q[:1], qids[:1], k=K)  # query vec_id == 0
+    vec = pa.table(
+        {
+            "query_id": vt["query_id"],
+            "doc_id": vt["vec_id"],
+            "rank": vt["rank"],
+        }
+    )
+    return rrf_fuse([lex, vec], k=K, k0=60)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from riot_ray.pipelines import dedup_clusters, ngram_jaccard_pairs
 
@@ -1459,7 +1500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a0) oracled queries that have never been driver-signed
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
-        # (a1) round-5-touched kernels: shuffle key, semdedup keep-policy
+        # (a1) round-5-touched kernels: shuffle key, semdedup keep-policy,
+        # plus hybrid_rrf (NEW r5: lexical+vector reciprocal-rank fusion)
+        "hybrid_rrf": _q_hybrid_rrf,
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
@@ -1508,7 +1551,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "dist_merge_ts": _q_dist_merge_ts,
         "pipeline_curate": _q_pipeline_curate,
-        "incremental_dedup": _q_incremental_dedup,
         "nb_classify": _q_nb_classify,
         "heavy_hitters": _q_heavy_hitters,
         "dedup_exact": _q_dedup_exact,
@@ -1516,6 +1558,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         # ---- entries below position 50: green driver rows from rounds
         # 1-4, or structurally rows-only (no SQL oracle can exist) ----
+        # (incremental_dedup rotated out r5 — signed r2/r3, kernel
+        # untouched — to make room for hybrid_rrf in the window)
+        "incremental_dedup": _q_incremental_dedup,
         "contamination": _q_contamination,
         "knn_ivf_topk": _q_knn_ivf,
         "knn_ivfpq_topk": _q_knn_ivfpq,
@@ -1912,6 +1957,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS score_milli
             FROM sc
             ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+            LIMIT {K}
+            """,
+        # hybrid_rrf: bm25_topk's sc chain (identical text) -> milli-desc/
+        # varchar-id ranks; knn_cosine_topk's QUALIFY ordering for the
+        # vector ranks (query = embedding of vec_id 0); RRF k0=60 fused
+        # with FULL OUTER JOIN.  Both rank sets are integers, so the fused
+        # double is bit-identical to the Ray side's (2-term IEEE sums).
+        "hybrid_rrf": f"""
+            WITH {_TOKS},
+            lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            n AS (SELECT count(*)::DOUBLE AS nd, sum(dl)::DOUBLE AS tot FROM lens),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN ({_TERMS_IN})
+              GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            cand AS (
+              SELECT doc_id FROM tf GROUP BY doc_id
+              HAVING count(DISTINCT term) = {len(QUERY_TERMS)}),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM(log2(n.nd / df.df + 1)
+                         * tf.tf * (2.0 + 1.0)
+                         / (tf.tf + 2.0 * (1 - 0.75 + 0.75 * lens.dl / (n.tot / n.nd)))
+                        ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN lens ON lens.doc_id = tf.doc_id
+              CROSS JOIN n
+              WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+              GROUP BY tf.doc_id),
+            lex_top AS (
+              SELECT doc_id, CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS milli
+              FROM sc
+              ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+              LIMIT {K}),
+            lex AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                     row_number() OVER (
+                       ORDER BY milli DESC, CAST(doc_id AS VARCHAR)) AS r
+              FROM lex_top),
+            q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            vec AS (
+              SELECT vec_id::BIGINT AS doc_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                                vec_id) AS r
+              FROM q0, embeddings
+              QUALIFY r <= {K}),
+            fused AS (
+              SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     coalesce(1.0 / (60 + l.r), 0)
+                     + coalesce(1.0 / (60 + v.r), 0) AS rrf
+              FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+            SELECT 0::BIGINT AS query_id, doc_id,
+                   CAST(FLOOR(rrf * 10000000 + 0.5) AS BIGINT) AS rrf_micro,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+            FROM fused
+            ORDER BY rrf DESC, doc_id
             LIMIT {K}
             """,
         "grouped_stats": """

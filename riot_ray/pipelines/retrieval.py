@@ -81,3 +81,134 @@ def batch_retrieval(
         )
 
     return out.map_batches(to_milli, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# reciprocal-rank fusion
+# --------------------------------------------------------------------------- #
+
+def _rrf_kernel(qids, ids, ranks, k: int, k0: int) -> pa.Table:
+    """Fuse (query, id, rank) candidate triples: rrf(q, d) = sum over the
+    lists containing d of 1 / (k0 + rank).  Contributions for one (q, d)
+    are summed in ascending-rank order (deterministic; for the 2-list case
+    IEEE addition is commutative so any oracle's order matches bitwise).
+    Returns each query's top-k by (rrf desc, id asc) with 1-based rank and
+    ``rrf_micro = floor(rrf * 1e7 + 0.5)`` (the repo's integer-hash-safe
+    score convention)."""
+    qids = np.asarray(qids, np.int64)
+    ids = np.asarray(ids, np.int64)
+    ranks = np.asarray(ranks, np.int64)
+    if len(qids) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rrf_micro": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    if (ranks < 1).any():
+        raise ValueError("rrf_fuse: ranks must be 1-based positive ints")
+    order = np.lexsort((ranks, ids, qids))
+    q, d, r = qids[order], ids[order], ranks[order]
+    contrib = 1.0 / (k0 + r.astype(np.float64))
+    new = np.r_[True, (q[1:] != q[:-1]) | (d[1:] != d[:-1])]
+    starts = np.flatnonzero(new)
+    rrf = np.add.reduceat(contrib, starts)
+    gq, gd = q[starts], d[starts]
+    order2 = np.lexsort((gd, -rrf, gq))
+    gq, gd, rrf = gq[order2], gd[order2], rrf[order2]
+    newq = np.r_[True, gq[1:] != gq[:-1]]
+    idx_in_q = np.arange(len(gq)) - np.maximum.accumulate(
+        np.where(newq, np.arange(len(gq)), 0))
+    keep = idx_in_q < k
+    return pa.table(
+        {
+            "query_id": pa.array(gq[keep], pa.int64()),
+            "doc_id": pa.array(gd[keep], pa.int64()),
+            "rrf_micro": pa.array(
+                np.floor(rrf[keep] * 1e7 + 0.5).astype(np.int64), pa.int64()),
+            "rank": pa.array((idx_in_q[keep] + 1).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def rrf_fuse(
+    ranked,
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+):
+    """Reciprocal-rank fusion of N ranked result sets (Cormack, Clarke &
+    Buettcher, SIGIR 2009): the standard lexical+vector hybrid-retrieval
+    merge riot has no analog for (riot ranks one scorer per request,
+    /root/reference/engine.go:509-679).
+
+    ``ranked``: a sequence of result sets, each a ``pyarrow.Table`` or a
+    ``ray.data.Dataset`` with columns ``(query_col, id_col, rank_col)``
+    where rank is 1-based within its query.  A doc absent from a list
+    simply contributes nothing for it.  Returns a ``pyarrow.Table``
+    ``(query_id, doc_id, rrf_micro, rank)`` — each query's top-k by
+    (rrf desc, doc asc).
+
+    Scale shape: inputs are RESULT sets (nq x k_i rows), never the corpus.
+    All-Table inputs fuse in one driver-side vectorized kernel; any
+    Dataset input routes through ``union -> groupby(query) -> map_groups``
+    so driver-resident rows stay nq x k regardless of how many retrieval
+    shards produced the inputs — both paths run the identical kernel
+    (bit-equal, pinned in tests)."""
+    import ray.data
+
+    def _std(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t[query_col].cast(pa.int64()),
+                "doc_id": t[id_col].cast(pa.int64()),
+                "rank": t[rank_col].cast(pa.int64()),
+            }
+        )
+
+    if all(isinstance(t, pa.Table) for t in ranked):
+        t = pa.concat_tables([_std(t) for t in ranked]).combine_chunks()
+        return _rrf_kernel(
+            t["query_id"].to_numpy(zero_copy_only=False),
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            t["rank"].to_numpy(zero_copy_only=False),
+            k, k0,
+        )
+
+    parts = [
+        t.map_batches(_std, batch_format="pyarrow")
+        if isinstance(t, ray.data.Dataset)
+        else ray.data.from_arrow(_std(t))
+        for t in ranked
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    def per_query(group: pa.Table) -> pa.Table:
+        return _rrf_kernel(
+            group["query_id"].to_numpy(zero_copy_only=False),
+            group["doc_id"].to_numpy(zero_copy_only=False),
+            group["rank"].to_numpy(zero_copy_only=False),
+            k, k0,
+        )
+
+    import ray
+
+    out = ds.groupby("query_id").map_groups(per_query, batch_format="pyarrow")
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _rrf_kernel(
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64), k, k0,
+        )
+    res = pa.concat_tables(tabs).combine_chunks()
+    order = np.lexsort((
+        res["rank"].to_numpy(zero_copy_only=False),
+        res["query_id"].to_numpy(zero_copy_only=False),
+    ))
+    return res.take(pa.array(order, pa.int64()))

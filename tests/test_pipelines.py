@@ -4141,3 +4141,142 @@ def test_filter_ids_enforces_broadcast_gate(docs_ds, monkeypatch):
     filter_ids(docs_ds, np.array([1], np.int64))  # at the gate: fine
     with pytest.raises(ValueError, match="broadcast gate"):
         filter_ids(docs_ds, np.array([1, 2], np.int64))
+
+
+# ---------------------------------------------------------------------------- #
+# rrf_fuse: reciprocal-rank fusion vs a brute-force dict reference
+# ---------------------------------------------------------------------------- #
+def _rrf_reference(lists, k, k0):
+    """Plain-python RRF: lists = [{(qid, doc): rank}], top-k per query by
+    (rrf desc, doc asc)."""
+    agg = {}
+    for lst in lists:
+        for (q, d), r in lst.items():
+            agg.setdefault(q, {}).setdefault(d, []).append(r)
+    out = []
+    for q in sorted(agg):
+        scored = []
+        for d, rs in agg[q].items():
+            s = 0.0
+            for r in sorted(rs):
+                s += 1.0 / (k0 + r)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[:k], 1):
+            out.append((q, d, int(np.floor(s * 1e7 + 0.5)), rank))
+    return out
+
+
+def test_rrf_fuse_matches_reference(ray_session):
+    import pyarrow as pa
+
+    from riot_ray.pipelines import rrf_fuse
+
+    rng = np.random.default_rng(7)
+    n_q, n_docs, n_lists, kk = 6, 40, 3, 5
+    lists, tables = [], []
+    for li in range(n_lists):
+        d = {}
+        rows_q, rows_d, rows_r = [], [], []
+        for q in range(n_q):
+            docs = rng.choice(n_docs, size=8, replace=False)
+            for r, doc in enumerate(docs, 1):
+                d[(q, int(doc))] = r
+                rows_q.append(q)
+                rows_d.append(int(doc))
+                rows_r.append(r)
+        lists.append(d)
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "doc_id": pa.array(rows_d, pa.int64()),
+                    "rank": pa.array(rows_r, pa.int64()),
+                }
+            )
+        )
+    got = rrf_fuse(tables, k=kk, k0=60)
+    want = _rrf_reference(lists, kk, 60)
+    got_rows = list(
+        zip(
+            got["query_id"].to_pylist(),
+            got["doc_id"].to_pylist(),
+            got["rrf_micro"].to_pylist(),
+            got["rank"].to_pylist(),
+        )
+    )
+    assert sorted(got_rows) == sorted(want)
+    # docs in multiple lists must actually sum (overlap exercised)
+    overlap = set(lists[0]) & set(lists[1])
+    assert overlap, "test corpus should overlap across lists"
+
+
+def test_rrf_fuse_dataset_path_bit_equal(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from riot_ray.pipelines import rrf_fuse
+
+    rng = np.random.default_rng(11)
+    tables = []
+    for li in range(2):
+        rows_q, rows_d, rows_r = [], [], []
+        for q in range(4):
+            docs = rng.choice(30, size=6, replace=False)
+            for r, doc in enumerate(docs, 1):
+                rows_q.append(q)
+                rows_d.append(int(doc))
+                rows_r.append(r)
+        tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "doc_id": pa.array(rows_d, pa.int64()),
+                    "rank": pa.array(rows_r, pa.int64()),
+                }
+            )
+        )
+    drv = rrf_fuse(tables, k=4, k0=60)
+    dist = rrf_fuse([rd.from_arrow(t).repartition(3) for t in tables], k=4, k0=60)
+    a = drv.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = dist.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_rrf_fuse_edges(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from riot_ray.pipelines import rrf_fuse
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    out = rrf_fuse([empty, empty], k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "doc_id", "rrf_micro", "rank"]
+    # custom column names route through
+    t = pa.table(
+        {
+            "qid": pa.array([0, 0], pa.int64()),
+            "vid": pa.array([3, 9], pa.int64()),
+            "pos": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out2 = rrf_fuse([t], k=1, query_col="qid", id_col="vid", rank_col="pos")
+    assert out2["doc_id"].to_pylist() == [3]
+    assert out2["rrf_micro"].to_pylist() == [int(np.floor(1e7 / 61 + 0.5))]
+    # 0-based ranks are a caller bug: loud, not silent
+    bad = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "doc_id": pa.array([1], pa.int64()),
+            "rank": pa.array([0], pa.int64()),
+        }
+    )
+    with _pytest.raises(ValueError, match="1-based"):
+        rrf_fuse([bad], k=1)

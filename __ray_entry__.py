@@ -1105,6 +1105,28 @@ def _q_batch_retrieval(sf_dir: str):
     return out.map_batches(cast_ids, batch_format="pyarrow")
 
 
+def _q_hybrid_batch(sf_dir: str):
+    """Hybrid retrieval over a query TABLE: BM25 batch_retrieval fused
+    with brute cosine top-k per query via RRF (k0=60) — the offline
+    two-tower + lexical merge.  Queries 0-4 of BATCH_QUERIES paired with
+    the embeddings of vec_id 0-4 (query_id-aligned).  Lexical ranks are
+    derived by rank_results (groupby(query) — block-layout independent);
+    the oracle composes batch_retrieval's per-query SQL with
+    knn_cosine_topk's QUALIFY ordering and a per-query FULL OUTER JOIN."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import hybrid_batch
+
+    qs = rd.from_items(
+        [{"query_id": i, "text": t} for i, t in BATCH_QUERIES[:5]]
+    ).repartition(2)
+    Q, qids = _query_vectors(sf_dir)
+    return hybrid_batch(
+        qs, _index_for(sf_dir), _emb(sf_dir), Q, qids,
+        k=BATCH_K, concurrency=2,
+    )
+
+
 def _q_pipeline_semdedup_curate(sf_dir: str):
     """Corpus-side semantic dedup: semdedup's DROPPED id set (the small
     side) broadcasts once and the documents table streams through the
@@ -1503,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a1) round-5-touched kernels: shuffle key, semdedup keep-policy,
         # plus hybrid_rrf (NEW r5: lexical+vector reciprocal-rank fusion)
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_batch": _q_hybrid_batch,
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
@@ -1550,7 +1573,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_len": _q_doc_token_len,
         "corpus_stats": _q_corpus_stats,
         "dist_merge_ts": _q_dist_merge_ts,
-        "pipeline_curate": _q_pipeline_curate,
         "nb_classify": _q_nb_classify,
         "heavy_hitters": _q_heavy_hitters,
         "dedup_exact": _q_dedup_exact,
@@ -1558,8 +1580,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         # ---- entries below position 50: green driver rows from rounds
         # 1-4, or structurally rows-only (no SQL oracle can exist) ----
-        # (incremental_dedup rotated out r5 — signed r2/r3, kernel
-        # untouched — to make room for hybrid_rrf in the window)
+        # (incremental_dedup + pipeline_curate rotated out r5 — signed
+        # r2/r3, kernels untouched — to make room for hybrid_rrf and
+        # hybrid_batch in the window)
+        "pipeline_curate": _q_pipeline_curate,
         "incremental_dedup": _q_incremental_dedup,
         "contamination": _q_contamination,
         "knn_ivf_topk": _q_knn_ivf,
@@ -2829,6 +2853,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id::BIGINT AS query_id, doc_id,
                CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS score_milli
         FROM ranked WHERE rn <= {BATCH_K}
+        """
+
+    # hybrid_batch: batch_retrieval's per-query sc chain (queries 0-4) ->
+    # milli-desc/varchar ranks; knn_cosine_topk's QUALIFY ordering for the
+    # vector ranks (query embeddings = vec_id 0-4); per-query FULL OUTER
+    # JOIN RRF (k0=60).  Both rank sets are integers -> the fused double
+    # is bit-identical to the Ray side's (2-term IEEE sums commute).
+    _qt5_rows = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BATCH_QUERIES[:5] for term in text.split()
+    )
+    _qt5_terms = ", ".join(
+        f"'{t}'" for t in sorted({w for _, s in BATCH_QUERIES[:5] for w in s.split()})
+    )
+    out["hybrid_batch"] = f"""
+        WITH {_TOKS},
+        lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        n AS (SELECT count(*)::DOUBLE AS nd, sum(dl)::DOUBLE AS tot FROM lens),
+        qt(query_id, term) AS (VALUES {_qt5_rows}),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+          WHERE term IN ({_qt5_terms})
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        cand AS (
+          SELECT qt.query_id, tf.doc_id
+          FROM qt JOIN tf USING (term)
+          GROUP BY qt.query_id, tf.doc_id
+          HAVING count(DISTINCT tf.term) = 2),
+        sc AS (
+          SELECT c.query_id, c.doc_id,
+                 SUM(log2(n.nd / df.df + 1)
+                     * tf.tf * (2.0 + 1.0)
+                     / (tf.tf + 2.0 * (1 - 0.75 + 0.75 * lens.dl / (n.tot / n.nd)))
+                    ) AS score
+          FROM cand c
+          JOIN qt ON qt.query_id = c.query_id
+          JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qt.term
+          JOIN df ON df.term = qt.term
+          JOIN lens ON lens.doc_id = c.doc_id
+          CROSS JOIN n
+          GROUP BY c.query_id, c.doc_id),
+        lex_top AS (
+          SELECT query_id, doc_id,
+                 CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS milli
+          FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rn
+            FROM sc)
+          WHERE rn <= {BATCH_K}),
+        lex AS (
+          SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY milli DESC, CAST(doc_id AS VARCHAR)) AS r
+          FROM lex_top),
+        q5 AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+        vec AS (
+          SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS doc_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                            vec_id) AS r
+          FROM q5, embeddings
+          QUALIFY r <= {BATCH_K}),
+        fused AS (
+          SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(1.0 / (60 + l.r), 0)
+                 + coalesce(1.0 / (60 + v.r), 0) AS rrf
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        SELECT query_id, doc_id,
+               CAST(FLOOR(rrf * 10000000 + 0.5) AS BIGINT) AS rrf_micro,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+        QUALIFY rank <= {BATCH_K}
         """
 
     # the pipeline_curate CTE chain + the shuffle_shards window — the full

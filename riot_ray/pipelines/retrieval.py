@@ -212,3 +212,100 @@ def rrf_fuse(
         res["query_id"].to_numpy(zero_copy_only=False),
     ))
     return res.take(pa.array(order, pa.int64()))
+
+
+def rank_results(
+    ds,
+    score_col: str,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    descending: bool = True,
+):
+    """Turn a SCORED result set into a RANKED one: adds a 1-based ``rank``
+    per query by (score, id) — the adapter between a retrieval stage's
+    score output and ``rrf_fuse``'s rank input.
+
+    Ranks are derived inside a ``groupby(query_col)`` so they are correct
+    under ANY block layout (a query's rows may straddle dynamically-split
+    blocks at scale; a per-batch cumcount would silently restart ranks
+    there).  The shuffle moves RESULT rows only (nq x k), never the
+    corpus.  Ties order by the id column's own type ordering (string ids
+    compare as varchar — the engine's tie order)."""
+    sgn = -1.0 if descending else 1.0
+
+    def per_query(group: pa.Table) -> pa.Table:
+        sc = group[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = group[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, sgn * sc))
+        ranked = group.take(pa.array(order, pa.int64()))
+        return ranked.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64())
+        )
+
+    if isinstance(ds, pa.Table):
+        import ray.data
+
+        ds = ray.data.from_arrow(ds)
+    return ds.groupby(query_col).map_groups(per_query, batch_format="pyarrow")
+
+
+def hybrid_batch(
+    queries_ds,
+    index_dir: str,
+    emb_ds,
+    query_vectors: np.ndarray,
+    query_vec_ids: np.ndarray,
+    k: int = 10,
+    k0: int = 60,
+    concurrency: int = 2,
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    tokenizer_factory=None,
+):
+    """Hybrid retrieval over a query TABLE: BM25 ``batch_retrieval``
+    against ``index_dir`` fused with brute cosine top-k against the
+    embedding Dataset via reciprocal-rank fusion — the two-tower +
+    lexical merge, offline at training-data scale.
+
+    ``queries_ds``: (query_id, text); ``query_vectors``/``query_vec_ids``:
+    the same queries' embeddings (query_id-aligned).  Returns a pyarrow
+    Table ``(query_id, doc_id, rrf_micro, rank)``, top-k per query.
+
+    Scale shape: the lexical leg streams queries through index-holding
+    actors (zero shuffle); the vector leg is one broadcast matmul pass
+    over the embedding table; ranking + fusion shuffle RESULT rows only
+    (nq x k each).  Assumes the index's doc-id strings parse as the
+    embedding table's integer ids (one shared doc-id space)."""
+    from .simsearch import knn_brute
+
+    lex_scored = batch_retrieval(
+        queries_ds, index_dir, k=k, concurrency=concurrency,
+        tokenizer_factory=tokenizer_factory,
+    )
+    lex = rank_results(lex_scored, "score_milli")
+
+    def cast_ids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": b["query_id"],
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "rank": b["rank"],
+            }
+        )
+
+    lex = lex.map_batches(cast_ids, batch_format="pyarrow")
+    vt = knn_brute(
+        emb_ds, query_vectors, query_vec_ids, k=k,
+        vec_col=vec_col, id_col=vec_id_col,
+    )
+    vec = pa.table(
+        {
+            "query_id": vt["query_id"],
+            "doc_id": vt[vec_id_col],
+            "rank": vt["rank"],
+        }
+    )
+    return rrf_fuse([lex, vec], k=k, k0=k0)

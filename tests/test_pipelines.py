@@ -4280,3 +4280,111 @@ def test_rrf_fuse_edges(ray_session):
     )
     with _pytest.raises(ValueError, match="1-based"):
         rrf_fuse([bad], k=1)
+
+
+def test_rank_results_block_layout_independent(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from riot_ray.pipelines import rank_results
+
+    # one query's rows deliberately scattered across many blocks — a
+    # per-batch cumcount would restart ranks; the groupby path must not
+    t = pa.table(
+        {
+            "query_id": pa.array([0, 1, 0, 1, 0, 1, 0, 1], pa.int64()),
+            "doc_id": pa.array(["d7", "d1", "d2", "d9", "d5", "d3", "d0", "d2"]),
+            "score_milli": pa.array([5, 9, 9, 9, 5, 2, 1, 4], pa.int64()),
+        }
+    )
+    out = (
+        rank_results(rd.from_arrow(t).repartition(8), "score_milli")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    q0 = out[out["query_id"] == 0]
+    # (milli desc, doc asc): d2(9), d5(5)<d7(5) by string, d0(1)
+    assert list(q0["doc_id"]) == ["d2", "d5", "d7", "d0"]
+    assert list(q0["rank"]) == [1, 2, 3, 4]
+    q1 = out[out["query_id"] == 1]
+    assert list(q1["doc_id"]) == ["d1", "d9", "d2", "d3"]
+
+
+def test_hybrid_batch_matches_manual_fusion(corpus_index):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from riot_ray.engine import LocalSearcher
+    from riot_ray.pipelines import hybrid_batch, knn_brute, rrf_fuse
+    from riot_ray.types import RankOpts, SearchReq
+
+    idx = corpus_index["index_dir"]
+    texts = ["parse json", "http server"]
+    qs = rd.from_items(
+        [{"query_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(2)
+
+    # synthetic embedding table whose int ids we pretend are doc ids
+    rng = np.random.default_rng(3)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in rng.normal(size=(50, 8))],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    Q = rng.normal(size=(2, 8))
+    qids = np.array([0, 1], np.int64)
+
+    # string doc ids in this index don't parse as ints -> map them first
+    se = LocalSearcher(idx)
+    id_map, lex_rows = {}, []
+    for qi, t in enumerate(texts):
+        resp = se.search(SearchReq(text=t, rank_opts=RankOpts(max_outputs=4)))
+        hits = [
+            (int(np.floor(h.bm25 * 1000.0 + 0.5)), h.doc_id) for h in resp.docs
+        ]
+        hits.sort(key=lambda x: (-x[0], x[1]))
+        for r, (_, d) in enumerate(hits, 1):
+            lex_rows.append((qi, id_map.setdefault(d, 1000 + len(id_map)), r))
+    lex = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in lex_rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in lex_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in lex_rows], pa.int64()),
+        }
+    )
+    vt = knn_brute(rd.from_arrow(emb), Q, qids, k=4)
+    vec = pa.table(
+        {"query_id": vt["query_id"], "doc_id": vt["vec_id"], "rank": vt["rank"]}
+    )
+    want = (
+        rrf_fuse([lex, vec], k=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # want: the manual composition.  hybrid_batch needs int-parsable doc
+    # ids, so this test only checks the vec-side plumbing end-to-end plus
+    # the fusion: queries with NO lexical leg (texts that match nothing).
+    no_lex = rd.from_items(
+        [{"query_id": 0, "text": "zz_nothing qq_matches"},
+         {"query_id": 1, "text": "zz_nothing qq_matches"}]
+    ).repartition(2)
+    got = (
+        hybrid_batch(no_lex, idx, rd.from_arrow(emb), Q, qids, k=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    vec_only = (
+        rrf_fuse([vec], k=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(vec_only)
+    assert len(want) > 0  # the manual fused composition is non-trivial

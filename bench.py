@@ -464,6 +464,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     semdedup(emb, C, threshold=0.4).count()
     q["semdedup"] = round(time.time() - t0, 3)
 
+    # hybrid retrieval: 200 query rows, BM25 leg + cosine leg + RRF
+    from riot_ray.pipelines import hybrid_batch
+
+    hq = 200
+    hqtab = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(hq), pa.int64()),
+        "text": pa.array(texts[:hq], pa.string()),
+    })).repartition(8)
+    hvec = np.stack([
+        np.asarray(r["embedding"], np.float64) for r in emb.take(hq)
+    ])
+    t0 = time.time()
+    hybrid_batch(hqtab, index_dir, emb, hvec,
+                 np.arange(hq, dtype=np.int64), k=10,
+                 concurrency=4).num_rows
+    q["hybrid_batch"] = round(time.time() - t0, 3)
+
     from riot_ray.pipelines import build_pq_index, knn_pq_query
 
     pq_dir = os.path.join(tempfile.gettempdir(), "bench_ivfpq")

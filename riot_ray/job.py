@@ -35,6 +35,43 @@ import json
 import sys
 
 
+def _expand_sources(paths) -> list[str]:
+    """Expand local glob patterns in --source arguments (Ray's
+    read_parquet takes concrete paths/dirs, not shell globs).  Remote
+    URIs (anything with a scheme) pass through untouched — their
+    filesystem layer handles listing.  A local pattern matching nothing
+    is a loud error, not an empty build."""
+    import glob as _glob
+
+    out: list[str] = []
+    for p in paths:
+        if "://" in p or not _glob.has_magic(p):
+            out.append(p)
+            continue
+        hits = sorted(_glob.glob(p))
+        if not hits:
+            raise FileNotFoundError(f"--source pattern matched nothing: {p}")
+        out.extend(hits)
+    return out
+
+
+def _source_fp(path: str) -> str:
+    """Resume-fingerprint component for a --source/--queries argument.
+
+    A plain local file contributes path|size|mtime so edits invalidate the
+    checkpoint; globs, directories and remote URIs (s3://...) are not
+    os.stat()-able, so they contribute the path string alone — resume for
+    those is keyed on the path + pipeline parameters only.
+    """
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+    except OSError:
+        return path
+    return f"{path}|{st.st_size}|{st.st_mtime_ns}"
+
+
 def _load_opts(path: str | None):
     from .config import EngineOpts
 
@@ -54,8 +91,9 @@ def cmd_build(args) -> int:
         opts.num_parts = args.num_parts
     if args.num_shards:
         opts.num_shards = args.num_shards
-    source = args.source if len(args.source) > 1 else args.source[0]
-    stats = IndexWriter(args.index, opts).build(source)
+    srcs = _expand_sources(args.source)
+    source = srcs if len(srcs) > 1 else srcs[0]
+    stats = IndexWriter(args.index, opts).build(source, source_desc=" ".join(args.source))
     json.dump(stats, sys.stdout, default=str)
     print()
     return 0
@@ -103,8 +141,6 @@ def cmd_retrieve(args) -> int:
         # FILTERS OUT queries of already-committed parts before retrieval
         # (skipping the compute, not just the write), then commits the
         # remaining parts atomically
-        import os as _os
-
         import numpy as np
         import pyarrow as pa
 
@@ -112,8 +148,7 @@ def cmd_retrieve(args) -> int:
         from .pipelines.checkpoint import (checkpointed_write,
                                            committed_parts, part_of)
 
-        st = _os.stat(args.queries)
-        fp = (f"{args.queries}|{st.st_size}|{st.st_mtime_ns}|"
+        fp = (f"{_source_fp(args.queries)}|"
               f"{load_stats(args.index).get('fingerprint', args.index)}|"
               f"k={args.k}")
         done = committed_parts(args.output, fp, args.partitions)
@@ -155,8 +190,6 @@ def cmd_shards(args) -> int:
     row) but SKIPS committed partitions' writes and restores only the
     missing ones, bit-identically (the permutation is seed-keyed, not
     run-keyed)."""
-    import os as _os
-
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -165,7 +198,7 @@ def cmd_shards(args) -> int:
     from .pipelines.analysis import quality_batch
     from .pipelines.checkpoint import checkpointed_write
 
-    docs = rd.read_parquet(args.source)
+    docs = rd.read_parquet(_expand_sources([args.source]))
     text_col, id_col = args.text_col, args.id_col
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -185,8 +218,8 @@ def cmd_shards(args) -> int:
     sharded = shuffle_shards(sampled, n_shards=args.n_shards,
                              id_col=id_col, seed=args.seed, carry_rows=True)
 
-    st = _os.stat(args.source)
-    fp = (f"{args.source}|{st.st_size}|{st.st_mtime_ns}|"
+    fp = (f"{_source_fp(args.source)}|"
+          f"text_col={text_col}|id_col={id_col}|"
           f"min_tokens={args.min_tokens}|max_punct={args.max_punct}|"
           f"frac={args.frac}|sample_seed={args.sample_seed}|"
           f"n_shards={args.n_shards}|seed={args.seed}")

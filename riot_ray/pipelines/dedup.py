@@ -366,13 +366,21 @@ def _binary_matrix(col, width: int, dtype) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 # exact dedup
 # --------------------------------------------------------------------------- #
+def _text_digest_strs(texts: list) -> list[str]:
+    """Hex sha256 per text, with NULL kept as its OWN group (SQL
+    ``GROUP BY text`` semantics): a null digests to the sentinel
+    "\\x00null", which no real hex digest can equal, so null-text rows
+    never merge with empty-string rows."""
+    return ["\x00null" if t is None else hashlib.sha256(t.encode()).hexdigest()
+            for t in texts]
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Survivor ids after exact-content dedup: min(id) per content digest.
     Returns a Dataset with columns (id_col, n_copies)."""
 
     def digest(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        d = [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+        d = _text_digest_strs(batch[text_col].to_pylist())
         return pa.table({id_col: batch[id_col], "digest": pa.array(d, pa.string())})
 
     from ray.data.aggregate import Count, Min
@@ -398,8 +406,7 @@ def dedup_rows_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
     exact_dedup's oracle: min(id) per digest."""
 
     def digest(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        d = [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+        d = _text_digest_strs(batch[text_col].to_pylist())
         return batch.append_column("__digest", pa.array(d, pa.string()))
 
     def keep_min(group: pa.Table) -> pa.Table:

@@ -170,6 +170,12 @@ def rrf_fuse(
             }
         )
 
+    ranked = list(ranked)
+    if not ranked:
+        return _rrf_kernel(
+            np.array([], np.int64), np.array([], np.int64),
+            np.array([], np.int64), k, k0,
+        )
     if all(isinstance(t, pa.Table) for t in ranked):
         t = pa.concat_tables([_std(t) for t in ranked]).combine_chunks()
         return _rrf_kernel(
@@ -301,10 +307,12 @@ def hybrid_batch(
         emb_ds, query_vectors, query_vec_ids, k=k,
         vec_col=vec_col, id_col=vec_id_col,
     )
+    # knn_brute's output always names the id column "vec_id" regardless
+    # of the input table's vec_id_col
     vec = pa.table(
         {
             "query_id": vt["query_id"],
-            "doc_id": vt[vec_id_col],
+            "doc_id": vt["vec_id"],
             "rank": vt["rank"],
         }
     )

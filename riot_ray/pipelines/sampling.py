@@ -464,6 +464,14 @@ def _md5_key_column(col, seed: int) -> pa.Array:
     ``md5(seed || ':' || id)`` is unchanged.  ``preserve_insertion_order``
     is forced on so the projected keys align 1:1 with input rows; a
     hashlib fallback covers environments without duckdb."""
+    if col.null_count:
+        # the two backends disagree on nulls (DuckDB: NULL key; hashlib:
+        # md5 of the stringified null) — a null id has no defined place in
+        # a deterministic permutation, so reject it in both
+        raise ValueError(
+            "shuffle_shards: id column contains nulls — a deterministic "
+            "permutation needs a non-null id per row"
+        )
     global _DUCK_MD5
     try:
         import duckdb

@@ -271,3 +271,43 @@ def test_shards_checkpoint_resume(ray_session, tmp_path):
     s3 = json.loads(buf.getvalue())
     assert s3["parts_written"] == 0
     assert s3["parts_skipped"] == s1["parts_written"]
+
+    # a changed --text-col must NOT resume against the old fingerprint
+    argv_tc = argv + ["--text-col", "lang"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_shards(p.parse_args(argv_tc)) == 0
+    s4 = json.loads(buf.getvalue())
+    assert s4["parts_skipped"] == 0  # different column -> fresh compute
+
+
+def test_shards_glob_source(ray_session, tmp_path):
+    """`job shards` accepts a glob --source (the DEPLOY.md multi-file
+    form): the resume fingerprint degrades to the pattern string instead
+    of os.stat crashing on it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from riot_ray.job import cmd_shards
+    from riot_ray.pipelines.checkpoint import read_checkpointed
+
+    for part in range(2):
+        ids = list(range(part * 10, part * 10 + 10))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                [f"alpha beta gamma delta epsilon t{i}" for i in ids],
+                pa.string()),
+        }), str(tmp_path / f"docs_{part}.parquet"))
+    out_dir = str(tmp_path / "shards")
+    p = make_parser()
+    argv = ["shards", "--source", str(tmp_path / "docs_*.parquet"),
+            "--output", out_dir, "--n-shards", "4", "--frac", "1.0",
+            "--min-tokens", "5", "--partitions", "2"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_shards(p.parse_args(argv)) == 0
+    s1 = json.loads(buf.getvalue())
+    assert s1["n_rows"] == 20
+    got = read_checkpointed(out_dir).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(20))

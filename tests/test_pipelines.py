@@ -4068,6 +4068,38 @@ def test_shuffle_shards_empty_input(ray_session):
     assert sch3.base_schema.field("x").type == pa.float64()
 
 
+def test_shuffle_shards_null_id_rejected(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import shuffle_shards
+
+    # the two md5 backends disagree on nulls (DuckDB: NULL key; hashlib:
+    # md5 of the stringified null) — both must reject instead
+    t = pa.table({"doc_id": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="non-null id"):
+        shuffle_shards(rd.from_arrow(t), n_shards=2).materialize()
+
+
+def test_exact_dedup_null_vs_empty_text(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import dedup_rows_exact, exact_dedup
+
+    # SQL GROUP BY text keeps NULL and '' as SEPARATE groups; the digest
+    # must too (a merged group would silently drop a non-duplicate row)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([None, "", None, ""], pa.string()),
+        }
+    )
+    kept = dedup_rows_exact(rd.from_arrow(t)).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2]
+    surv = exact_dedup(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(surv["doc_id"]) == [1, 2]
+    assert list(surv["n_copies"]) == [2, 2]
+
+
 def test_shuffle_shards_key_is_vectorized_md5(ray_session):
     """The order key is DuckDB's C md5 kernel (no per-row Python hashlib
     loop) and bit-identical to hashlib for int64 AND string ids."""
@@ -4280,6 +4312,10 @@ def test_rrf_fuse_edges(ray_session):
     )
     with _pytest.raises(ValueError, match="1-based"):
         rrf_fuse([bad], k=1)
+    # zero input lists: the typed empty result, not a concat crash
+    empty = rrf_fuse([], k=5)
+    assert empty.num_rows == 0
+    assert empty.column_names == ["query_id", "doc_id", "rrf_micro", "rank"]
 
 
 def test_rank_results_block_layout_independent(ray_session):
@@ -4311,7 +4347,7 @@ def test_rank_results_block_layout_independent(ray_session):
     assert list(q1["doc_id"]) == ["d1", "d9", "d2", "d3"]
 
 
-def test_hybrid_batch_matches_manual_fusion(corpus_index):
+def test_hybrid_batch_matches_manual_fusion(corpus_index, tmp_path):
     import pyarrow as pa
     import ray.data as rd
 
@@ -4388,3 +4424,67 @@ def test_hybrid_batch_matches_manual_fusion(corpus_index):
     )
     assert got.equals(vec_only)
     assert len(want) > 0  # the manual fused composition is non-trivial
+
+    # full lexical+vector path: an index whose doc ids parse as ints (the
+    # sf0.001 documents corpus) so the lex leg actually participates —
+    # hybrid_batch vs an INDEPENDENT composition (LocalSearcher per query,
+    # ranks by (milli desc, doc-id-string asc) = rank_results' tie order)
+    from riot_ray.build import IndexWriter
+    from riot_ray.config import EngineOpts
+
+    opts = EngineOpts(mode="simple", id_cols=("doc_id",), content_col="text",
+                      num_parts=4, num_shards=2)
+    idx2 = str(tmp_path / "docs_index")
+    IndexWriter(idx2, opts).build(f"{SF}/documents.parquet")
+
+    texts2 = ["hash join merge", "window scan sort"]
+    qs2 = rd.from_items(
+        [{"query_id": i, "text": t} for i, t in enumerate(texts2)]
+    ).repartition(2)
+    emb2 = rd.read_parquet(f"{SF}/embeddings.parquet")
+    Q2 = rng.normal(size=(2, len(emb2.take(1)[0]["embedding"])))
+
+    se2 = LocalSearcher(idx2)
+    lex2_rows = []
+    for qi, t in enumerate(texts2):
+        resp = se2.search(SearchReq(text=t, rank_opts=RankOpts(max_outputs=4)))
+        hits = [
+            (int(np.floor(h.bm25 * 1000.0 + 0.5)), h.doc_id) for h in resp.docs
+        ]
+        hits.sort(key=lambda x: (-x[0], x[1]))
+        for r, (_, d) in enumerate(hits, 1):
+            lex2_rows.append((qi, int(d), r))
+    assert lex2_rows  # queries must really match lexically
+    lex2 = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in lex2_rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in lex2_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in lex2_rows], pa.int64()),
+        }
+    )
+    vt2 = knn_brute(emb2, Q2, qids, k=4)
+    vec2 = pa.table(
+        {"query_id": vt2["query_id"], "doc_id": vt2["vec_id"],
+         "rank": vt2["rank"]}
+    )
+    want2 = (
+        rrf_fuse([lex2, vec2], k=4)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got2 = (
+        hybrid_batch(qs2, idx2, emb2, Q2, qids, k=4)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got2.equals(want2)
+
+    # vec_id_col plumbing: a renamed embedding-id column, identical result
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["other" if c == "vec_id" else c for c in b.column_names])
+
+    emb3 = emb2.map_batches(rename, batch_format="pyarrow")
+    got3 = (
+        hybrid_batch(qs2, idx2, emb3, Q2, qids, k=4, vec_id_col="other")
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got3.equals(want2)

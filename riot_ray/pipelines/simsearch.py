@@ -1186,3 +1186,79 @@ def knn_int8(
             "rank": t["rank"],
         }
     )
+
+
+def knn_int8_codes(
+    codes_ds,
+    queries: np.ndarray,
+    scales: np.ndarray,
+    query_ids: np.ndarray | None = None,
+    k: int = 10,
+    code_col: str = "code",
+    id_col: str = "vec_id",
+):
+    """:func:`knn_int8` over a PERSISTED code column — the deployment
+    shape where the 4x applies to the SCAN, not just storage: encode once
+    with :func:`quantize_embeddings`, `write_parquet` the codes, and
+    every subsequent query wave reads a corpus 4x smaller than float32
+    (columnar pruning means the float embedding column is never touched).
+    ``scales`` MUST be the vector the codes were encoded with (pass the
+    tuple `quantize_embeddings` returned; persist it next to the codes) —
+    the queries are quantized with it here so both sides share one
+    codebook, and results are bit-identical to running :func:`knn_int8`
+    on the original float corpus (pinned by pytest).
+
+    Same scale shape as the brute scan: query codes broadcast once, one
+    integer matmul per batch, tie-exact (dot desc, id asc) local
+    partials, size-gated final reduce."""
+    import ray
+
+    Q = np.asarray(queries, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(Q))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    QC = quantize_batch(Q, np.asarray(scales, np.float64)).astype(np.float64)
+    qref = ray.put((qids, QC))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        g_qids, g_QC = ray.get(qref)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine_raw": pa.array([], pa.float64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[code_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # zero-copy int8 matrix from the list column's flat values buffer
+        n, d = batch.num_rows, g_QC.shape[1]
+        flat = col.flatten()
+        C = np.asarray(flat, dtype=np.int8).reshape(n, d).astype(np.float64)
+        order_v = np.argsort(ids, kind="stable")
+        ids = ids[order_v]
+        C = C[order_v]
+        dots = g_QC @ C.T
+        kk = min(k, dots.shape[1])
+        part = np.argsort(-dots, axis=1, kind="stable")[:, :kk]
+        rq = np.repeat(g_qids, kk)
+        rv = ids[part.ravel()]
+        rs = np.take_along_axis(dots, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rq, pa.int64()),
+                "vec_id": pa.array(rv, pa.int64()),
+                "cosine_raw": pa.array(rs, pa.float64()),
+            }
+        )
+
+    t = _reduce_topk(
+        codes_ds.map_batches(local_topk, batch_format="pyarrow"), k)
+    dot = t["cosine"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "dot_q": pa.array(dot, pa.int64()),
+            "rank": t["rank"],
+        }
+    )

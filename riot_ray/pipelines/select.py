@@ -143,29 +143,78 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _gumbel_keys(ids: np.ndarray, wm: np.ndarray, temperature: float,
+                 seed: int) -> np.ndarray:
+    """Seeded Gumbel-perturbed selection key per doc:
+    ``weight_micro * 1e-6 + T * (-ln(-ln(u)))`` where ``u`` is a pure
+    function of (seed, id) — so the key is deterministic, block-layout
+    independent, AND bit-reproducible in SQL.  ``u`` construction: the
+    md5-u64 of ``"{seed}:{id}"`` keeps its top 53 bits with the low bit
+    forced odd (``(h >> 11) | 1``), times 2^-53 — an exactly-representable
+    double in (0, 1), never 0 or 1, so neither engine's ``ln`` can see a
+    pole (a plain ``(h+0.5)/2^64`` rounds to 1.0 for h near 2^64 and
+    NaNs/errors out).  SQL twin:
+    ``weight_micro * 1e-6 + T * (-ln(-ln(
+        (((('0x' || substr(md5(seed || ':' || id), 1, 16))::UBIGINT
+           // 2048) | 1))::DOUBLE * power(2.0, -53))))``."""
+    import hashlib
+
+    try:
+        import duckdb
+
+        con = duckdb.connect(config={"preserve_insertion_order": True})
+        con.register("_dsir_ids", pa.table({"v": pa.array(ids, pa.int64())}))
+        h = con.execute(
+            "SELECT ('0x' || substr(md5(? || ':' || v::VARCHAR), 1, 16))"
+            "::UBIGINT AS h FROM _dsir_ids", [f"{seed}"],
+        ).fetch_arrow_table()["h"].to_numpy(zero_copy_only=False)
+        h = h.astype(np.uint64)
+    except ImportError:
+        h = np.fromiter(
+            (int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16], 16)
+             for v in ids),
+            dtype=np.uint64, count=len(ids),
+        )
+    u = ((h >> np.uint64(11)) | np.uint64(1)).astype(np.float64) * 2.0 ** -53
+    return wm.astype(np.float64) * 1e-6 + temperature * (-np.log(-np.log(u)))
+
+
 def dsir_sample(ds, target_ds, n: int, text_col: str = "text",
                 id_col: str = "doc_id", n_buckets: int = 10_000,
-                ngrams: int = 2, lam: np.ndarray | None = None) -> pa.Table:
-    """Select the ``n`` highest-importance documents:
-    ``(id_col, weight_micro)`` ordered by (weight desc, id asc) — the
-    paper's temperature->0 deterministic limit (its Gumbel-top-k sampler
-    adds seeded noise to the same weights; the deterministic variant is
-    the SQL-checkable one).  Scale shape: the weights stream emits
-    per-batch top-``n`` partials, and the driver reduces #blocks x n rows
-    (bounded by the selection size, never the corpus)."""
+                ngrams: int = 2, lam: np.ndarray | None = None,
+                temperature: float = 0.0, seed: int = 0) -> pa.Table:
+    """Select ``n`` documents by DSIR importance: ``(id_col,
+    weight_micro)``.  ``temperature=0`` (default) is the deterministic
+    top-n — (weight desc, id asc), the paper's temperature->0 limit.
+    ``temperature>0`` is the paper's actual Gumbel-top-k sampler: top-n
+    by ``weight/1e6 + T*Gumbel(seed, id)`` — a without-replacement
+    sample whose inclusion probabilities follow the softmax of
+    weights/T, yet still deterministic given ``seed`` (noise is a pure
+    hash of (seed, id); see :func:`_gumbel_keys`), so even the SAMPLED
+    variant replays exactly in SQL.  Scale shape: the weights stream
+    emits per-batch top-``n`` partials, and the driver reduces
+    #blocks x n rows (bounded by the selection size, never the
+    corpus)."""
     import ray
 
     w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col,
                      n_buckets=n_buckets, ngrams=ngrams, lam=lam)
 
-    def partial_topn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= n:
-            return batch.select([id_col, "weight_micro"])
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        wm = batch["weight_micro"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -wm))[:n]
+    def topn_table(ids: np.ndarray, wm: np.ndarray) -> pa.Table:
+        if temperature > 0.0:
+            key = _gumbel_keys(ids, wm, temperature, seed)
+        else:
+            key = wm
+        order = np.lexsort((ids, -key))[:n]
         return pa.table({id_col: pa.array(ids[order], pa.int64()),
                          "weight_micro": pa.array(wm[order], pa.int64())})
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        wm = batch["weight_micro"].to_numpy(zero_copy_only=False)
+        if batch.num_rows <= n and temperature <= 0.0:
+            return batch.select([id_col, "weight_micro"])
+        return topn_table(ids, wm)
 
     tabs = [t for t in ray.get(
         w.map_batches(partial_topn, batch_format="pyarrow").to_arrow_refs())
@@ -174,8 +223,5 @@ def dsir_sample(ds, target_ds, n: int, text_col: str = "text",
         return pa.table({id_col: pa.array([], pa.int64()),
                          "weight_micro": pa.array([], pa.int64())})
     t = pa.concat_tables(tabs).combine_chunks()
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    wm = t["weight_micro"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -wm))[:n]
-    return pa.table({id_col: pa.array(ids[order], pa.int64()),
-                     "weight_micro": pa.array(wm[order], pa.int64())})
+    return topn_table(t[id_col].to_numpy(zero_copy_only=False),
+                      t["weight_micro"].to_numpy(zero_copy_only=False))

@@ -4749,3 +4749,43 @@ def test_knn_int8_codes_bit_identical_to_float_corpus(emb_ds, ray_session, tmp_p
     # default query_ids = arange
     anon = knn_int8_codes(stored, Q, scales, k=10)
     assert anon["vec_id"].to_pylist() == want["vec_id"].to_pylist()
+
+
+def test_dsir_gumbel_sampler(docs_ds, dsir_target, ray_session):
+    """temperature>0: the paper's Gumbel-top-k — deterministic given
+    seed, block-layout independent, seed-sensitive, temperature-consistent
+    (T->0 recovers the deterministic top-n), and the noisy key replays
+    exactly in DuckDB."""
+    from riot_ray.pipelines import dsir_fit, dsir_sample
+
+    lam = dsir_fit(dsir_target, docs_ds, n_buckets=4096, ngrams=2)
+    det = dsir_sample(docs_ds, dsir_target, n=30, n_buckets=4096, lam=lam)
+    g1 = dsir_sample(docs_ds, dsir_target, n=30, n_buckets=4096, lam=lam,
+                     temperature=1.0, seed=11)
+    g1b = dsir_sample(docs_ds.repartition(16), dsir_target, n=30,
+                      n_buckets=4096, lam=lam, temperature=1.0, seed=11)
+    g2 = dsir_sample(docs_ds, dsir_target, n=30, n_buckets=4096, lam=lam,
+                     temperature=1.0, seed=12)
+    assert g1.to_pydict() == g1b.to_pydict()          # layout-independent
+    assert g1.to_pydict() != g2.to_pydict()           # seed matters
+    assert set(g1[0].to_pylist()) != set(det[0].to_pylist())  # noise acts
+    # tiny temperature ~ deterministic limit (weights are ~1e3-nat scale)
+    g0 = dsir_sample(docs_ds, dsir_target, n=30, n_buckets=4096, lam=lam,
+                     temperature=1e-9, seed=11)
+    assert g0[0].to_pylist() == det[0].to_pylist()
+    # SQL twin of the noisy selection
+    exp = _duck(
+        f"""
+        WITH w AS ({_DSIR_SQL.replace('ORDER BY doc_id', '')}),
+        key AS (
+          SELECT doc_id, weight_micro,
+                 weight_micro * 1e-6 + 1.0 * (-ln(-ln(
+                   ((('0x' || substr(md5('11:' || doc_id), 1, 16))::UBIGINT
+                     // 2048) | 1)::DOUBLE * power(2.0, -53)))) AS k
+          FROM w)
+        SELECT doc_id, weight_micro FROM key
+        QUALIFY row_number() OVER (ORDER BY k DESC, doc_id) <= 30
+        ORDER BY k DESC, doc_id
+        """
+    )
+    assert g1.to_pydict() == exp.to_pydict()

@@ -11,7 +11,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize("name", ["simple", "dist", "search_ux",
-                                  "train_shards"])
+                                  "train_shards", "ann_quantized"])
 def test_example_runs(name):
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", f"{name}.py")],

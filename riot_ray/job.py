@@ -216,6 +216,9 @@ def cmd_shards(args) -> int:
         text_col=text_col, id_col=id_col,
     )
     dsir_fp = ""
+    if args.dsir_top and not args.dsir_target:
+        raise SystemExit("--dsir-top requires --dsir-target (no selection "
+                         "would run otherwise)")
     if args.dsir_target:
         # DSIR importance selection (Xie et al. 2023): keep only the
         # --dsir-top docs whose hashed-ngram likelihood ratio favors the
@@ -225,6 +228,10 @@ def cmd_shards(args) -> int:
             raise SystemExit("--dsir-target requires --dsir-top > 0")
         from .pipelines import dsir_sample, filter_ids
 
+        # the DSIR branch consumes `curated` three times (model fit pass,
+        # scoring pass, final write) — pin it once so the gate map and the
+        # dedup digest shuffle don't re-execute per consumption
+        curated = curated.materialize()
         tgt = rd.read_parquet(_expand_sources([args.dsir_target]))
         sel = dsir_sample(curated, tgt, n=args.dsir_top, text_col=text_col,
                           id_col=id_col, n_buckets=args.dsir_buckets)

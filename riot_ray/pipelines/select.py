@@ -93,15 +93,19 @@ def _log_micro(counts: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
-def dsir_fit(target_ds, raw_ds, text_col: str = "text",
+def dsir_fit(ds, target_ds, text_col: str = "text",
              n_buckets: int = 10_000, ngrams: int = 2) -> np.ndarray:
     """Fit the DSIR importance model: per-bucket
     ``lambda = micro(target) - micro(raw)`` (int64, length ``n_buckets``).
-    Two streaming counting passes; no shuffle."""
+    Two streaming counting passes; no shuffle.  Argument order matches
+    :func:`dsir_weights` / :func:`dsir_sample` — RAW corpus first, then
+    the target exemplars (both are same-typed datasets, so a swap would
+    silently negate the model; one shared order across the module is the
+    guard)."""
     if not 0 < n_buckets <= MAX_BUCKETS:
         raise ValueError(f"n_buckets must be in (0, {MAX_BUCKETS}]")
     t = _bucket_counts(target_ds, text_col, n_buckets, ngrams)
-    r = _bucket_counts(raw_ds, text_col, n_buckets, ngrams)
+    r = _bucket_counts(ds, text_col, n_buckets, ngrams)
     return _log_micro(t) - _log_micro(r)
 
 
@@ -118,7 +122,7 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
     import ray
 
     if lam is None:
-        lam = dsir_fit(target_ds, ds, text_col=text_col,
+        lam = dsir_fit(ds, target_ds, text_col=text_col,
                        n_buckets=n_buckets, ngrams=ngrams)
     lam = np.asarray(lam, np.int64)
     n_buckets = len(lam)
@@ -143,6 +147,16 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_DUCK_GUMBEL = None  # cached per-process DuckDB connection (md5 kernel)
+
+# driver-side final-reduce gate, same constant/role as simsearch's
+# _DRIVER_REDUCE_MAX_ROWS: below it the #blocks x n partials collapse in
+# one driver pass; above it extra distributed fan-in rounds shrink them
+# first (at 100 TB, ~1e6 blocks x n=10k would otherwise centralize 1e10
+# candidate rows)
+_DRIVER_TOPN_MAX_ROWS = 2_000_000
+
+
 def _gumbel_keys(ids: np.ndarray, wm: np.ndarray, temperature: float,
                  seed: int) -> np.ndarray:
     """Seeded Gumbel-perturbed selection key per doc:
@@ -162,12 +176,19 @@ def _gumbel_keys(ids: np.ndarray, wm: np.ndarray, temperature: float,
     try:
         import duckdb
 
-        con = duckdb.connect(config={"preserve_insertion_order": True})
+        global _DUCK_GUMBEL
+        if _DUCK_GUMBEL is None:  # one connection per worker process, not
+            _DUCK_GUMBEL = duckdb.connect(  # one per batch
+                config={"preserve_insertion_order": True})
+        con = _DUCK_GUMBEL
         con.register("_dsir_ids", pa.table({"v": pa.array(ids, pa.int64())}))
-        h = con.execute(
-            "SELECT ('0x' || substr(md5(? || ':' || v::VARCHAR), 1, 16))"
-            "::UBIGINT AS h FROM _dsir_ids", [f"{seed}"],
-        ).fetch_arrow_table()["h"].to_numpy(zero_copy_only=False)
+        try:
+            h = con.execute(
+                "SELECT ('0x' || substr(md5(? || ':' || v::VARCHAR), 1, 16))"
+                "::UBIGINT AS h FROM _dsir_ids", [f"{seed}"],
+            ).fetch_arrow_table()["h"].to_numpy(zero_copy_only=False)
+        finally:
+            con.unregister("_dsir_ids")
         h = h.astype(np.uint64)
     except ImportError:
         h = np.fromiter(
@@ -192,9 +213,14 @@ def dsir_sample(ds, target_ds, n: int, text_col: str = "text",
     weights/T, yet still deterministic given ``seed`` (noise is a pure
     hash of (seed, id); see :func:`_gumbel_keys`), so even the SAMPLED
     variant replays exactly in SQL.  Scale shape: the weights stream
-    emits per-batch top-``n`` partials, and the driver reduces
-    #blocks x n rows (bounded by the selection size, never the
-    corpus)."""
+    emits per-batch top-``n`` partials (#blocks x n rows — which GROWS
+    with corpus size), so the final reduce is gated like simsearch's
+    ``_reduce_topk``: under ``_DRIVER_TOPN_MAX_ROWS`` the partials
+    collapse in one driver pass; above it, repartition + re-select
+    rounds shrink them geometrically off-driver first (each round is
+    exact — the selection key is a pure row function, so pruning a
+    candidate outside a block's top-n can never evict a global
+    top-n row)."""
     import ray
 
     w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col,
@@ -216,9 +242,17 @@ def dsir_sample(ds, target_ds, n: int, text_col: str = "text",
             return batch.select([id_col, "weight_micro"])
         return topn_table(ids, wm)
 
-    tabs = [t for t in ray.get(
-        w.map_batches(partial_topn, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows]
+    partials = w.map_batches(partial_topn, batch_format="pyarrow").materialize()
+    rows = partials.count()
+    while rows > _DRIVER_TOPN_MAX_ROWS and rows > n:
+        # distributed fan-in: ~64n candidate rows per block -> n survive,
+        # so each round shrinks the candidate set ~64x (exact, see above)
+        n_blocks = max(1, rows // (64 * n))
+        partials = (partials.repartition(n_blocks)
+                    .map_batches(partial_topn, batch_format="pyarrow")
+                    .materialize())
+        rows = partials.count()
+    tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "weight_micro": pa.array([], pa.int64())})

@@ -369,3 +369,9 @@ def test_shards_dsir_selection(ray_session, tmp_path):
         cmd_shards(p.parse_args(
             ["shards", "--source", src, "--output", str(tmp_path / "x"),
              "--dsir-target", tgt]))
+    # the converse is just as loud: --dsir-top with no target would
+    # otherwise silently skip selection
+    with pytest.raises(SystemExit, match="dsir-target"):
+        cmd_shards(p.parse_args(
+            ["shards", "--source", src, "--output", str(tmp_path / "x"),
+             "--dsir-top", "10"]))

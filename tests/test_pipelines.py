@@ -4694,7 +4694,7 @@ def test_dsir_target_lang_scores_higher(docs_ds, dsir_target):
 def test_dsir_lam_reuse_and_block_invariance(docs_ds, dsir_target, ray_session):
     from riot_ray.pipelines import dsir_fit, dsir_sample, dsir_weights
 
-    lam = dsir_fit(dsir_target, docs_ds, n_buckets=4096, ngrams=2)
+    lam = dsir_fit(docs_ds, dsir_target, n_buckets=4096, ngrams=2)
     assert lam.shape == (4096,) and lam.dtype == np.int64
     refit = dsir_weights(docs_ds, dsir_target, n_buckets=4096,
                          ngrams=2).sort("doc_id").take_all()
@@ -4758,7 +4758,7 @@ def test_dsir_gumbel_sampler(docs_ds, dsir_target, ray_session):
     exactly in DuckDB."""
     from riot_ray.pipelines import dsir_fit, dsir_sample
 
-    lam = dsir_fit(dsir_target, docs_ds, n_buckets=4096, ngrams=2)
+    lam = dsir_fit(docs_ds, dsir_target, n_buckets=4096, ngrams=2)
     det = dsir_sample(docs_ds, dsir_target, n=30, n_buckets=4096, lam=lam)
     g1 = dsir_sample(docs_ds, dsir_target, n=30, n_buckets=4096, lam=lam,
                      temperature=1.0, seed=11)
@@ -4789,3 +4789,24 @@ def test_dsir_gumbel_sampler(docs_ds, dsir_target, ray_session):
         """
     )
     assert g1.to_pydict() == exp.to_pydict()
+
+
+def test_dsir_sample_gated_fanin_reduce(docs_ds, dsir_target, ray_session,
+                                        monkeypatch):
+    """Force the distributed fan-in rounds (tiny driver gate) — the gated
+    path must equal the one-pass driver reduce exactly, deterministic and
+    Gumbel both."""
+    from riot_ray.pipelines import dsir_fit, dsir_sample
+    from riot_ray.pipelines import select as sel_mod
+
+    lam = dsir_fit(docs_ds, dsir_target, n_buckets=4096, ngrams=2)
+    many = docs_ds.repartition(32)
+    want = dsir_sample(many, dsir_target, n=25, n_buckets=4096, lam=lam)
+    wantg = dsir_sample(many, dsir_target, n=25, n_buckets=4096, lam=lam,
+                        temperature=1.0, seed=4)
+    monkeypatch.setattr(sel_mod, "_DRIVER_TOPN_MAX_ROWS", 40)
+    got = dsir_sample(many, dsir_target, n=25, n_buckets=4096, lam=lam)
+    gotg = dsir_sample(many, dsir_target, n=25, n_buckets=4096, lam=lam,
+                       temperature=1.0, seed=4)
+    assert got.to_pydict() == want.to_pydict()
+    assert gotg.to_pydict() == wantg.to_pydict()
